@@ -1,0 +1,21 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+CI needs no TPU: JAX's CPU backend executes the same XLA graphs, and the
+forced 8-device host platform exercises the sharding/pjit paths exactly as
+an 8-chip slice would (minus the ICI).
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+# Make the repo root importable when running from a source checkout.
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))

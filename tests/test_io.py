@@ -1,0 +1,113 @@
+"""Codec and loader tests.
+
+Mirrors the reference's IO test strategy (tests/test_io.py): PCM round
+trips verified against an independent ground truth (the stdlib ``wave``
+writer), resampling behaviour, metadata parity, and failure injection for
+undecodable inputs.
+"""
+
+from __future__ import annotations
+
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from track_analyser_tpu.io import decode_wav, load_audio, write_wav
+
+
+def _tone(sr: int, duration: float = 0.25, freq: float = 440.0, channels: int = 1) -> np.ndarray:
+    t = np.linspace(0.0, duration, int(sr * duration), endpoint=False)
+    base = 0.5 * np.sin(2 * np.pi * freq * t)
+    if channels == 1:
+        return base.astype(np.float32)
+    return np.stack([base, 0.25 * base]).astype(np.float32)
+
+
+def _write_stdlib_wav(path: Path, data: np.ndarray, sr: int) -> None:
+    """Independent PCM16 ground-truth writer."""
+
+    if data.ndim == 1:
+        data = data[None, :]
+    pcm = np.clip(np.round(data.T * 32767.0), -32768, 32767).astype("<i2")
+    with wave.open(str(path), "wb") as handle:
+        handle.setnchannels(data.shape[0])
+        handle.setsampwidth(2)
+        handle.setframerate(sr)
+        handle.writeframes(pcm.tobytes())
+
+
+def test_pcm16_roundtrip_matches_stdlib_wave(tmp_path) -> None:
+    sr = 22_050
+    tone = _tone(sr)
+    ref_path = tmp_path / "ref.wav"
+    _write_stdlib_wav(ref_path, tone, sr)
+
+    data, rate, meta = decode_wav(ref_path)
+    assert rate == sr
+    assert meta["channels"] == 1
+    assert meta["subtype"] == "PCM_16"
+    expected = np.round(np.clip(tone, -1, 1) * 32767.0) / 32768.0
+    np.testing.assert_allclose(data[0], expected, atol=1e-6)
+
+
+@pytest.mark.parametrize("subtype,atol", [("PCM_16", 1 / 32767), ("PCM_24", 1 / 8388607), ("PCM_32", 1e-6), ("FLOAT", 1e-7)])
+def test_wav_roundtrip_all_subtypes(tmp_path, subtype, atol) -> None:
+    sr = 44_100
+    tone = _tone(sr, channels=2)
+    path = tmp_path / f"tone_{subtype}.wav"
+    write_wav(path, tone, sr, subtype=subtype)
+
+    data, rate, meta = decode_wav(path)
+    assert rate == sr
+    assert meta["channels"] == 2
+    assert meta["subtype"] == subtype
+    np.testing.assert_allclose(data, tone, atol=atol * 1.01)
+
+
+def test_load_audio_mono_downmix_and_metadata(tmp_path) -> None:
+    sr = 32_000
+    tone = _tone(sr, channels=2)
+    path = tmp_path / "stereo.wav"
+    write_wav(path, tone, sr, subtype="FLOAT")
+
+    mono, rate, meta = load_audio(path, mono=True)
+    assert mono.ndim == 1
+    assert rate == sr
+    assert meta["channels"] == 2
+    assert meta["file_type"] == "WAV"
+    np.testing.assert_allclose(mono, tone.mean(axis=0), atol=1e-6)
+
+    both, rate2, meta2 = load_audio(path, mono=False)
+    assert both.shape[0] == 2
+    assert meta2["duration"] == pytest.approx(tone.shape[1] / sr)
+
+
+def test_load_audio_resamples_to_target(tmp_path) -> None:
+    sr = 48_000
+    tone = _tone(sr, duration=0.5)
+    path = tmp_path / "tone48k.wav"
+    write_wav(path, tone, sr, subtype="FLOAT")
+
+    data, rate, meta = load_audio(path, target_sr=44_100)
+    assert rate == 44_100
+    assert abs(data.shape[-1] - int(0.5 * 44_100)) <= 1
+    # Resampled sine keeps its RMS
+    assert float(np.sqrt(np.mean(data**2))) == pytest.approx(
+        float(np.sqrt(np.mean(tone**2))), rel=0.01
+    )
+
+
+def test_undecodable_file_raises_descriptive_error(tmp_path) -> None:
+    bogus = tmp_path / "not_audio.mp3"
+    bogus.write_bytes(b"\x00\x01\x02\x03 this is not audio")
+    with pytest.raises(RuntimeError, match="Could not decode audio file"):
+        load_audio(bogus)
+
+
+def test_truncated_wav_raises(tmp_path) -> None:
+    path = tmp_path / "trunc.wav"
+    path.write_bytes(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(RuntimeError, match="Could not decode audio file"):
+        load_audio(path)

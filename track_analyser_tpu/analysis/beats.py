@@ -1,0 +1,156 @@
+"""Beat and downbeat estimation.
+
+Parity surface with the reference (analysis/beats.py:26-155): the
+``BeatAnalysis`` / ``DownbeatAnalysis`` dataclasses, the inter-beat-interval
+confidence formula, and the graceful downbeat ladder. The reference's
+optional madmom RNN+DBN path (beats.py:124-141) is replaced by this
+framework's JAX downbeat model (models/downbeat.py — a jitted activation
+network + Viterbi DBN decoded with lax.scan); when unavailable it falls
+back to the same every-4th-beat heuristic with source="heuristic".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..utils import AudioInput, seed_everything
+from ..tempo import beat_grid as compute_beat_grid, estimate_bpm
+
+__all__ = [
+    "BeatAnalysis",
+    "DownbeatAnalysis",
+    "analyse_beats",
+    "build_beat_analysis",
+    "analyse_downbeats",
+]
+
+
+@dataclass(slots=True)
+class BeatAnalysis:
+    """Summary of the beat grid."""
+
+    bpm: float
+    beat_times: List[float]
+    beat_frames: List[int]
+    confidence: float
+    grid: Optional[pd.DataFrame] = None
+
+
+@dataclass(slots=True)
+class DownbeatAnalysis:
+    """Downbeat estimates (model-based when available, heuristic otherwise)."""
+
+    downbeat_times: List[float]
+    beat_positions: List[int]
+    source: str
+
+
+def _compute_confidence(beat_times: np.ndarray) -> float:
+    if len(beat_times) < 2:
+        return 0.0
+    intervals = np.diff(beat_times)
+    if np.allclose(intervals, intervals[0]):
+        return 1.0
+    return float(
+        np.clip(1.0 - np.std(intervals) / (np.mean(intervals) + 1e-9), 0.0, 1.0)
+    )
+
+
+def analyse_beats(
+    audio: "AudioInput | str",
+    *,
+    hop_length: int = 512,
+    seed: int,
+) -> Tuple[BeatAnalysis, Optional[DownbeatAnalysis]]:
+    """Estimate the beat grid and optional downbeats from ``audio``."""
+
+    seed_everything(seed)
+    if not isinstance(audio, AudioInput):
+        raise TypeError("analyse_beats expects an AudioInput instance")
+
+    grid = compute_beat_grid(audio.samples, audio.sample_rate, hop_length=hop_length)
+    bpm = estimate_bpm(audio.samples, audio.sample_rate, hop_length=hop_length)
+    beat_result = build_beat_analysis(
+        bpm,
+        grid["time"].to_numpy(),
+        audio.sample_rate,
+        hop_length=hop_length,
+        grid=grid,
+    )
+    downbeat_result = analyse_downbeats(
+        audio, beat_result, hop_length=hop_length, seed=seed
+    )
+    return beat_result, downbeat_result
+
+
+def build_beat_analysis(
+    bpm: float,
+    beat_times: np.ndarray,
+    sr: int,
+    *,
+    hop_length: int = 512,
+    grid: Optional[pd.DataFrame] = None,
+) -> BeatAnalysis:
+    beat_times = np.asarray(beat_times, dtype=float)
+    beat_frames = np.floor(beat_times * sr / hop_length).astype(int)
+    confidence = _compute_confidence(beat_times)
+    return BeatAnalysis(
+        bpm=float(bpm),
+        beat_times=beat_times.astype(float).tolist(),
+        beat_frames=beat_frames.astype(int).tolist(),
+        confidence=confidence,
+        grid=grid.copy() if grid is not None else None,
+    )
+
+
+def analyse_downbeats(
+    audio: "AudioInput | str",
+    beat_result: BeatAnalysis,
+    *,
+    hop_length: int = 512,
+    seed: int,
+) -> Optional[DownbeatAnalysis]:
+    if not isinstance(audio, AudioInput):
+        raise TypeError("analyse_downbeats expects an AudioInput instance")
+    seed_everything(seed)
+
+    try:
+        from ..models import downbeat as downbeat_model
+
+        if downbeat_model.available():
+            tracked = downbeat_model.track_downbeats(
+                audio.samples,
+                audio.sample_rate,
+                np.asarray(beat_result.beat_times, dtype=float),
+                seed=seed,
+            )
+            if tracked is not None and len(tracked.downbeat_times):
+                return DownbeatAnalysis(
+                    downbeat_times=[float(t) for t in tracked.downbeat_times],
+                    beat_positions=[int(p) for p in tracked.beat_positions],
+                    source=tracked.source,
+                )
+    except Exception:
+        pass  # model tier is optional — fall through to the heuristic
+
+    return _fallback_downbeats(beat_result)
+
+
+def _fallback_downbeats(beat_result: BeatAnalysis) -> DownbeatAnalysis:
+    beat_positions: List[int] = []
+    downbeat_times: List[float] = []
+    for idx, beat_time in enumerate(beat_result.beat_times):
+        if idx % 4 == 0:
+            downbeat_times.append(float(beat_time))
+            beat_positions.append(1)
+        else:
+            beat_positions.append((idx % 4) + 1)
+    return DownbeatAnalysis(
+        downbeat_times=downbeat_times,
+        beat_positions=beat_positions,
+        source="heuristic",
+    )

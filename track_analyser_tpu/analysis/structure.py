@@ -1,0 +1,366 @@
+"""Structural segmentation via a combined novelty curve.
+
+Algorithm parity with the reference (analysis/structure.py:34-342):
+novelty = 0.5 * spectral flux + 0.3 * MFCC self-similarity + 0.2 * HPSS
+energy novelty, Gaussian-smoothed, peak-picked with an 8 s minimum spacing,
+refined against energy novelty, snapped to beats, and classified with the
+same percussive-ratio rules.
+
+TPU-first differences: the whole curve — STFT, HPSS median filtering, mel,
+MFCC, the self-similarity term (a Python per-frame loop in the reference,
+structure.py:203-210) — is one jitted XLA graph built from cumulative-sum
+moving averages and filterbank matmuls. Host code only picks peaks on the
+resulting ~kB envelope and assembles segments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG
+from ..ops.filters import gaussian_filter1d, hpss
+from ..ops.mel import (
+    mel_filterbank,
+    melspectrogram_from_power,
+    mfcc_from_log_mel,
+    power_to_db,
+)
+from ..ops.onset import onset_strength_from_mel
+from ..ops.peaks import peak_pick
+from ..ops.stft import magnitude
+from ..utils import AudioInput, seed_everything
+from .beats import BeatAnalysis
+
+__all__ = [
+    "StructuralSegment",
+    "StructureAnalysis",
+    "analyse_structure",
+    "segments_from_curves",
+]
+
+
+@dataclass(slots=True)
+class StructuralSegment:
+    label: str
+    category: str
+    start: float
+    end: float
+    confidence: float
+    percussive_energy: float
+    harmonic_energy: float
+    percussive_ratio: float
+
+
+@dataclass(slots=True)
+class StructureAnalysis:
+    segments: List[StructuralSegment]
+    novelty_curve: List[float]
+
+
+def _normalise_curve(curve: jnp.ndarray) -> jnp.ndarray:
+    min_val = jnp.min(curve)
+    max_val = jnp.max(curve)
+    span = max_val - min_val
+    return jnp.where(span < 1e-9, jnp.zeros_like(curve), (curve - min_val) / jnp.where(span < 1e-9, 1.0, span))
+
+
+@partial(jax.jit, static_argnames=("sr", "frame_length", "hop_length"))
+def _structure_graph(y: jnp.ndarray, *, sr: int, frame_length: int, hop_length: int):
+    """Device portion: novelty curves + per-frame HPSS energy columns."""
+
+    mag = magnitude(y, frame_length, hop_length, power=1.0)
+    harmonic, percussive = hpss(
+        mag, kernel_size=DEFAULT_CONFIG.hpss_kernel, power=DEFAULT_CONFIG.hpss_power
+    )
+    fb = mel_filterbank(sr, frame_length, DEFAULT_CONFIG.n_mels)
+    mel_power = melspectrogram_from_power(mag * mag, fb)
+
+    # --- spectral flux -------------------------------------------------
+    spectral_flux = onset_strength_from_mel(
+        mel_power, n_fft=frame_length, hop_length=hop_length
+    )
+
+    # --- MFCC self-similarity ------------------------------------------
+    log_mel = power_to_db(mel_power + 1e-9)
+    mfcc = mfcc_from_log_mel(log_mel, DEFAULT_CONFIG.n_mfcc)
+    mfcc = gaussian_filter1d(mfcc, sigma=1.0, axis=1)
+    frames = mfcc.shape[1]
+    context = max(2, int(round(DEFAULT_CONFIG.novelty_context_seconds * sr / float(hop_length))))
+    # Moving window means via cumulative sums: left = [f-c, f), right = [f, f+c)
+    cs = jnp.concatenate([jnp.zeros((mfcc.shape[0], 1)), jnp.cumsum(mfcc, axis=1)], axis=1)
+    idx = jnp.arange(frames)
+    lo = jnp.clip(idx - context, 0, frames)
+    hi = jnp.clip(idx + context, 0, frames)
+    left_mean = (cs[:, idx] - cs[:, lo]) / jnp.maximum(idx - lo, 1)
+    right_mean = (cs[:, hi] - cs[:, idx]) / jnp.maximum(hi - idx, 1)
+    ln = left_mean / (jnp.linalg.norm(left_mean, axis=0) + 1e-9)
+    rn = right_mean / (jnp.linalg.norm(right_mean, axis=0) + 1e-9)
+    sim = 1.0 - jnp.sum(ln * rn, axis=0)
+    valid = (idx >= context) & (idx < frames - context)
+    self_similarity = jnp.where(valid, sim, 0.0)
+
+    # --- percussive-ratio energy novelty --------------------------------
+    perc_curve = jnp.sum(percussive, axis=0)
+    harm_curve = jnp.sum(harmonic, axis=0)
+    ratio_curve = perc_curve / (perc_curve + harm_curve + 1e-9)
+    ratio_sigma = max(1.0, 0.5 * sr / float(hop_length))
+    ratio_smooth = gaussian_filter1d(ratio_curve, sigma=ratio_sigma)
+    energy_novelty = jnp.abs(jnp.diff(ratio_smooth, prepend=ratio_smooth[0:1]))
+
+    w_flux, w_sim, w_energy = DEFAULT_CONFIG.novelty_weights
+    combined = (
+        w_flux * _normalise_curve(spectral_flux)
+        + w_sim * _normalise_curve(self_similarity)
+        + w_energy * _normalise_curve(energy_novelty)
+    )
+    novelty = gaussian_filter1d(combined, sigma=DEFAULT_CONFIG.novelty_smooth_sigma)
+    return novelty, _normalise_curve(energy_novelty), perc_curve, harm_curve
+
+
+def analyse_structure(
+    audio: "AudioInput | str",
+    beat_result: BeatAnalysis,
+    *,
+    seed: int,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+) -> StructureAnalysis:
+    """Detect structural boundaries using the combined novelty heuristic."""
+
+    if not isinstance(audio, AudioInput):
+        raise TypeError("analyse_structure expects an AudioInput instance")
+    seed_everything(seed)
+
+    novelty_j, energy_novelty_j, perc_col_j, harm_col_j = _structure_graph(
+        jnp.asarray(audio.samples, dtype=jnp.float32),
+        sr=audio.sample_rate,
+        frame_length=frame_length,
+        hop_length=hop_length,
+    )
+    return segments_from_curves(
+        np.asarray(novelty_j, dtype=np.float64),
+        np.asarray(energy_novelty_j, dtype=np.float64),
+        np.asarray(perc_col_j, dtype=np.float64),
+        np.asarray(harm_col_j, dtype=np.float64),
+        beat_result,
+        sample_rate=audio.sample_rate,
+        hop_length=hop_length,
+        duration=float(audio.duration),
+    )
+
+
+def segments_from_curves(
+    novelty: np.ndarray,
+    energy_novelty: np.ndarray,
+    perc_col: np.ndarray,
+    harm_col: np.ndarray,
+    beat_result: BeatAnalysis,
+    *,
+    sample_rate: int,
+    hop_length: int,
+    duration: float,
+) -> StructureAnalysis:
+    """Host finisher: peak picking + segment assembly from device curves.
+
+    Shared by the single-track pipeline and the batched library path.
+    """
+
+    if novelty.size == 0:
+        fallback_segment = StructuralSegment(
+            label="A",
+            category="intro",
+            start=0.0,
+            end=duration,
+            confidence=0.0,
+            percussive_energy=float(np.sum(perc_col)),
+            harmonic_energy=float(np.sum(harm_col)),
+            percussive_ratio=0.0,
+        )
+        return StructureAnalysis(segments=[fallback_segment], novelty_curve=novelty.tolist())
+
+    frames_per_second = sample_rate / float(hop_length)
+    min_spacing_seconds = DEFAULT_CONFIG.min_segment_spacing_seconds
+    min_spacing_frames = max(1, int(round(min_spacing_seconds * frames_per_second)))
+    peaks = peak_pick(
+        novelty,
+        pre_max=8,
+        post_max=8,
+        pre_avg=32,
+        post_avg=32,
+        delta=float(np.std(novelty)) * 0.4,
+        wait=min_spacing_frames,
+    )
+
+    peaks = _refine_boundaries(
+        peaks, energy_novelty, int(round(frames_per_second * DEFAULT_CONFIG.boundary_refine_seconds))
+    )
+    peaks = _enforce_min_frame_spacing(peaks, novelty, min_spacing_frames)
+    total_frames = len(novelty)
+    boundaries = np.concatenate(([0], peaks, [total_frames - 1]))
+    boundaries = np.asarray(np.unique(boundaries), dtype=int)
+    times = boundaries.astype(float) * hop_length / sample_rate
+
+    if beat_result.beat_times:
+        beat_times = np.asarray(beat_result.beat_times)
+        snapped = beat_times[np.argmin(np.abs(beat_times[None, :] - times[:, None]), axis=1)]
+        snapped = np.maximum.accumulate(snapped)
+        spacing_mask = _enforce_min_time_spacing(snapped, boundaries, novelty, min_spacing_seconds)
+        times = snapped[spacing_mask]
+        boundaries = boundaries[spacing_mask]
+    else:
+        spacing_mask = _enforce_min_time_spacing(times, boundaries, novelty, min_spacing_seconds)
+        times = times[spacing_mask]
+        boundaries = boundaries[spacing_mask]
+
+    labels = _label_segments(len(boundaries) - 1)
+    perc_cum = np.concatenate(([0.0], np.cumsum(perc_col)))
+    harm_cum = np.concatenate(([0.0], np.cumsum(harm_col)))
+    novelty_max = float(np.max(novelty))
+
+    segment_ratio: List[float] = []
+    segment_percussive: List[float] = []
+    segment_harmonic: List[float] = []
+    segments: List[StructuralSegment] = []
+    for idx, start_idx in enumerate(boundaries[:-1]):
+        end_idx = boundaries[idx + 1]
+        window = novelty[start_idx:end_idx]
+        seg_novelty = float(np.mean(window)) if window.size else 0.0
+        perc_energy = float(perc_cum[end_idx] - perc_cum[start_idx])
+        harm_energy = float(harm_cum[end_idx] - harm_cum[start_idx])
+        ratio = float(perc_energy / (perc_energy + harm_energy + 1e-9))
+        segment_percussive.append(perc_energy)
+        segment_harmonic.append(harm_energy)
+        segment_ratio.append(ratio)
+        segments.append(
+            StructuralSegment(
+                label=labels[idx],
+                category="",
+                start=float(times[idx]),
+                end=float(times[idx + 1]),
+                confidence=float(np.clip(seg_novelty / (novelty_max + 1e-9), 0.0, 1.0)),
+                percussive_energy=perc_energy,
+                harmonic_energy=harm_energy,
+                percussive_ratio=ratio,
+            )
+        )
+
+    categories = _classify_segments(segment_ratio, segment_percussive, segment_harmonic)
+    for segment, category in zip(segments, categories):
+        segment.category = category
+
+    return StructureAnalysis(segments=segments, novelty_curve=novelty.tolist())
+
+
+def _label_segments(count: int) -> List[str]:
+    alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    return [alphabet[idx % len(alphabet)] for idx in range(count)]
+
+
+def _refine_boundaries(
+    peaks: np.ndarray, energy_novelty: np.ndarray, search_radius: int
+) -> np.ndarray:
+    """Snap each peak to the strongest energy-novelty frame within +-radius."""
+
+    if peaks.size == 0:
+        return peaks
+    refined: List[int] = []
+    total = energy_novelty.shape[0]
+    radius = max(1, search_radius)
+    for idx in peaks:
+        start = max(0, int(idx) - radius)
+        end = min(total, int(idx) + radius + 1)
+        window = energy_novelty[start:end]
+        if window.size == 0:
+            refined.append(int(idx))
+            continue
+        refined.append(start + int(np.argmax(window)))
+    return np.asarray(refined, dtype=int)
+
+
+def _enforce_min_frame_spacing(
+    peaks: np.ndarray, novelty: np.ndarray, min_spacing: int
+) -> np.ndarray:
+    if peaks.size == 0:
+        return peaks
+    selected: List[int] = []
+    for idx in np.sort(peaks):
+        if not selected:
+            selected.append(int(idx))
+            continue
+        if idx - selected[-1] < min_spacing:
+            if novelty[idx] > novelty[selected[-1]]:
+                selected[-1] = int(idx)
+        else:
+            selected.append(int(idx))
+    return np.asarray(selected, dtype=int)
+
+
+def _enforce_min_time_spacing(
+    times: Sequence[float],
+    frames: Sequence[int],
+    novelty: np.ndarray,
+    min_spacing_seconds: float,
+) -> np.ndarray:
+    times = np.asarray(times, dtype=float)
+    frames = np.asarray(frames, dtype=int)
+    if times.size == 0:
+        return np.zeros(0, dtype=bool)
+    if times.size <= 2:
+        return np.ones(times.shape, dtype=bool)
+
+    kept_indices: List[int] = [0]
+    for idx in range(1, len(times) - 1):
+        previous_idx = kept_indices[-1]
+        if times[idx] - times[previous_idx] < min_spacing_seconds:
+            if previous_idx == 0:
+                continue
+            if novelty[frames[idx]] > novelty[frames[previous_idx]]:
+                kept_indices[-1] = idx
+        else:
+            kept_indices.append(idx)
+
+    kept_indices.append(len(times) - 1)
+    mask = np.zeros(times.shape, dtype=bool)
+    mask[kept_indices] = True
+    return mask
+
+
+def _classify_segments(
+    percussive_ratios: Sequence[float],
+    percussive_energy: Sequence[float],
+    harmonic_energy: Sequence[float],
+) -> List[str]:
+    """Rule-based intro/outro/drop/groove/breakdown/bridge classifier."""
+
+    ratios = np.asarray(percussive_ratios, dtype=float)
+    perc_energy = np.asarray(percussive_energy, dtype=float)
+    harm_energy = np.asarray(harmonic_energy, dtype=float)
+    total_energy = perc_energy + harm_energy
+    if total_energy.size == 0:
+        return []
+    median_energy = float(np.median(total_energy))
+    categories: List[str] = []
+    for idx, (ratio, energy) in enumerate(zip(ratios, total_energy)):
+        if idx == 0:
+            categories.append("intro")
+            continue
+        if idx == len(ratios) - 1:
+            categories.append("outro")
+            continue
+        if energy < 0.5 * median_energy and ratio < 0.35:
+            categories.append("breakdown")
+        elif ratio > 0.65 and energy >= 0.75 * median_energy:
+            categories.append("drop")
+        elif ratio > 0.45:
+            categories.append("groove")
+        elif ratio < 0.35:
+            categories.append("breakdown")
+        else:
+            categories.append("bridge")
+    return categories

@@ -1,0 +1,179 @@
+"""Spectral summary features (LTAS, centroid, roll-off).
+
+Public surface parity with the reference (features.py:18-149); all three
+features share one jitted magnitude spectrogram instead of the reference's
+three separate librosa STFTs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.spectral import ltas as _ltas_op, spectral_centroid, spectral_rolloff
+from .ops.stft import fft_frequencies, magnitude
+from .utils import AudioInput
+
+__all__ = [
+    "LongTermAverageSpectrum",
+    "FeatureSeries",
+    "FeatureAnalysis",
+    "compute_ltas",
+    "spectral_centroid_series",
+    "spectral_rolloff_series",
+    "analyse_features",
+]
+
+
+@dataclass(slots=True)
+class LongTermAverageSpectrum:
+    """Long-term average spectrum (LTAS) of a signal."""
+
+    frequencies: np.ndarray
+    magnitude: np.ndarray
+
+    def as_dict(self) -> dict[str, Sequence[float]]:
+        return {
+            "frequencies": self.frequencies.tolist(),
+            "magnitude": self.magnitude.tolist(),
+        }
+
+
+@dataclass(slots=True)
+class FeatureSeries:
+    """Container for frame-wise spectral features."""
+
+    values: np.ndarray
+
+    @property
+    def mean(self) -> float:
+        if self.values.size == 0:
+            return 0.0
+        return float(np.mean(self.values))
+
+    @property
+    def median(self) -> float:
+        if self.values.size == 0:
+            return 0.0
+        return float(np.median(self.values))
+
+    @property
+    def as_list(self) -> list[float]:
+        return self.values.tolist()
+
+
+@dataclass(slots=True)
+class FeatureAnalysis:
+    """Aggregates the spectral feature outputs."""
+
+    ltas: LongTermAverageSpectrum
+    spectral_centroid: FeatureSeries
+    spectral_rolloff: FeatureSeries
+
+
+def _to_mono(samples: np.ndarray) -> np.ndarray:
+    mono = np.asarray(samples, dtype=np.float32)
+    if mono.ndim > 1:
+        mono = np.mean(mono, axis=0)
+    return mono
+
+
+@partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length", "roll_percent"))
+def _features_graph(y, *, sr, n_fft, hop_length, roll_percent):
+    mag = magnitude(y, n_fft, hop_length, power=1.0)
+    freqs = fft_frequencies(sr, n_fft)
+    return (
+        _ltas_op(mag),
+        spectral_centroid(mag, freqs),
+        spectral_rolloff(mag, freqs, roll_percent),
+    )
+
+
+def compute_ltas(
+    samples: np.ndarray,
+    sample_rate: int,
+    *,
+    n_fft: int = 2_048,
+    hop_length: int = 512,
+    window: str = "hann",
+) -> LongTermAverageSpectrum:
+    """Compute the long-term average spectrum for ``samples``."""
+
+    del window  # hann is the only window; kept for signature parity
+    mono = _to_mono(samples)
+    out, _, _ = _features_graph(
+        jnp.asarray(mono), sr=sample_rate, n_fft=n_fft, hop_length=hop_length, roll_percent=0.85
+    )
+    return LongTermAverageSpectrum(
+        frequencies=fft_frequencies(sample_rate, n_fft),
+        magnitude=np.asarray(out, dtype=np.float64),
+    )
+
+
+def spectral_centroid_series(
+    samples: np.ndarray,
+    sample_rate: int,
+    *,
+    n_fft: int = 2_048,
+    hop_length: int = 512,
+) -> FeatureSeries:
+    """Return the spectral centroid trajectory for ``samples``."""
+
+    mono = _to_mono(samples)
+    _, centroid, _ = _features_graph(
+        jnp.asarray(mono), sr=sample_rate, n_fft=n_fft, hop_length=hop_length, roll_percent=0.85
+    )
+    return FeatureSeries(values=np.asarray(centroid, dtype=np.float64))
+
+
+def spectral_rolloff_series(
+    samples: np.ndarray,
+    sample_rate: int,
+    *,
+    roll_percent: float = 0.85,
+    n_fft: int = 2_048,
+    hop_length: int = 512,
+) -> FeatureSeries:
+    """Return the spectral roll-off trajectory for ``samples``."""
+
+    mono = _to_mono(samples)
+    _, _, rolloff = _features_graph(
+        jnp.asarray(mono),
+        sr=sample_rate,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        roll_percent=float(roll_percent),
+    )
+    return FeatureSeries(values=np.asarray(rolloff, dtype=np.float64))
+
+
+def analyse_features(
+    audio: AudioInput,
+    *,
+    n_fft: int = 2_048,
+    hop_length: int = 512,
+    roll_percent: float = 0.85,
+) -> FeatureAnalysis:
+    """Derive spectral summary features for ``audio`` in one device pass."""
+
+    mono = _to_mono(audio.samples)
+    ltas_mag, centroid, rolloff = _features_graph(
+        jnp.asarray(mono),
+        sr=audio.sample_rate,
+        n_fft=n_fft,
+        hop_length=hop_length,
+        roll_percent=float(roll_percent),
+    )
+    return FeatureAnalysis(
+        ltas=LongTermAverageSpectrum(
+            frequencies=fft_frequencies(audio.sample_rate, n_fft),
+            magnitude=np.asarray(ltas_mag, dtype=np.float64),
+        ),
+        spectral_centroid=FeatureSeries(values=np.asarray(centroid, dtype=np.float64)),
+        spectral_rolloff=FeatureSeries(values=np.asarray(rolloff, dtype=np.float64)),
+    )

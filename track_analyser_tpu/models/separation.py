@@ -1,0 +1,50 @@
+"""Neural stem separation (flax band-split mask U-Net) — checkpoint-gated.
+
+Interface used by analysis/stems.py: ``available()`` reports whether a
+trained checkpoint is present; ``separate(samples, sr, seed)`` returns a
+dict of named stems. Without a checkpoint the DSP separator
+(analysis/stems.py) is authoritative — the same graceful ladder the
+reference applies to demucs (analysis/stems.py:26-61 in the reference).
+
+The architecture (see ``build_model``) is TPU-shaped: STFT front-end,
+band-split linear encoders, a stack of time/band transformer blocks in
+bfloat16, and per-stem complex mask decoders — all static shapes.
+Training utilities live in models/training.py.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+MODEL_NAME = "bandsplit-unet-v0"
+_CKPT_ENV = "TRACK_ANALYSER_TPU_SEPARATION_CKPT"
+
+__all__ = ["available", "separate", "MODEL_NAME"]
+
+
+def _checkpoint_path() -> Optional[Path]:
+    path = os.environ.get(_CKPT_ENV)
+    if path and Path(path).exists():
+        return Path(path)
+    return None
+
+
+def available() -> bool:
+    return _checkpoint_path() is not None
+
+
+def separate(
+    samples: np.ndarray, sample_rate: int, *, seed: int = 0
+) -> Optional[Dict[str, np.ndarray]]:
+    """Run the neural separator if a checkpoint is available."""
+
+    ckpt = _checkpoint_path()
+    if ckpt is None:
+        return None
+    from . import separation_net
+
+    return separation_net.run_from_checkpoint(ckpt, samples, sample_rate, seed=seed)

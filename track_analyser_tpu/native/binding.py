@@ -1,0 +1,87 @@
+"""ctypes binding to the native decoder library (optional fast path).
+
+The shared library is built from native/src via ``python -m
+track_analyser_tpu.native.build``; when absent, the pure-numpy codecs in
+io/codecs.py are authoritative.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_LIB_NAME = "libta_native.so"
+_lib: "ctypes.CDLL | None | bool" = None  # None = not tried, False = unavailable
+
+
+def _load() -> "ctypes.CDLL | None":
+    global _lib
+    if _lib is None:
+        path = Path(__file__).parent / _LIB_NAME
+        if not path.exists():
+            _lib = False
+            return None
+        try:
+            lib = ctypes.CDLL(str(path))
+            lib.ta_decode_wav.restype = ctypes.c_int
+            lib.ta_decode_wav.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_longlong),  # frames
+                ctypes.POINTER(ctypes.c_int),  # channels
+                ctypes.POINTER(ctypes.c_int),  # sample rate
+                ctypes.POINTER(ctypes.c_int),  # subtype code
+            ]
+            lib.ta_free.restype = None
+            lib.ta_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+            _lib = lib
+        except OSError:
+            _lib = False
+            return None
+    return _lib if _lib else None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_SUBTYPES = {1: "PCM_16", 2: "PCM_24", 3: "PCM_32", 4: "FLOAT", 5: "DOUBLE", 6: "PCM_U8"}
+
+
+def decode(path: str) -> Optional[Tuple[np.ndarray, int, Dict[str, object]]]:
+    """Decode via the native library; None if it declines the file."""
+
+    lib = _load()
+    if lib is None:
+        return None
+    buf = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_longlong(0)
+    channels = ctypes.c_int(0)
+    sr = ctypes.c_int(0)
+    subtype = ctypes.c_int(0)
+    rc = lib.ta_decode_wav(
+        path.encode(),
+        ctypes.byref(buf),
+        ctypes.byref(frames),
+        ctypes.byref(channels),
+        ctypes.byref(sr),
+        ctypes.byref(subtype),
+    )
+    if rc != 0:
+        return None
+    try:
+        n = frames.value * channels.value
+        flat = np.ctypeslib.as_array(buf, shape=(n,)).copy()
+    finally:
+        lib.ta_free(buf)
+    data = flat.reshape(frames.value, channels.value).T.copy()
+    meta: Dict[str, object] = {
+        "channels": channels.value,
+        "duration": frames.value / float(sr.value) if sr.value else 0.0,
+        "file_type": "WAV",
+        "subtype": _SUBTYPES.get(subtype.value, "UNKNOWN"),
+    }
+    return data, sr.value, meta

@@ -1,0 +1,70 @@
+"""Onset-strength envelope and FFT autocorrelation (jittable).
+
+Reproduces the spectral-flux convention the reference uses through
+librosa.onset.onset_strength (tempo.py:16-24, structure.py:195): log-mel
+spectrogram, positive first difference, mean over mel bands, and the
+centre-compensation left-pad of lag + n_fft // (2 * hop) frames.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .mel import power_to_db
+
+__all__ = ["onset_strength_from_mel", "autocorrelate"]
+
+
+def onset_strength_from_mel(
+    mel_power: jnp.ndarray,
+    *,
+    n_fft: int,
+    hop_length: int,
+    lag: int = 1,
+    center: bool = True,
+) -> jnp.ndarray:
+    """Onset envelope from a mel POWER spectrogram (n_mels, n_frames)."""
+
+    s_db = power_to_db(mel_power)
+    flux = jnp.maximum(0.0, s_db[:, lag:] - s_db[:, :-lag])
+    env = jnp.mean(flux, axis=0)
+    pad_width = lag + (n_fft // (2 * hop_length) if center else 0)
+    env = jnp.pad(env, (pad_width, 0))
+    if center:
+        env = env[: mel_power.shape[-1]]
+    return env
+
+
+def tempogram(env: jnp.ndarray, win_length: int = 384) -> jnp.ndarray:
+    """Local autocorrelation tempogram of an onset envelope.
+
+    Returns (win_length, n_frames); each column is the hann-windowed
+    autocorrelation of the envelope around that frame, inf-normalised
+    (used for the tempogram plot; reference: report.py:260-262).
+    """
+
+    n = env.shape[-1]
+    pad = win_length // 2
+    envp = jnp.pad(env, (pad, pad), mode="linear_ramp", end_values=0.0)
+    idx = jnp.arange(n)[:, None] + jnp.arange(win_length)[None, :]
+    frames = envp[idx]
+    w = jnp.asarray(
+        (0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(win_length) / win_length)),
+        dtype=env.dtype,
+    )
+    frames = frames * w
+    spec = jnp.fft.rfft(frames, n=2 * win_length, axis=-1)
+    ac = jnp.fft.irfft(spec * jnp.conj(spec), n=2 * win_length, axis=-1)[:, :win_length]
+    scale = jnp.max(jnp.abs(ac), axis=-1, keepdims=True)
+    ac = ac / jnp.where(scale > 0, scale, 1.0)
+    return ac.T
+
+
+def autocorrelate(y: jnp.ndarray) -> jnp.ndarray:
+    """Full (non-normalised) autocorrelation via FFT, same length as input."""
+
+    n = y.shape[-1]
+    n_pad = 2 * n  # linear (not circular) autocorrelation
+    spec = jnp.fft.rfft(y, n=n_pad, axis=-1)
+    ac = jnp.fft.irfft(spec * jnp.conj(spec), n=n_pad, axis=-1)
+    return ac[..., :n]

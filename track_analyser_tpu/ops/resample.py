@@ -1,0 +1,98 @@
+"""Polyphase resampling.
+
+Two tiers:
+
+* ``resample_poly_host`` — host-side numpy/scipy polyphase resampler used at
+  load time (decode + resample stay on CPU; reference: io.py:38-53).
+* ``true_peak_oversample_matrix`` / ``oversampled_peak`` — the device-side
+  x8 polyphase upsampler used for BS.1770 true-peak measurement
+  (reference: analysis/loudness.py:81-97 uses scipy.signal.resample_poly).
+  On TPU the polyphase filter is expressed as a single framed matmul so it
+  rides the MXU instead of a scalar FIR loop.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+from scipy import signal as _scipy_signal
+
+__all__ = [
+    "resample_poly_host",
+    "polyphase_filter",
+    "true_peak_oversample_matrix",
+    "oversampled_peak",
+]
+
+
+def resample_poly_host(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Resample along the last axis using a kaiser-windowed polyphase FIR."""
+
+    if orig_sr == target_sr:
+        return np.asarray(x, dtype=np.float32)
+    g = math.gcd(int(orig_sr), int(target_sr))
+    up, down = target_sr // g, orig_sr // g
+    out = _scipy_signal.resample_poly(
+        np.asarray(x, dtype=np.float32), up, down, axis=-1
+    )
+    return np.asarray(out, dtype=np.float32)
+
+
+def polyphase_filter(up: int, down: int = 1, *, beta: float = 5.0) -> np.ndarray:
+    """Kaiser-windowed lowpass FIR for polyphase resampling.
+
+    Matches the design scipy.signal.resample_poly uses by default
+    (window=('kaiser', 5.0), half-length 10*max(up, down)) so the device
+    true-peak path is numerically equivalent to the reference formula.
+    """
+
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    n_taps = 2 * half_len + 1
+    cutoff = 1.0 / max_rate  # fraction of Nyquist
+    n = np.arange(n_taps) - half_len
+    h = cutoff * np.sinc(cutoff * n)
+    h *= np.kaiser(n_taps, beta)
+    h /= np.sum(h)  # unity DC gain
+    return (h * up).astype(np.float64)
+
+
+@lru_cache(maxsize=8)
+def true_peak_oversample_matrix(up: int) -> np.ndarray:
+    """Polyphase matrix H of shape (n_rows, up).
+
+    With frames X[n, i] = x[n + half_len//up - i], the oversampled signal is
+    Y = X @ H, where Y[n, p] = y[up*n + p] of the zero-stuff-and-filter
+    upsampler. One MXU matmul replaces the scalar FIR.
+    """
+
+    h = polyphase_filter(up, 1)
+    n_taps = h.size  # 2*10*up + 1
+    n_rows = int(np.ceil(n_taps / up))
+    hpad = np.zeros(n_rows * up, dtype=np.float64)
+    hpad[:n_taps] = h
+    # H[i, p] = h[up*i + p]
+    return hpad.reshape(n_rows, up).astype(np.float32)
+
+
+def oversampled_peak(x: jnp.ndarray, up: int = 8) -> jnp.ndarray:
+    """Return max |polyphase-upsampled x| (device, jittable).
+
+    Derivation: y[up*n + p] = sum_q x[n + half//up - q] * h[up*q + p].
+    """
+
+    hmat = jnp.asarray(true_peak_oversample_matrix(up))
+    n_rows = hmat.shape[0]
+    shift = (n_rows - 1) // 2  # = half_len // up = 10
+    n = x.shape[-1]
+    xp = jnp.pad(x, (n_rows - 1 - shift, shift))
+    # Frames of reversed windows: X[n, q] = xp[n + (n_rows-1) - q]
+    idx = (
+        jnp.arange(n)[:, None] + (n_rows - 1) - jnp.arange(n_rows)[None, :]
+    )
+    frames = xp[idx]
+    y = jnp.dot(frames, hmat, preferred_element_type=jnp.float32)
+    return jnp.max(jnp.abs(y))

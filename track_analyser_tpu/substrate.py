@@ -1,0 +1,274 @@
+"""The fused analysis substrate: one XLA graph for a whole track.
+
+The reference re-runs an STFT from raw samples for every analyser (>= 9
+redundant STFTs per track — see SURVEY.md section 3.2). Here the ENTIRE
+device-side analysis — every spectrogram family, HPSS, novelty, chroma,
+key scores, loudness, true peak, LTAS/centroid/rolloff, stereo widths —
+is a single jitted function, dispatched once per track (or once per batch
+via vmap/pjit in parallel/batch.py). Host code afterwards only runs the
+tiny greedy/label logic on kB-sized curves.
+
+Padding contract: tracks are padded with zeros to a bucket length so jit
+caches stay warm across a library sweep; ``n_valid`` masks every global
+reduction (loudness gating, key chroma means, LTAS/centroid means, stereo
+statistics) so padded results match exact-shape results. Framewise curves
+are trimmed to the true frame count on host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DEFAULT_CONFIG
+from .ops.chroma import chroma_from_power, chroma_stft_filterbank, cq_chroma_filterbank
+from .ops.filters import gaussian_filter1d, hpss
+from .ops.loudness import integrated_lufs, k_weighted, rms_db_curve
+from .ops.mel import (
+    mel_filterbank,
+    melspectrogram_from_power,
+    mfcc_from_log_mel,
+    power_to_db,
+)
+from .ops.onset import autocorrelate, onset_strength_from_mel
+from .ops.resample import oversampled_peak
+from .ops.spectral import ltas as ltas_op, spectral_centroid, spectral_rolloff
+from .ops.stft import fft_frequencies, magnitude, n_frames, stft
+
+__all__ = ["full_track_graph", "jitted_full_track_graph", "bucket_length"]
+
+
+def bucket_length(n: int, *, hop: int = 512, min_bucket: int = 1 << 15) -> int:
+    """Pad target: geometric buckets (~19% max waste) rounded to hop*128
+    so frame counts stay MXU-tile friendly."""
+
+    n = max(n, min_bucket)
+    exp = int(np.ceil(4.0 * np.log2(n)))
+    candidate = int(np.ceil(2.0 ** (exp / 4.0)))
+    quantum = hop * 128
+    return int(np.ceil(candidate / quantum)) * quantum
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=None) -> jnp.ndarray:
+    num = jnp.sum(jnp.where(mask, x, 0.0), axis=axis)
+    den = jnp.maximum(jnp.sum(mask, axis=axis), 1)
+    return num / den
+
+
+def _minmax_normalise(curve: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(mask, curve, big))
+    hi = jnp.max(jnp.where(mask, curve, -big))
+    span = hi - lo
+    out = jnp.where(span < 1e-9, jnp.zeros_like(curve), (curve - lo) / jnp.where(span < 1e-9, 1.0, span))
+    return jnp.where(mask, out, 0.0)
+
+
+def full_track_graph(
+    y: jnp.ndarray,
+    stereo: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    *,
+    sr: int,
+) -> Dict[str, jnp.ndarray]:
+    """Complete device-side analysis of one (padded) track.
+
+    Args:
+      y: mono samples, f32[n_padded] (zeros beyond n_valid).
+      stereo: f32[2, n_padded] (mono duplicated when the source is mono).
+      n_valid: true sample count (traced scalar).
+      sr: sample rate (static).
+
+    Returns a dict of compact device arrays; see the host finishers in
+    pipeline.py / parallel/batch.py for how each is consumed.
+    """
+
+    cfg = DEFAULT_CONFIG
+    hop = cfg.hop_length
+    n_fft = cfg.n_fft
+    total_frames = n_frames(y.shape[-1], hop)
+    frame_idx = jnp.arange(total_frames)
+    f_valid = 1 + n_valid // hop
+    fmask = frame_idx < f_valid
+
+    out: Dict[str, jnp.ndarray] = {"f_valid": f_valid}
+
+    # ---- shared 2048 STFT family -------------------------------------
+    mag = magnitude(y, n_fft, hop, power=1.0)
+    power = mag * mag
+    mel_fb = mel_filterbank(sr, n_fft, cfg.n_mels)
+    mel_power = melspectrogram_from_power(power, mel_fb)
+
+    # Onset envelope + autocorrelation (tempo substrate). Masked so the
+    # autocorrelation equals the exact-shape linear autocorrelation.
+    env = onset_strength_from_mel(mel_power, n_fft=n_fft, hop_length=hop)
+    env = jnp.where(fmask, env, 0.0)
+    out["onset_env"] = env
+    out["autocorr"] = autocorrelate(env)
+
+    # ---- structure: HPSS + combined novelty ---------------------------
+    harmonic, percussive = hpss(mag, kernel_size=cfg.hpss_kernel, power=cfg.hpss_power)
+    spectral_flux = env  # identical formula (structure.py:195 in reference)
+
+    log_mel = power_to_db(mel_power + 1e-9)
+    mfcc = mfcc_from_log_mel(log_mel, cfg.n_mfcc)
+    mfcc = gaussian_filter1d(mfcc, sigma=1.0, axis=1)
+    context = max(2, int(round(cfg.novelty_context_seconds * sr / float(hop))))
+    cs = jnp.concatenate([jnp.zeros((mfcc.shape[0], 1)), jnp.cumsum(mfcc, axis=1)], axis=1)
+    lo = jnp.clip(frame_idx - context, 0, total_frames)
+    hi = jnp.clip(frame_idx + context, 0, total_frames)
+    left_mean = (cs[:, frame_idx] - cs[:, lo]) / jnp.maximum(frame_idx - lo, 1)
+    right_mean = (cs[:, hi] - cs[:, frame_idx]) / jnp.maximum(hi - frame_idx, 1)
+    ln = left_mean / (jnp.linalg.norm(left_mean, axis=0) + 1e-9)
+    rn = right_mean / (jnp.linalg.norm(right_mean, axis=0) + 1e-9)
+    sim = 1.0 - jnp.sum(ln * rn, axis=0)
+    sim_valid = (frame_idx >= context) & (frame_idx < f_valid - context)
+    self_similarity = jnp.where(sim_valid, sim, 0.0)
+
+    perc_col = jnp.where(fmask, jnp.sum(percussive, axis=0), 0.0)
+    harm_col = jnp.where(fmask, jnp.sum(harmonic, axis=0), 0.0)
+    ratio_curve = perc_col / (perc_col + harm_col + 1e-9)
+    ratio_sigma = max(1.0, 0.5 * sr / float(hop))
+    ratio_smooth = gaussian_filter1d(ratio_curve, sigma=ratio_sigma)
+    energy_novelty = jnp.abs(jnp.diff(ratio_smooth, prepend=ratio_smooth[0:1]))
+
+    w_flux, w_sim, w_energy = cfg.novelty_weights
+    combined = (
+        w_flux * _minmax_normalise(spectral_flux, fmask)
+        + w_sim * _minmax_normalise(self_similarity, fmask)
+        + w_energy * _minmax_normalise(energy_novelty, fmask)
+    )
+    out["novelty"] = jnp.where(
+        fmask, gaussian_filter1d(combined, sigma=cfg.novelty_smooth_sigma), 0.0
+    )
+    out["energy_novelty"] = _minmax_normalise(energy_novelty, fmask)
+    out["perc_col"] = perc_col
+    out["harm_col"] = harm_col
+
+    # ---- features: LTAS / centroid / rolloff --------------------------
+    freqs = fft_frequencies(sr, n_fft)
+    out["ltas"] = _masked_mean(mag, fmask[None, :], axis=-1)
+    out["centroid"] = jnp.where(fmask, spectral_centroid(mag, freqs), 0.0)
+    out["rolloff"] = jnp.where(
+        fmask, spectral_rolloff(mag, freqs, cfg.rolloff_percent), 0.0
+    )
+
+    # ---- harmony: chroma projections + key scores ---------------------
+    chroma_st = chroma_from_power(power, chroma_stft_filterbank(sr, n_fft))
+    cq_mag = magnitude(y, cfg.cq_n_fft, hop, power=1.0)
+    chroma_cq = chroma_from_power(cq_mag, cq_chroma_filterbank(sr, cfg.cq_n_fft))
+    out["chroma_cq"] = chroma_cq
+
+    from .harmony import MAJOR_PROFILE, MINOR_PROFILE  # host constants
+
+    major = MAJOR_PROFILE / np.linalg.norm(MAJOR_PROFILE)
+    minor = MINOR_PROFILE / np.linalg.norm(MINOR_PROFILE)
+    rot = np.stack(
+        [np.roll(major, s) for s in range(12)] + [np.roll(minor, s) for s in range(12)]
+    )  # (24, 12)
+    scores = jnp.zeros(24)
+    for chroma in (chroma_cq, chroma_st):
+        cmean = _masked_mean(chroma, fmask[None, :], axis=-1)
+        norm = jnp.linalg.norm(cmean)
+        cnorm = cmean / jnp.where(norm > 0, norm, 1.0)
+        scores = scores + jnp.where(
+            norm > 0, jnp.dot(jnp.asarray(rot, dtype=jnp.float32), cnorm), 0.0
+        )
+    out["key_scores"] = scores
+
+    # ---- spectral balance (4096/1024 STFT) ----------------------------
+    bal_mag = magnitude(y, cfg.balance_n_fft, cfg.balance_hop, power=1.0)
+    bal_frames = n_frames(y.shape[-1], cfg.balance_hop)
+    bal_mask = jnp.arange(bal_frames) < 1 + n_valid // cfg.balance_hop
+    bal_mag = jnp.where(bal_mask[None, :], bal_mag, 0.0)
+    bal_freqs = jnp.asarray(fft_frequencies(sr, cfg.balance_n_fft), dtype=jnp.float32)[:, None]
+    out["balance_total"] = jnp.sum(bal_mag)
+    out["balance_low"] = jnp.sum(jnp.where(bal_freqs < 200.0, bal_mag, 0.0))
+    out["balance_mid"] = jnp.sum(
+        jnp.where((bal_freqs >= 200.0) & (bal_freqs < 2000.0), bal_mag, 0.0)
+    )
+    out["balance_high"] = jnp.sum(jnp.where(bal_freqs >= 2000.0, bal_mag, 0.0))
+
+    # ---- loudness ------------------------------------------------------
+    smask = jnp.arange(y.shape[-1]) < n_valid
+    yk = k_weighted(y, sr)
+    block = cfg.loudness_block_seconds
+    frame_len = int(round(block * sr))
+    hop_g = int(round(block * 0.25 * sr))
+    from .ops.stft import frame_signal
+
+    if y.shape[-1] >= frame_len:
+        g_frames = frame_signal(yk, frame_len, hop_g, center=False)
+        starts = jnp.arange(g_frames.shape[0]) * hop_g
+        block_ok = (starts + frame_len) <= n_valid
+        z = jnp.mean(g_frames * g_frames, axis=-1)
+    else:
+        z = jnp.mean(yk * yk, axis=-1, keepdims=True)
+        block_ok = jnp.ones(1, dtype=bool)
+    eps = 1e-20
+    loud = -0.691 + 10.0 * jnp.log10(z + eps)
+    abs_mask = block_ok & (loud > cfg.gate_absolute_lufs)
+    z_abs = _masked_mean(z, abs_mask)
+    gamma_r = -0.691 + 10.0 * jnp.log10(z_abs + eps) + cfg.gate_relative_lu
+    both = abs_mask & (loud > gamma_r)
+    out["integrated_lufs"] = -0.691 + 10.0 * jnp.log10(_masked_mean(z, both) + eps)
+
+    def _rms_params(seconds: float) -> tuple[int, int]:
+        fl = max(1024, int(round(sr * seconds)))
+        if fl % 2:
+            fl += 1
+        return fl, max(1, fl // 2)
+
+    st_len, st_hop = _rms_params(cfg.short_term_seconds)
+    mo_len, mo_hop = _rms_params(block)
+    out["short_term_db"] = rms_db_curve(y, st_len, st_hop)
+    out["momentary_db"] = rms_db_curve(y, mo_len, mo_hop)
+    out["true_peak"] = oversampled_peak(y, cfg.true_peak_oversample)
+    out["rms"] = jnp.sqrt(_masked_mean(y * y, smask))
+
+    # ---- stereo image ---------------------------------------------------
+    left, right = stereo[0], stereo[1]
+    n_ok = jnp.maximum(jnp.sum(smask), 1)
+    lmean = jnp.sum(jnp.where(smask, left, 0.0)) / n_ok
+    rmean = jnp.sum(jnp.where(smask, right, 0.0)) / n_ok
+    lc = jnp.where(smask, left - lmean, 0.0)
+    rc = jnp.where(smask, right - rmean, 0.0)
+    denom = jnp.linalg.norm(lc) * jnp.linalg.norm(rc)
+    out["stereo_corr_centered"] = jnp.where(
+        denom > 1e-12, jnp.clip(jnp.dot(lc, rc) / jnp.where(denom > 1e-12, denom, 1.0), -1.0, 1.0), 1.0
+    )
+    out["stereo_balance"] = _masked_mean(jnp.abs(left), smask) - _masked_mean(
+        jnp.abs(right), smask
+    )
+    mid_t = 0.5 * (left + right)
+    side_t = 0.5 * (left - right)
+    out["mid_rms"] = jnp.sqrt(_masked_mean(mid_t * mid_t, smask))
+    out["side_rms"] = jnp.sqrt(_masked_mean(side_t * side_t, smask))
+
+    sl = stft(left, n_fft, hop)
+    sr_ = stft(right, n_fft, hop)
+    mid_spec = 0.5 * (sl + sr_)
+    side_spec = 0.5 * (sl - sr_)
+    mid_e = jnp.where(fmask[None, :], jnp.abs(mid_spec) ** 2, 0.0)
+    side_e = jnp.where(fmask[None, :], jnp.abs(side_spec) ** 2, 0.0)
+    freqs_j = jnp.asarray(freqs, dtype=jnp.float32)
+    nyq = sr / 2.0
+    widths = []
+    for lo_f, hi_f in ((0.0, min(200.0, nyq)), (200.0, min(2000.0, nyq)), (2000.0, nyq)):
+        bmask = (freqs_j >= lo_f) & (freqs_j <= hi_f)
+        nb = jnp.maximum(jnp.sum(bmask), 1) * jnp.maximum(f_valid, 1)
+        m = jnp.sum(jnp.where(bmask[:, None], mid_e, 0.0)) / nb
+        s = jnp.sum(jnp.where(bmask[:, None], side_e, 0.0)) / nb
+        widths.append(jnp.where(m <= 1e-12, 0.0, jnp.sqrt(s / jnp.where(m <= 1e-12, 1.0, m))))
+    out["stereo_widths"] = jnp.stack(widths)
+
+    return out
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def jitted_full_track_graph(y, stereo, n_valid, *, sr):
+    return full_track_graph(y, stereo, n_valid, sr=sr)

@@ -1,0 +1,233 @@
+"""Tempo estimation on the onset-envelope autocorrelation.
+
+Re-expression of the reference algorithm (tempo.py:16-175) with a strict
+device/host split: the heavy transforms (mel STFT -> onset envelope -> FFT
+autocorrelation) run as one jitted XLA graph; the tiny decision logic
+(band-masked argmax, parabolic refinement, least-squares beat regression)
+runs on host over ~kB-sized envelopes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .config import DEFAULT_CONFIG
+from .ops.mel import mel_filterbank, melspectrogram_from_power
+from .ops.onset import autocorrelate, onset_strength_from_mel
+from .ops.peaks import onset_detect
+from .ops.stft import magnitude
+
+DEFAULT_HOP_LENGTH = DEFAULT_CONFIG.hop_length
+BEATS_PER_BAR = DEFAULT_CONFIG.beats_per_bar
+
+__all__ = [
+    "estimate_bpm",
+    "beat_grid",
+    "grid_and_bpm_from_env",
+    "onset_envelope",
+    "DEFAULT_HOP_LENGTH",
+    "BEATS_PER_BAR",
+]
+
+
+@partial(jax.jit, static_argnames=("sr", "hop_length", "n_fft", "n_mels"))
+def _envelope_graph(y: jnp.ndarray, *, sr: int, hop_length: int, n_fft: int = 2048, n_mels: int = 128):
+    power = magnitude(y, n_fft, hop_length, power=2.0)
+    fb = mel_filterbank(sr, n_fft, n_mels)
+    mel_power = melspectrogram_from_power(power, fb)
+    env = onset_strength_from_mel(mel_power, n_fft=n_fft, hop_length=hop_length)
+    return env, autocorrelate(env)
+
+
+def onset_envelope(y: np.ndarray, sr: int, hop_length: int = DEFAULT_HOP_LENGTH) -> np.ndarray:
+    """Onset strength envelope (host view of the device result)."""
+
+    env, _ = _envelope_graph(jnp.asarray(y, dtype=jnp.float32), sr=sr, hop_length=hop_length)
+    env = np.asarray(env, dtype=np.float64)
+    if env.size == 0:
+        return np.zeros(1, dtype=float)
+    return env
+
+
+def _envelope_and_autocorr(y: np.ndarray, sr: int, hop_length: int) -> Tuple[np.ndarray, np.ndarray]:
+    env, ac = _envelope_graph(jnp.asarray(y, dtype=jnp.float32), sr=sr, hop_length=hop_length)
+    env = np.asarray(env, dtype=np.float64)
+    ac = np.asarray(ac, dtype=np.float64)
+    if env.size == 0:
+        return np.zeros(1, dtype=float), np.zeros(1, dtype=float)
+    return env, ac
+
+
+def _bpm_from_autocorr(
+    autocorr: np.ndarray, sr: int, hop_length: int, bpm_min: float, bpm_max: float
+) -> float:
+    if autocorr.size <= 1:
+        return float(bpm_min)
+    ac = autocorr[1:]  # discard zero-lag peak
+    lags = np.arange(1, ac.size + 1, dtype=float)
+    tempi = 60.0 * sr / (lags * hop_length)
+
+    mask = (tempi >= bpm_min) & (tempi <= bpm_max)
+    if not np.any(mask):
+        mask = tempi > 0
+
+    masked = ac[mask]
+    scale = np.max(np.abs(masked))
+    if scale > 0:
+        masked = masked / scale
+    masked_lags = lags[mask]
+    peak_index = int(np.argmax(masked))
+
+    refined_lag = masked_lags[peak_index]
+    if 0 < peak_index < masked.size - 1:
+        left, center, right = masked[peak_index - 1], masked[peak_index], masked[peak_index + 1]
+        denominator = left - 2 * center + right
+        if abs(denominator) > 1e-9:
+            shift = 0.5 * (left - right) / denominator
+            refined_lag = float(masked_lags[peak_index] + shift)
+
+    refined_lag = max(refined_lag, 1.0)
+    return float(60.0 * sr / (refined_lag * hop_length))
+
+
+def _fit_onset_regression(
+    onset_env: np.ndarray, sr: int, hop_length: int, beat_period: float
+) -> Optional[Tuple[float, float]]:
+    """Least-squares fit of onset times against rounded beat indices."""
+
+    onset_frames = onset_detect(onset_env, sr, hop_length, backtrack=True)
+    onset_times = onset_frames.astype(float) * hop_length / sr
+    if onset_times.size < 4 or beat_period <= 0:
+        return None
+
+    indices = np.round(onset_times / beat_period).astype(int)
+    mask = indices >= 0
+    if not np.any(mask):
+        return None
+
+    unique: dict[int, float] = {}
+    for idx, time in zip(indices[mask], onset_times[mask]):
+        unique.setdefault(int(idx), float(time))
+    if len(unique) < 4:
+        return None
+
+    sorted_indices = np.array(sorted(unique))
+    times = np.array([unique[i] for i in sorted_indices])
+    a_mat = np.vstack([np.ones_like(sorted_indices, dtype=float), sorted_indices]).T
+    intercept, slope = np.linalg.lstsq(a_mat, times, rcond=None)[0]
+    return float(intercept), float(slope)
+
+
+def estimate_bpm(
+    y: np.ndarray,
+    sr: int,
+    bpm_min: float = DEFAULT_CONFIG.bpm_min,
+    bpm_max: float = DEFAULT_CONFIG.bpm_max,
+    *,
+    hop_length: int = DEFAULT_HOP_LENGTH,
+) -> float:
+    """Estimate tempo from autocorrelation of the onset strength envelope."""
+
+    env, ac = _envelope_and_autocorr(np.asarray(y, dtype=np.float32), sr, hop_length)
+    if ac.size <= 1:
+        return float(bpm_min)
+    bpm = _bpm_from_autocorr(ac, sr, hop_length, bpm_min, bpm_max)
+
+    regression = _fit_onset_regression(env, sr, hop_length, 60.0 / bpm)
+    if regression is not None:
+        _, slope = regression
+        if slope > 0:
+            refined_bpm = 60.0 / slope
+            if bpm_min <= refined_bpm <= bpm_max:
+                bpm = float(refined_bpm)
+    return float(bpm)
+
+
+def _initial_beat_time(onset_env: np.ndarray, sr: int, hop_length: int) -> Tuple[float, int]:
+    onset_frames = onset_detect(onset_env, sr, hop_length, backtrack=True)
+    if onset_frames.size == 0:
+        return 0.0, 0
+    first_frame = int(onset_frames[0])
+    return float(first_frame * hop_length / sr), first_frame
+
+
+def grid_and_bpm_from_env(
+    env: np.ndarray,
+    ac: np.ndarray,
+    duration: float,
+    sr: int,
+    *,
+    hop_length: int = DEFAULT_HOP_LENGTH,
+    beats_per_bar: int = BEATS_PER_BAR,
+) -> Tuple[pd.DataFrame, float]:
+    """Host finisher: beat grid + BPM from a precomputed envelope pair.
+
+    Shared by the single-track pipeline and the batched library path, so
+    the envelope is only ever computed once per track.
+    """
+
+    bpm = _bpm_from_autocorr(ac, sr, hop_length, DEFAULT_CONFIG.bpm_min, DEFAULT_CONFIG.bpm_max)
+    regression = _fit_onset_regression(env, sr, hop_length, 60.0 / bpm)
+    if regression is not None:
+        _, slope = regression
+        if slope > 0:
+            refined_bpm = 60.0 / slope
+            if DEFAULT_CONFIG.bpm_min <= refined_bpm <= DEFAULT_CONFIG.bpm_max:
+                bpm = float(refined_bpm)
+    beat_period = 60.0 / bpm
+
+    regression = _fit_onset_regression(env, sr, hop_length, beat_period)
+    if regression is not None:
+        start_time = max(regression[0], 0.0)
+    else:
+        start_time, _ = _initial_beat_time(env, sr, hop_length)
+    if start_time < 0.0 or start_time > duration:
+        start_time = 0.0
+
+    total_beats = max(1, int(np.floor((duration - start_time) / beat_period)) + 1)
+    times = start_time + np.arange(total_beats, dtype=float) * beat_period
+    times = times[times <= duration + 1e-3]
+
+    frames = np.floor(times * sr / hop_length).astype(int)
+    beat_index = np.arange(times.size)
+    bars = beat_index // beats_per_bar + 1
+    beats = beat_index % beats_per_bar + 1
+
+    grid = pd.DataFrame(
+        {
+            "time": times,
+            "frame": frames.astype(int),
+            "bar": bars.astype(int),
+            "beat": beats.astype(int),
+            "is_downbeat": beats == 1,
+        }
+    )
+    return grid, float(bpm)
+
+
+def beat_grid(
+    y: np.ndarray,
+    sr: int,
+    *,
+    hop_length: int = DEFAULT_HOP_LENGTH,
+    beats_per_bar: int = BEATS_PER_BAR,
+) -> pd.DataFrame:
+    """Constant-tempo beat grid annotated with bar positions.
+
+    Columns: time, frame, bar, beat, is_downbeat (reference schema:
+    tempo.py:165-175).
+    """
+
+    y = np.asarray(y, dtype=np.float32)
+    env, ac = _envelope_and_autocorr(y, sr, hop_length)
+    duration = len(y) / float(sr)
+    grid, _ = grid_and_bpm_from_env(
+        env, ac, duration, sr, hop_length=hop_length, beats_per_bar=beats_per_bar
+    )
+    return grid
