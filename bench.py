@@ -1,0 +1,100 @@
+"""Benchmark: full analysis of a 3-minute 44.1 kHz stereo track.
+
+North-star target (BASELINE.md): < 50 ms/track on one TPU chip for the
+complete analysis (beats, downbeats, structure, loudness, harmony,
+features, stereo) producing a full TrackAnalysisResult.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ms_per_track, "unit": "ms", "vs_baseline": 50/ms}
+(vs_baseline > 1 means faster than the target).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _make_track(seconds: float = 180.0, sr: int = 44_100, bpm: float = 126.0):
+    """Synthesise a club-style stereo track: kick grid + bass + chords + hats."""
+
+    n = int(seconds * sr)
+    t = np.arange(n, dtype=np.float64) / sr
+    rng = np.random.default_rng(7)
+
+    beat = 60.0 / bpm
+    kick = np.zeros(n)
+    hat = np.zeros(n)
+    for i, b in enumerate(np.arange(0.0, seconds, beat)):
+        s = int(b * sr)
+        e = min(n, s + int(0.08 * sr))
+        seg = np.arange(e - s) / sr
+        kick[s:e] += np.sin(2 * np.pi * (60 + 40 * np.exp(-seg * 60)) * seg) * np.exp(-seg * 30)
+        hs = int((b + beat / 2) * sr)
+        he = min(n, hs + int(0.02 * sr))
+        hat[hs:he] += rng.normal(0, 0.15, he - hs) * np.exp(-np.arange(he - hs) / (0.004 * sr))
+    bass = 0.2 * np.sin(2 * np.pi * 55.0 * t) * (np.sin(2 * np.pi * t / 8.0) > 0)
+    chords = 0.1 * (
+        np.sin(2 * np.pi * 220.0 * t) + np.sin(2 * np.pi * 277.18 * t) + np.sin(2 * np.pi * 329.63 * t)
+    )
+    left = 0.8 * kick + bass + chords + 0.6 * hat
+    right = 0.8 * kick + bass + 0.9 * chords + 0.5 * hat
+    peak = max(np.abs(left).max(), np.abs(right).max())
+    left, right = left / peak * 0.9, right / peak * 0.9
+    stereo = np.stack([left, right]).astype(np.float32)
+    mono = stereo.mean(axis=0)
+    return mono, stereo, sr
+
+
+def main() -> None:
+    from track_analyser_tpu.utils import AudioInput, enable_persistent_compilation_cache
+    from track_analyser_tpu.parallel.batch import analyse_track_fused
+
+    enable_persistent_compilation_cache()
+
+    import jax
+
+    dev = jax.devices()[0]
+    print(f"[bench] device: {dev}", file=sys.stderr)
+
+    mono, stereo, sr = _make_track()
+    audio = AudioInput(samples=mono, sample_rate=sr, stereo_samples=stereo)
+
+    # Warm up (compile + caches)
+    t0 = time.perf_counter()
+    result = analyse_track_fused(audio)
+    warm = time.perf_counter() - t0
+    print(
+        f"[bench] warmup {warm*1e3:.0f} ms — bpm={result.beat.bpm:.2f} "
+        f"key={result.harmonic.primary_key.key} "
+        f"lufs={result.loudness.integrated_lufs:.2f} "
+        f"segments={len(result.structure.segments)}",
+        file=sys.stderr,
+    )
+
+    iters = 5
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        analyse_track_fused(audio)
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times) * 1e3)
+    print(f"[bench] per-iter ms: {[round(x*1e3,1) for x in times]}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "full_track_analysis_latency_180s_stereo",
+                "value": round(ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(50.0 / ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

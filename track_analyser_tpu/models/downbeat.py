@@ -28,7 +28,12 @@ import numpy as np
 from ..ops.mel import mel_filterbank, melspectrogram_from_power, power_to_db
 from ..ops.stft import magnitude
 
-__all__ = ["available", "track_downbeats", "DownbeatTrackingResult"]
+__all__ = [
+    "available",
+    "track_downbeats",
+    "decode_from_accent",
+    "DownbeatTrackingResult",
+]
 
 _HOP = 512
 _N_FFT = 2048
@@ -79,8 +84,26 @@ def track_downbeats(
     flux_j, low_j = _accent_graph(
         jnp.asarray(np.asarray(samples, dtype=np.float32)), sr=sample_rate
     )
-    flux = np.asarray(flux_j, dtype=np.float64)
-    low = np.asarray(low_j, dtype=np.float64)
+    return decode_from_accent(
+        np.asarray(flux_j, dtype=np.float64),
+        np.asarray(low_j, dtype=np.float64),
+        beat_times,
+        sample_rate,
+    )
+
+
+def decode_from_accent(
+    flux: np.ndarray,
+    low: np.ndarray,
+    beat_times: np.ndarray,
+    sample_rate: int,
+) -> DownbeatTrackingResult | None:
+    """Host decoder over precomputed accent curves (shared with the fused
+    substrate graph, substrate.py)."""
+
+    beat_times = np.asarray(beat_times, dtype=float)
+    if beat_times.size < 4:
+        return None
     n_frames = flux.size
     if n_frames == 0:
         return None

@@ -1,0 +1,355 @@
+"""Batched, multi-chip library analysis — the throughput entry point.
+
+The reference analyses one track per call on one CPU thread
+(pipeline.py:32-120). This module adds the missing batch call stack
+(SURVEY.md section 3.5): host decode workers -> padded device batch ->
+ONE pjit'd analysis graph vmapped over tracks and sharded over the
+``data`` mesh axis -> per-track host finishers / artefact writers.
+
+Also exposes ``analyse_track_fused`` — single-track analysis through the
+same fused graph (one device dispatch per track instead of ~10), used by
+bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import features as features_mod
+from .. import harmony as harmony_mod
+from .. import stereo as stereo_mod
+from .. import tempo as tempo_mod
+from ..analysis import beats as beats_mod
+from ..analysis import loudness as loudness_mod
+from ..analysis import structure as structure_mod
+from ..config import DEFAULT_CONFIG, DEFAULT_SEED
+from ..models import downbeat as downbeat_model
+from ..pipeline import TrackAnalysisResult
+from ..substrate import bucket_length, full_track_graph
+from ..utils import AudioInput, coerce_audio, deterministic_rng
+from .mesh import data_sharding, make_mesh, replicated
+
+__all__ = ["analyse_track_fused", "analyse_library", "result_from_graph_outputs"]
+
+
+def _rms_hop(sr: int, seconds: float) -> int:
+    fl = max(1024, int(round(sr * seconds)))
+    if fl % 2:
+        fl += 1
+    return max(1, fl // 2)
+
+
+def result_from_graph_outputs(
+    audio: AudioInput,
+    out: Dict[str, np.ndarray],
+    *,
+    seed: int = DEFAULT_SEED,
+) -> TrackAnalysisResult:
+    """Assemble a TrackAnalysisResult from fused-graph outputs (host)."""
+
+    sr = audio.sample_rate
+    n = len(audio.samples)
+    hop = DEFAULT_CONFIG.hop_length
+    f_valid = 1 + n // hop
+    duration = n / float(sr)
+    rng = deterministic_rng(seed)
+
+    env = np.asarray(out["onset_env"], dtype=np.float64)[:f_valid]
+    ac = np.asarray(out["autocorr"], dtype=np.float64)[:f_valid]
+
+    # --- beats ----------------------------------------------------------
+    grid, bpm = tempo_mod.grid_and_bpm_from_env(env, ac, duration, sr, hop_length=hop)
+    beat_result = beats_mod.build_beat_analysis(
+        bpm, grid["time"].to_numpy(), sr, hop_length=hop, grid=grid
+    )
+
+    # --- downbeats (accent decoder over fused curves) --------------------
+    tracked = downbeat_model.decode_from_accent(
+        env,
+        np.asarray(out["low_flux"], dtype=np.float64)[:f_valid],
+        np.asarray(beat_result.beat_times, dtype=float),
+        sr,
+    )
+    if tracked is not None and tracked.downbeat_times:
+        downbeat_result = beats_mod.DownbeatAnalysis(
+            downbeat_times=tracked.downbeat_times,
+            beat_positions=tracked.beat_positions,
+            source=tracked.source,
+        )
+    else:
+        downbeat_result = beats_mod._fallback_downbeats(beat_result)
+
+    # --- structure --------------------------------------------------------
+    structure_result = structure_mod.segments_from_curves(
+        np.asarray(out["novelty"], dtype=np.float64)[:f_valid],
+        np.asarray(out["energy_novelty"], dtype=np.float64)[:f_valid],
+        np.asarray(out["perc_col"], dtype=np.float64)[:f_valid],
+        np.asarray(out["harm_col"], dtype=np.float64)[:f_valid],
+        beat_result,
+        sample_rate=sr,
+        hop_length=hop,
+        duration=duration,
+    )
+
+    # --- loudness ----------------------------------------------------------
+    st_n = 1 + n // _rms_hop(sr, DEFAULT_CONFIG.short_term_seconds)
+    mo_n = 1 + n // _rms_hop(sr, DEFAULT_CONFIG.loudness_block_seconds)
+    short_term = np.asarray(out["short_term_db"], dtype=float)[:st_n]
+    momentary = np.asarray(out["momentary_db"], dtype=float)[:mo_n]
+    lra = float(np.percentile(momentary, 95) - np.percentile(momentary, 5))
+    loudness_result = loudness_mod.LoudnessAnalysis(
+        integrated_lufs=float(out["integrated_lufs"]),
+        short_term_lufs=short_term.tolist(),
+        momentary_lufs=momentary.tolist(),
+        loudness_range=lra,
+        true_peak_dbfs=float(20.0 * np.log10(float(out["true_peak"]) + 1e-12)),
+        rms_dbfs=float(20.0 * np.log10(float(out["rms"]) + 1e-12)),
+    )
+
+    # --- harmony -------------------------------------------------------------
+    keys = [f"{p} major" for p in harmony_mod.PITCH_CLASS_NAMES]
+    keys += [f"{p} minor" for p in harmony_mod.PITCH_CLASS_NAMES]
+    key_result = harmony_mod._keys_from_scores(
+        np.asarray(out["key_scores"], dtype=np.float64), keys
+    )
+    chroma_cq = np.asarray(out["chroma_cq"], dtype=np.float64)[:, :f_valid]
+    chord_hints = harmony_mod._estimate_chords(chroma_cq, beat_result, rng)
+    change_points = harmony_mod._detect_chord_changes(chroma_cq, beat_result, chord_hints)
+
+    total = float(out["balance_total"])
+    if total > 0:
+        balance = harmony_mod.SpectralBalance(
+            low_band=float(out["balance_low"]) / total,
+            mid_band=float(out["balance_mid"]) / total,
+            high_band=float(out["balance_high"]) / total,
+        )
+    else:
+        balance = harmony_mod.SpectralBalance(0.0, 0.0, 0.0)
+
+    if audio.stereo_samples is None:
+        stereo_image = harmony_mod.StereoImage(correlation=1.0, balance=0.0)
+    else:
+        stereo_image = harmony_mod.StereoImage(
+            correlation=float(out["stereo_corr_centered"]),
+            balance=float(out["stereo_balance"]),
+        )
+
+    start_offset = (
+        downbeat_result.downbeat_times[0]
+        if downbeat_result and downbeat_result.downbeat_times
+        else (beat_result.beat_times[0] if beat_result.beat_times else 0.0)
+    )
+    hook = harmony_mod._generate_midi(
+        chroma_cq, beat_result, key_result.best, rng, name="hook", start_offset=start_offset
+    )
+    bass = harmony_mod._generate_midi(
+        chroma_cq,
+        beat_result,
+        key_result.best,
+        rng,
+        name="bass",
+        octave=-1,
+        start_offset=start_offset,
+    )
+    harmonic_result = harmony_mod.HarmonyAnalysis(
+        spectral_balance=balance,
+        stereo_image=stereo_image,
+        primary_key=key_result.best,
+        secondary_key=key_result.second_best,
+        chord_hints=chord_hints,
+        chord_change_points=change_points,
+        hook_suggestion=hook,
+        bass_suggestion=bass,
+    )
+
+    # --- features ----------------------------------------------------------
+    from ..ops.stft import fft_frequencies
+
+    features_result = features_mod.FeatureAnalysis(
+        ltas=features_mod.LongTermAverageSpectrum(
+            frequencies=fft_frequencies(sr, DEFAULT_CONFIG.n_fft),
+            magnitude=np.asarray(out["ltas"], dtype=np.float64),
+        ),
+        spectral_centroid=features_mod.FeatureSeries(
+            values=np.asarray(out["centroid"], dtype=np.float64)[:f_valid]
+        ),
+        spectral_rolloff=features_mod.FeatureSeries(
+            values=np.asarray(out["rolloff"], dtype=np.float64)[:f_valid]
+        ),
+    )
+
+    # --- stereo ----------------------------------------------------------
+    widths = np.asarray(out["stereo_widths"], dtype=np.float64)
+    stereo_result = stereo_mod.StereoAnalysis(
+        mid_rms=float(out["mid_rms"]),
+        side_rms=float(out["side_rms"]),
+        correlation=float(out["stereo_corr_centered"]),
+        width=stereo_mod.StereoWidthBands(
+            low=float(widths[0]), mid=float(widths[1]), high=float(widths[2])
+        ),
+    )
+
+    return TrackAnalysisResult(
+        audio=audio,
+        beat=beat_result,
+        downbeat=downbeat_result,
+        structure=structure_result,
+        loudness=loudness_result,
+        harmonic=harmonic_result,
+        features=features_result,
+        stereo=stereo_result,
+    )
+
+
+def _pad_track(audio: AudioInput, n_bucket: int) -> tuple[np.ndarray, np.ndarray, int]:
+    n = len(audio.samples)
+    y = np.zeros(n_bucket, dtype=np.float32)
+    y[:n] = audio.samples
+    stereo = np.zeros((2, n_bucket), dtype=np.float32)
+    if audio.stereo_samples is not None and audio.stereo_samples.ndim == 2:
+        stereo[:, :n] = audio.stereo_samples[:2, :n]
+    else:
+        stereo[0, :n] = audio.samples
+        stereo[1, :n] = audio.samples
+    return y, stereo, n
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def _single_graph(y, stereo, n_valid, *, sr):
+    return full_track_graph(y, stereo, n_valid, sr=sr)
+
+
+def analyse_track_fused(
+    source: "str | AudioInput",
+    *,
+    seed: int = DEFAULT_SEED,
+    bucket: bool = True,
+) -> TrackAnalysisResult:
+    """Single-track analysis through the fused one-dispatch graph."""
+
+    audio = source if isinstance(source, AudioInput) else coerce_audio(source)
+    n = len(audio.samples)
+    n_bucket = bucket_length(n) if bucket else n
+    y, stereo, n_valid = _pad_track(audio, n_bucket)
+    out = _single_graph(
+        jnp.asarray(y), jnp.asarray(stereo), jnp.asarray(n_valid), sr=audio.sample_rate
+    )
+    out = jax.device_get(out)
+    return result_from_graph_outputs(audio, out, seed=seed)
+
+
+def analyse_library(
+    sources: Sequence["str | AudioInput"],
+    *,
+    seed: int = DEFAULT_SEED,
+    mesh=None,
+    target_sr: int = DEFAULT_CONFIG.target_sr,
+    decode_workers: int = 8,
+    output_dir: "Optional[str | Path]" = None,
+    progress_callback: Optional[Callable[[str, int, int], None]] = None,
+    manifest_path: "Optional[str | Path]" = None,
+) -> List[TrackAnalysisResult]:
+    """Analyse a library of tracks with data-parallel batches.
+
+    Decode runs on host worker threads; tracks are grouped into shared
+    padded buckets; each bucket group is analysed by one vmapped, pjit'd
+    dispatch sharded over the mesh's ``data`` axis. A JSONL manifest makes
+    sweeps resumable: already-listed sources are skipped.
+    """
+
+    mesh = mesh or make_mesh()
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    done: set[str] = set()
+    manifest = Path(manifest_path) if manifest_path else None
+    if manifest and manifest.exists():
+        for line in manifest.read_text().splitlines():
+            try:
+                done.add(json.loads(line)["source"])
+            except (json.JSONDecodeError, KeyError):
+                continue
+
+    todo: List[tuple[int, "str | AudioInput"]] = [
+        (i, s)
+        for i, s in enumerate(sources)
+        if not (isinstance(s, (str, Path)) and str(s) in done)
+    ]
+
+    # Host decode pool (decode can never be device work).
+    def _load(item):
+        idx, src = item
+        audio = src if isinstance(src, AudioInput) else coerce_audio(src, target_sr=target_sr)
+        return idx, src, audio
+
+    with ThreadPoolExecutor(max_workers=decode_workers) as pool:
+        loaded = list(pool.map(_load, todo))
+
+    # Group by bucket so each group is one compiled executable.
+    groups: Dict[int, List[tuple[int, object, AudioInput]]] = {}
+    for idx, src, audio in loaded:
+        groups.setdefault(bucket_length(len(audio.samples)), []).append((idx, src, audio))
+
+    batched = jax.jit(
+        jax.vmap(partial(full_track_graph, sr=target_sr)),
+        static_argnames=(),
+    )
+
+    results: List[Optional[TrackAnalysisResult]] = [None] * len(sources)
+    n_done = 0
+    total = len(loaded)
+    with mesh:
+        for n_bucket, items in sorted(groups.items()):
+            for start in range(0, len(items), n_dev):
+                chunk = items[start : start + n_dev]
+                pad_to = n_dev
+                ys, stereos, valids = [], [], []
+                for _, _, audio in chunk:
+                    y, st, nv = _pad_track(audio, n_bucket)
+                    ys.append(y)
+                    stereos.append(st)
+                    valids.append(nv)
+                while len(ys) < pad_to:  # pad batch to the device count
+                    ys.append(np.zeros(n_bucket, dtype=np.float32))
+                    stereos.append(np.zeros((2, n_bucket), dtype=np.float32))
+                    valids.append(n_bucket)
+
+                shard = data_sharding(mesh)
+                yb = jax.device_put(np.stack(ys), data_sharding(mesh, rank=2))
+                sb = jax.device_put(np.stack(stereos), data_sharding(mesh, rank=3))
+                vb = jax.device_put(np.asarray(valids), shard)
+                out = jax.device_get(batched(yb, sb, vb))
+
+                for k, (idx, src, audio) in enumerate(chunk):
+                    track_out = {key: val[k] for key, val in out.items()}
+                    result = result_from_graph_outputs(audio, track_out, seed=seed)
+                    results[idx] = result
+                    if output_dir is not None:
+                        from ..rendering import outputs as outputs_module
+
+                        name = Path(str(src)).stem if isinstance(src, (str, Path)) else f"track_{idx:05d}"
+                        outputs_module.render_all(result, Path(output_dir) / name)
+                    if manifest:
+                        with manifest.open("a") as fh:
+                            fh.write(
+                                json.dumps(
+                                    {
+                                        "source": str(src),
+                                        "bpm": result.beat.bpm,
+                                        "key": result.harmonic.primary_key.key,
+                                    }
+                                )
+                                + "\n"
+                            )
+                    n_done += 1
+                    if progress_callback:
+                        progress_callback(str(src), n_done, total)
+
+    return [r for r in results if r is not None]

@@ -110,6 +110,13 @@ def full_track_graph(
     out["onset_env"] = env
     out["autocorr"] = autocorrelate(env)
 
+    # Low-band (kick-range) flux for the accent downbeat decoder
+    # (models/downbeat.py).
+    n_low = max(2, int(150.0 * n_fft / sr))
+    low_db = power_to_db(jnp.sum(power[:n_low], axis=0) + 1e-12)
+    low_flux = jnp.pad(jnp.maximum(0.0, low_db[1:] - low_db[:-1]), (1, 0))
+    out["low_flux"] = jnp.where(fmask, low_flux, 0.0)
+
     # ---- structure: HPSS + combined novelty ---------------------------
     harmonic, percussive = hpss(mag, kernel_size=cfg.hpss_kernel, power=cfg.hpss_power)
     spectral_flux = env  # identical formula (structure.py:195 in reference)
