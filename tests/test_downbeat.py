@@ -1,0 +1,66 @@
+"""Downbeat model tests: accent decoder + trainable activation network."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from track_analyser_tpu.models import downbeat, downbeat_net
+
+
+def _accented_click_track(sr: int = 22_050, bars: int = 8, bpm: float = 120.0):
+    beat = 60.0 / bpm
+    n = int(bars * 4 * beat * sr)
+    y = np.zeros(n, dtype=np.float32)
+    t_click = np.arange(int(0.02 * sr)) / sr
+    for i in range(bars * 4):
+        s = int(i * beat * sr)
+        e = min(n, s + t_click.size)
+        freq = 1500.0 if i % 4 == 0 else 1000.0
+        amp = 1.0 if i % 4 == 0 else 0.5
+        y[s:e] += (amp * np.sin(2 * np.pi * freq * t_click) * np.exp(-t_click * 80))[: e - s]
+    beat_times = np.arange(bars * 4) * beat
+    return y, sr, beat_times
+
+
+def test_accent_tracker_finds_downbeat_phase():
+    y, sr, beat_times = _accented_click_track()
+    result = downbeat.track_downbeats(y, sr, beat_times)
+    assert result is not None
+    assert result.source == "accent"
+    assert result.beat_positions[0] == 1  # accent is on beat 0
+    # downbeats every 4 beats from 0
+    np.testing.assert_allclose(result.downbeat_times, beat_times[::4], atol=1e-9)
+
+
+def test_accent_tracker_detects_shifted_phase():
+    y, sr, beat_times = _accented_click_track()
+    # Start analysis two beats in: accents now sit at indices 2, 6, ... so
+    # the first listed beat is position 3 of its bar and the downbeats are
+    # the accented beats — not naively every 4th from index 0.
+    offset = 2
+    shifted = beat_times[offset:] - beat_times[offset]
+    y_shift = y[int(beat_times[offset] * sr) :]
+    result = downbeat.track_downbeats(y_shift, sr, shifted)
+    assert result is not None
+    assert result.beat_positions[0] == 3
+    assert result.beat_positions[2] == 1
+    np.testing.assert_allclose(result.downbeat_times, shifted[2::4], atol=1e-9)
+
+
+def test_downbeat_net_train_step_reduces_loss():
+    key = jax.random.PRNGKey(0)
+    params = downbeat_net.init_params(key, n_mels=128, hidden=64)
+    momentum = jax.tree.map(jnp.zeros_like, params)
+    rng = np.random.default_rng(0)
+    feats, labels = downbeat_net.synthetic_batch(rng, batch=4, frames=64)
+
+    losses = []
+    for _ in range(30):
+        params, momentum, loss = downbeat_net.train_step(
+            params, momentum, feats, labels, 1e-2
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.6, losses

@@ -1,0 +1,31 @@
+"""Pallas median kernel parity (interpret mode on CPU)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from track_analyser_tpu.ops.filters import median_filter_1d
+from track_analyser_tpu.ops.pallas_median import median31_last_axis
+
+
+def test_pallas_median_matches_xla_reference():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(40, 700)).astype(np.float32)
+
+    ref = np.asarray(median_filter_1d(jnp.asarray(x), 31, axis=-1))
+    out = np.asarray(median31_last_axis(jnp.asarray(x), interpret=True))
+
+    np.testing.assert_allclose(out, ref, atol=0.0)
+
+
+def test_pallas_median_handles_tile_remainders():
+    rng = np.random.default_rng(1)
+    # Not multiples of the (32, 512) tile on purpose.
+    x = rng.normal(size=(33, 513)).astype(np.float32)
+
+    ref = np.asarray(median_filter_1d(jnp.asarray(x), 31, axis=-1))
+    out = np.asarray(median31_last_axis(jnp.asarray(x), interpret=True))
+
+    np.testing.assert_allclose(out, ref, atol=0.0)

@@ -1,0 +1,50 @@
+"""Neural separation model: forward shapes, training convergence,
+checkpoint round-trip into the stems ladder."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from track_analyser_tpu.models import separation_net, training
+
+
+def test_forward_shapes_and_reconstruction_path():
+    key = jax.random.PRNGKey(0)
+    params = separation_net.init_params(key)
+    n = 44_100 // 2
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(0, 0.1, n).astype(np.float32))
+
+    out = separation_net.separate_signal(params, y, n_samples=n)
+    assert out.shape == (4, n)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_training_reduces_loss():
+    _params, losses = training.train_separation(
+        steps=8, batch=2, seconds=0.5, seed=0, log_every=0
+    )
+    assert losses[-1] < losses[0], losses
+
+
+def test_checkpoint_roundtrip_enables_neural_stems(tmp_path, monkeypatch):
+    params, _ = training.train_separation(steps=2, batch=1, seconds=0.25, log_every=0)
+    ckpt = tmp_path / "sep.npz"
+    separation_net.save_checkpoint(params, ckpt)
+
+    loaded = separation_net.load_checkpoint(ckpt)
+    assert set(loaded) == set(params)
+
+    from track_analyser_tpu.models import separation
+
+    monkeypatch.setenv("TRACK_ANALYSER_TPU_SEPARATION_CKPT", str(ckpt))
+    assert separation.available()
+    rng = np.random.default_rng(1)
+    stems = separation.separate(rng.normal(0, 0.1, 8192).astype(np.float32), 44_100)
+    assert stems is not None
+    assert set(stems) == {"drums", "bass", "other", "vocals"}
+    assert all(v.shape == (8192,) for v in stems.values())

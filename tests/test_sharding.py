@@ -55,7 +55,6 @@ def test_batched_analysis_sharded_over_data_axis(click_signal):
     y, sr = click_signal
     n = 512 * 128
     batch = 8
-    ys = np.stack([y[:n]] * batch)
     stereos = np.stack([np.stack([y[:n], y[:n]])] * batch)
     valids = np.full((batch,), n, dtype=np.int32)
 
@@ -63,13 +62,12 @@ def test_batched_analysis_sharded_over_data_axis(click_signal):
     batched = jax.jit(
         jax.vmap(partial(full_track_graph, sr=sr)),
         in_shardings=(
-            NamedSharding(mesh, P("data", None)),
             NamedSharding(mesh, P("data", None, None)),
             NamedSharding(mesh, P("data")),
         ),
     )
     with mesh:
-        out = batched(ys, stereos, valids)
+        out = batched(stereos, valids)
         jax.block_until_ready(out)
 
     envs = np.asarray(out["onset_env"])

@@ -156,6 +156,62 @@ def _format_collection(paths: Iterable[Path]) -> str:
     return ", ".join(str(p) for p in realised)
 
 
+@cli.command("analyze-batch")
+@click.argument("audio_paths", type=click.Path(exists=True, dir_okay=False, path_type=Path), nargs=-1, required=True)
+@click.option(
+    "--out",
+    "output_dir",
+    type=click.Path(file_okay=False, path_type=Path),
+    required=True,
+    help="Destination root; each track renders into OUT/<stem>/.",
+)
+@click.option(
+    "--manifest",
+    "manifest_path",
+    type=click.Path(dir_okay=False, path_type=Path),
+    default=None,
+    help="JSONL manifest for resumable sweeps (skips already-listed tracks).",
+)
+def analyze_batch_command(
+    audio_paths: tuple,
+    output_dir: Path,
+    manifest_path: "Path | None",
+) -> None:
+    """Analyse a library of tracks with batched, data-parallel dispatches."""
+
+    console = Console()
+    output_dir.mkdir(parents=True, exist_ok=True)
+    enable_persistent_compilation_cache()
+
+    from .parallel.batch import analyse_library
+
+    try:
+        with Progress(transient=True) as progress:
+            task = progress.add_task("Analysing library", total=len(audio_paths))
+
+            def _tick(_src: str, done: int, total: int) -> None:
+                progress.update(task, completed=done, total=total)
+
+            results = analyse_library(
+                [str(p) for p in audio_paths],
+                output_dir=output_dir,
+                manifest_path=manifest_path,
+                progress_callback=_tick,
+            )
+        console.print(
+            f"[green]Library analysis completed[/green] -> {output_dir} "
+            f"({len(results)} track(s))"
+        )
+        for result in results:
+            console.print(
+                f"  {Path(result.audio.path or '?').name}: "
+                f"BPM {result.beat.bpm:.2f}, key {result.harmonic.primary_key.key}"
+            )
+    except Exception as exc:
+        console.print(f"[red]Error:[/red] {exc}")
+        raise SystemExit(1) from exc
+
+
 def main() -> None:
     cli()
 

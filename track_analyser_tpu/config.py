@@ -72,6 +72,10 @@ class AnalysisConfig:
     cq_bins_per_octave: int = 36
     cq_n_octaves: int = 7
     cq_fmin_midi: int = 24  # C1 = 32.703 Hz, librosa's default CQT fmin
+    # The long-window chroma is computed every cq_hop samples and repeated
+    # up to hop_length resolution (a 93 ms analysis window moves little in
+    # 12 ms; 4x fewer FFTs).
+    cq_hop: int = 2_048
 
     # Fixed-capacity device outputs (dynamic shapes are hostile to XLA;
     # beats / peaks are computed as masked fixed-size arrays, trimmed on

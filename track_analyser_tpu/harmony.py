@@ -147,8 +147,13 @@ def _chroma_graph(y: jnp.ndarray, *, sr: int, hop_length: int):
     stft_power = magnitude(y, 2048, hop_length, power=2.0)
     chroma_stft = chroma_from_power(stft_power, chroma_stft_filterbank(sr, 2048))
 
-    cq_mag = magnitude(y, cfg.cq_n_fft, hop_length, power=1.0)
+    cq_mag = magnitude(y, cfg.cq_n_fft, cfg.cq_hop, power=1.0)
     chroma_cq = chroma_from_power(cq_mag, cq_chroma_filterbank(sr, cfg.cq_n_fft))
+    # Upsample the coarse-hop chroma to hop_length frame indexing (a 93 ms
+    # analysis window moves little in 12 ms; 4x fewer FFTs).
+    chroma_cq = jnp.repeat(chroma_cq, cfg.cq_hop // hop_length, axis=1)[
+        :, : stft_power.shape[1]
+    ]
     return chroma_cq, chroma_stft
 
 

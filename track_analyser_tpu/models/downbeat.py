@@ -3,16 +3,18 @@
 Replaces the reference's optional madmom RNN+DBN path (analysis/beats.py:
 124-141) with a self-contained, deterministic accent-based tracker:
 
-1. A jitted accent feature graph: beat-synchronous onset strength plus
-   low-band (kick-range) energy flux sampled at the beat grid.
+1. A jitted accent feature graph: per-frame LINEAR mel energy, low-band
+   (kick-range) energy and spectral flux. Accent strength must live in the
+   linear domain — dB flux is nearly amplitude-blind (a 2x louder
+   downbeat is +6 dB out of an ~80 dB silence-to-onset jump).
 2. A meter/phase decoder over {3, 4} beats-per-bar: every (meter, phase)
-   hypothesis is scored by the mean accent contrast between putative
-   downbeats and the remaining beats — the lax-friendly equivalent of the
-   DBN's bar-position states for a constant-tempo grid.
+   hypothesis is scored by the z-scored accent contrast between putative
+   downbeats and the remaining beats — the constant-tempo-grid analogue
+   of the DBN's bar-position states.
 
 Source tag: "accent" (the reference reports "madmom" or "heuristic").
-A learned activation network can replace step 1 via a checkpoint without
-changing the decoder.
+A learned activation network (models/downbeat_net.py) can replace step 1
+via a checkpoint without changing the decoder.
 """
 
 from __future__ import annotations
@@ -52,19 +54,20 @@ def available() -> bool:
 
 @partial(jax.jit, static_argnames=("sr",))
 def _accent_graph(y: jnp.ndarray, *, sr: int):
-    """Per-frame accent curves: full-band flux and low-band (<150 Hz) flux."""
+    """Per-frame accent curves: linear mel energy, low-band energy, flux."""
 
     power = magnitude(y, _N_FFT, _HOP, power=2.0)
     fb = mel_filterbank(sr, _N_FFT, 128)
-    mel_db = power_to_db(melspectrogram_from_power(power, fb))
+    mel_power = melspectrogram_from_power(power, fb)
+
+    energy = jnp.sqrt(jnp.sum(mel_power, axis=0) + 1e-12)
+    n_low = max(2, int(150.0 * _N_FFT / sr))
+    low = jnp.sqrt(jnp.sum(power[:n_low], axis=0) + 1e-12)
+
+    mel_db = power_to_db(mel_power)
     flux = jnp.mean(jnp.maximum(0.0, mel_db[:, 1:] - mel_db[:, :-1]), axis=0)
     flux = jnp.pad(flux, (1, 0))
-
-    n_low = max(2, int(150.0 * _N_FFT / sr))
-    low_db = power_to_db(jnp.sum(power[:n_low], axis=0) + 1e-12)
-    low_flux = jnp.maximum(0.0, low_db[1:] - low_db[:-1])
-    low_flux = jnp.pad(low_flux, (1, 0))
-    return flux, low_flux
+    return energy, low, flux
 
 
 def track_downbeats(
@@ -73,7 +76,7 @@ def track_downbeats(
     beat_times: "np.ndarray | List[float]",
     *,
     seed: int = 0,
-) -> DownbeatTrackingResult | None:
+) -> "DownbeatTrackingResult | None":
     """Pick the downbeat phase/meter that maximises accent contrast."""
 
     del seed  # deterministic model — kept for interface parity
@@ -81,40 +84,52 @@ def track_downbeats(
     if beat_times.size < 4:
         return None
 
-    flux_j, low_j = _accent_graph(
+    energy_j, low_j, flux_j = _accent_graph(
         jnp.asarray(np.asarray(samples, dtype=np.float32)), sr=sample_rate
     )
     return decode_from_accent(
-        np.asarray(flux_j, dtype=np.float64),
+        np.asarray(energy_j, dtype=np.float64),
         np.asarray(low_j, dtype=np.float64),
         beat_times,
         sample_rate,
+        flux=np.asarray(flux_j, dtype=np.float64),
     )
 
 
+def _zscore(x: np.ndarray) -> np.ndarray:
+    std = float(np.std(x))
+    if std < 1e-12:
+        return np.zeros_like(x)
+    return (x - np.mean(x)) / std
+
+
 def decode_from_accent(
-    flux: np.ndarray,
+    energy: np.ndarray,
     low: np.ndarray,
     beat_times: np.ndarray,
     sample_rate: int,
-) -> DownbeatTrackingResult | None:
+    *,
+    flux: "np.ndarray | None" = None,
+) -> "DownbeatTrackingResult | None":
     """Host decoder over precomputed accent curves (shared with the fused
     substrate graph, substrate.py)."""
 
     beat_times = np.asarray(beat_times, dtype=float)
     if beat_times.size < 4:
         return None
-    n_frames = flux.size
+    n_frames = energy.size
     if n_frames == 0:
         return None
 
     beat_frames = np.clip(
         np.floor(beat_times * sample_rate / _HOP).astype(int), 0, n_frames - 1
     )
-    # Accent per beat: max of the curves over frames [f, f+2] to absorb
-    # frame quantisation of the grid.
+    # Per-beat features: max over frames [f, f+2] absorbs the frame
+    # quantisation of the grid.
     idx = np.clip(beat_frames[:, None] + np.arange(3)[None, :], 0, n_frames - 1)
-    accent = flux[idx].max(axis=1) + low[idx].max(axis=1)
+    accent = _zscore(energy[idx].max(axis=1)) + _zscore(low[idx].max(axis=1))
+    if flux is not None and flux.size == n_frames:
+        accent = accent + 0.5 * _zscore(flux[idx].max(axis=1))
 
     n = accent.size
     best = None
@@ -126,8 +141,8 @@ def decode_from_accent(
             if not np.any(mask) or np.all(mask):
                 continue
             contrast = float(np.mean(accent[mask]) - np.mean(accent[~mask]))
-            # Prefer 4/4 on ties — the overwhelmingly common meter.
-            score = contrast + (0.05 * float(np.mean(accent)) if meter == 4 else 0.0)
+            # Prefer 4/4 on near-ties — the overwhelmingly common meter.
+            score = contrast * (1.05 if meter == 4 else 1.0)
             if best is None or score > best[0]:
                 best = (score, meter, phase)
 

@@ -1,0 +1,177 @@
+"""Band-split spectral mask network for 4-stem separation (pure JAX).
+
+The demucs path in the reference (analysis/stems.py:26-61) downloads a
+pretrained torch model; no weights can be ported, so this framework
+defines its own TPU-shaped architecture plus a training scaffold
+(models/training.py) over procedurally synthesised mixtures:
+
+  STFT(2048/512) -> split bins into log-spaced bands -> per-band linear
+  encoders -> N mixing blocks (depthwise time conv + band-mixing MLP,
+  all static shapes, MXU-dominated) -> per-stem complex mask decoders ->
+  masked ISTFT.
+
+Checkpoints are .npz files; ``run_from_checkpoint`` is the entry used by
+models/separation.py when TRACK_ANALYSER_TPU_SEPARATION_CKPT is set.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.stft import istft, stft
+
+__all__ = [
+    "band_edges",
+    "init_params",
+    "forward_masks",
+    "separate_signal",
+    "save_checkpoint",
+    "load_checkpoint",
+    "run_from_checkpoint",
+    "STEMS",
+]
+
+STEMS = ("drums", "bass", "other", "vocals")
+N_FFT = 2048
+HOP = 512
+N_BINS = 1 + N_FFT // 2
+D_MODEL = 96
+N_BLOCKS = 2
+
+
+@lru_cache(maxsize=1)
+def band_edges(n_bands: int = 16, n_bins: int = N_BINS) -> Tuple[Tuple[int, int], ...]:
+    """Log-spaced frequency band boundaries covering all bins."""
+
+    edges = np.unique(
+        np.round(np.geomspace(1, n_bins, n_bands + 1)).astype(int)
+    )
+    edges[0] = 0
+    edges[-1] = n_bins
+    out = []
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        if hi > lo:
+            out.append((int(lo), int(hi)))
+    return tuple(out)
+
+
+def _glorot(key, shape):
+    fan_in, fan_out = shape[0], shape[-1]
+    scale = jnp.sqrt(2.0 / (fan_in + fan_out))
+    return scale * jax.random.normal(key, shape, dtype=jnp.float32)
+
+
+def init_params(key: jax.Array, *, n_bands: int = 16) -> Dict[str, jnp.ndarray]:
+    bands = band_edges(n_bands)
+    keys = jax.random.split(key, 4 + 4 * N_BLOCKS + len(bands) * (1 + len(STEMS)))
+    ki = iter(keys)
+    params: Dict[str, jnp.ndarray] = {}
+    for b, (lo, hi) in enumerate(bands):
+        width = hi - lo
+        params[f"enc{b}_w"] = _glorot(next(ki), (2 * width, D_MODEL))
+        params[f"enc{b}_b"] = jnp.zeros(D_MODEL)
+        for s, stem in enumerate(STEMS):
+            params[f"dec{b}_{stem}_w"] = _glorot(next(ki), (D_MODEL, 2 * width))
+            params[f"dec{b}_{stem}_b"] = jnp.zeros(2 * width)
+    n_bands_eff = len(bands)
+    for blk in range(N_BLOCKS):
+        # depthwise conv over time (kernel 5) + pointwise
+        params[f"blk{blk}_tconv"] = 0.1 * jax.random.normal(
+            next(ki), (5, D_MODEL), dtype=jnp.float32
+        )
+        params[f"blk{blk}_tmix_w"] = _glorot(next(ki), (D_MODEL, D_MODEL))
+        params[f"blk{blk}_tmix_b"] = jnp.zeros(D_MODEL)
+        params[f"blk{blk}_bmix_w"] = _glorot(next(ki), (n_bands_eff, n_bands_eff))
+    return params
+
+
+def _encode(params, spec: jnp.ndarray, bands) -> jnp.ndarray:
+    """spec (bins, T) complex -> features (T, n_bands, D)."""
+
+    feats = []
+    for b, (lo, hi) in enumerate(bands):
+        seg = spec[lo:hi]  # (width, T)
+        x = jnp.concatenate([seg.real, seg.imag], axis=0).T  # (T, 2*width)
+        feats.append(
+            jnp.tanh(jnp.dot(x, params[f"enc{b}_w"], preferred_element_type=jnp.float32) + params[f"enc{b}_b"])
+        )
+    return jnp.stack(feats, axis=1)  # (T, B, D)
+
+
+def _mixing_block(params, blk: int, h: jnp.ndarray) -> jnp.ndarray:
+    """(T, B, D): depthwise time conv + pointwise + band mixing, residual."""
+
+    k = params[f"blk{blk}_tconv"]  # (5, D)
+    hp = jnp.pad(h, ((2, 2), (0, 0), (0, 0)))
+    conv = sum(k[j][None, None, :] * hp[j : j + h.shape[0]] for j in range(5))
+    t = jax.nn.gelu(
+        jnp.dot(conv, params[f"blk{blk}_tmix_w"], preferred_element_type=jnp.float32)
+        + params[f"blk{blk}_tmix_b"]
+    )
+    h = h + t
+    # band mixing: matmul over the band axis
+    bm = jnp.einsum("tbd,bc->tcd", h, params[f"blk{blk}_bmix_w"])
+    return h + jax.nn.gelu(bm)
+
+
+def forward_masks(params, spec: jnp.ndarray, *, n_bands: int = 16) -> Dict[str, jnp.ndarray]:
+    """Complex masks per stem, each (bins, T)."""
+
+    bands = band_edges(n_bands)
+    h = _encode(params, spec, bands)
+    for blk in range(N_BLOCKS):
+        h = _mixing_block(params, blk, h)
+
+    masks: Dict[str, jnp.ndarray] = {}
+    t_frames = spec.shape[1]
+    for stem in STEMS:
+        parts: List[jnp.ndarray] = []
+        for b, (lo, hi) in enumerate(bands):
+            width = hi - lo
+            y = (
+                jnp.dot(
+                    h[:, b, :],
+                    params[f"dec{b}_{stem}_w"],
+                    preferred_element_type=jnp.float32,
+                )
+                + params[f"dec{b}_{stem}_b"]
+            )  # (T, 2*width)
+            mask = jax.lax.complex(y[:, :width], y[:, width:]).T  # (width, T)
+            parts.append(mask)
+        masks[stem] = jnp.concatenate(parts, axis=0)[:, :t_frames]
+    return masks
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def separate_signal(params, y: jnp.ndarray, *, n_samples: int) -> jnp.ndarray:
+    """Mono signal -> (4, n_samples) stems via masked ISTFT."""
+
+    spec = stft(y, N_FFT, HOP)
+    masks = forward_masks(params, spec)
+    stems = [istft(spec * masks[s], N_FFT, HOP, n_samples) for s in STEMS]
+    return jnp.stack(stems)
+
+
+def save_checkpoint(params: Dict[str, jnp.ndarray], path: "str | Path") -> None:
+    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_checkpoint(path: "str | Path") -> Dict[str, jnp.ndarray]:
+    with np.load(path) as data:
+        return {k: jnp.asarray(data[k]) for k in data.files}
+
+
+def run_from_checkpoint(
+    path: "str | Path", samples: np.ndarray, sample_rate: int, *, seed: int = 0
+) -> Dict[str, np.ndarray]:
+    del sample_rate, seed  # model is sample-rate agnostic at 44.1k training
+    params = load_checkpoint(path)
+    y = jnp.asarray(np.asarray(samples, dtype=np.float32))
+    out = np.asarray(separate_signal(params, y, n_samples=int(y.shape[-1])))
+    return dict(zip(STEMS, out))

@@ -29,31 +29,57 @@ def gaussian_kernel(sigma: float, truncate: float = 4.0) -> np.ndarray:
 
 
 def gaussian_filter1d(x: jnp.ndarray, sigma: float, axis: int = -1) -> jnp.ndarray:
-    """Gaussian smoothing along ``axis`` with reflect boundaries."""
+    """Gaussian smoothing along ``axis`` with reflect boundaries.
 
-    kernel = jnp.asarray(gaussian_kernel(float(sigma)))
-    radius = kernel.shape[0] // 2
+    Narrow kernels correlate via shifted-slice FMAs; wide kernels (the
+    0.5 s percussive-ratio smoother, K=345) go through one FFT
+    convolution — both avoid TPU-hostile gathers.
+    """
+
+    kernel_np = gaussian_kernel(float(sigma))
+    ksize = kernel_np.shape[0]
+    radius = ksize // 2
     x = jnp.moveaxis(x, axis, -1)
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(radius, radius)], mode="reflect")
-    # correlate: y[i] = sum_j xp[i + j] * k[j]
     n = x.shape[-1]
-    idx = jnp.arange(n)[:, None] + jnp.arange(kernel.shape[0])[None, :]
-    y = jnp.dot(xp[..., idx], kernel, preferred_element_type=jnp.float32)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(radius, radius)], mode="reflect")
+
+    if ksize <= 48:
+        kernel = jnp.asarray(kernel_np)
+        y = jnp.zeros_like(x)
+        for j in range(ksize):
+            y = y + kernel[j] * xp[..., j : j + n]
+    else:
+        n_fft = int(2 ** np.ceil(np.log2(xp.shape[-1] + ksize)))
+        spec = jnp.fft.rfft(xp, n=n_fft, axis=-1) * jnp.fft.rfft(
+            jnp.asarray(kernel_np), n=n_fft
+        )
+        # FFT computes convolution; for the symmetric kernel correlation
+        # equals convolution shifted by ksize-1 relative to the padded
+        # input: y[t] = conv[t + ksize - 1].
+        y = jnp.fft.irfft(spec, n=n_fft, axis=-1)[..., ksize - 1 : ksize - 1 + n]
     return jnp.moveaxis(y, -1, axis)
 
 
 def _median_windows(xp: jnp.ndarray, n: int, size: int, chunk: int) -> jnp.ndarray:
-    """Median over sliding windows along the last axis, chunked to bound memory."""
+    """Median over sliding windows along the last axis, chunked to bound
+    memory. Windows come from ``size`` contiguous dynamic slices per chunk
+    (no gather — TPU-friendly)."""
 
     n_chunks = -(-n // chunk)
     total = n_chunks * chunk
     xp = jnp.pad(xp, [(0, 0)] * (xp.ndim - 1) + [(0, total + size - 1 - xp.shape[-1])])
+    axis = xp.ndim - 1
 
     offsets = jnp.arange(n_chunks) * chunk
 
     def one_chunk(start):
-        idx = start + jnp.arange(chunk)[:, None] + jnp.arange(size)[None, :]
-        win = xp[..., idx]  # (..., chunk, size)
+        win = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(xp, start + j, chunk, axis=axis)
+                for j in range(size)
+            ],
+            axis=-1,
+        )  # (..., chunk, size)
         return jnp.median(win, axis=-1)
 
     out = jax.lax.map(one_chunk, offsets)  # (n_chunks, ..., chunk)
@@ -95,10 +121,20 @@ def hpss(s: jnp.ndarray, *, kernel_size: int = 31, power: float = 2.0) -> tuple[
     Median-filter along time for the harmonic reference, along frequency for
     the percussive reference, then split via soft masks (reference semantics:
     structure.py:52 -> librosa.decompose.hpss defaults, margin=1).
+
+    On TPU backends with the default kernel size the sliding median runs
+    as a Pallas VMEM kernel (ops/pallas_median.py); the chunked XLA path
+    is the CPU/reference implementation.
     """
 
-    harm_ref = median_filter_1d(s, kernel_size, axis=-1)
-    perc_ref = median_filter_1d(s, kernel_size, axis=-2)
+    from .pallas_median import median31_last_axis, supported as _pallas_ok
+
+    if kernel_size == 31 and s.ndim == 2 and _pallas_ok():
+        harm_ref = median31_last_axis(s)
+        perc_ref = median31_last_axis(s.T).T
+    else:
+        harm_ref = median_filter_1d(s, kernel_size, axis=-1)
+        perc_ref = median_filter_1d(s, kernel_size, axis=-2)
     mask_h = softmask(harm_ref, perc_ref, power=power, split_zeros=True)
     mask_p = softmask(perc_ref, harm_ref, power=power, split_zeros=True)
     return s * mask_h, s * mask_p

@@ -1,0 +1,113 @@
+"""Pallas TPU kernel: sliding median-of-31 along the last axis.
+
+HPSS (filters.hpss) is the one op XLA cannot fuse: the generic lowering
+materialises a 31x windows tensor (~2 GB for a 3-minute spectrogram) and
+runs a generic sort. This kernel streams (BF, BT+32) slabs HBM->VMEM,
+forms the 31 shifted windows as VMEM slices, and computes the median with
+a Batcher bitonic min/max network entirely on the VPU — one read and one
+write of the spectrogram instead of ~30.
+
+Used on TPU backends; the chunked XLA implementation (filters.py) remains
+the reference semantics and the CPU path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["median31_last_axis", "supported"]
+
+_SIZE = 31
+_BF = 32  # sublane tile (rows)
+_BT = 512  # lane tile (cols)
+_HALO = 128  # >= _SIZE - 1; Mosaic requires 128-lane-aligned DMA slices
+
+
+def supported() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+@lru_cache(maxsize=1)
+def _bitonic_pairs(n: int = 32):
+    """Comparator schedule of Batcher's bitonic sorting network."""
+
+    pairs = []
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j > 0:
+            for i in range(n):
+                partner = i ^ j
+                if partner > i:
+                    ascending = (i & k) == 0
+                    pairs.append((i, partner, ascending))
+            j //= 2
+        k *= 2
+    return tuple(pairs)
+
+
+def _median31_kernel(x_hbm, out_ref, slab, sem):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * _BF, _BF), pl.ds(j * _BT, _BT + _HALO)],
+        slab,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    vals = [slab[:, k : k + _BT] for k in range(_SIZE)]
+    vals.append(jnp.full((_BF, _BT), jnp.inf, dtype=slab.dtype))
+
+    for a, b, ascending in _bitonic_pairs(32):
+        lo = jnp.minimum(vals[a], vals[b])
+        hi = jnp.maximum(vals[a], vals[b])
+        if ascending:
+            vals[a], vals[b] = lo, hi
+        else:
+            vals[a], vals[b] = hi, lo
+
+    # Median of 31 values = ascending-sorted index 15 (the +inf pad sits
+    # at index 31 and never reaches 15).
+    out_ref[:, :] = vals[15]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def median31_last_axis(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """Sliding median (size 31, reflect boundaries) along the last axis of
+    a 2-D array. TPU-only (``interpret=True`` for CPU testing); numerically
+    identical to filters.median_filter_1d(x, 31, axis=-1)."""
+
+    f, t = x.shape
+    radius = _SIZE // 2
+    fp = -(-f // _BF) * _BF
+    tp = -(-t // _BT) * _BT
+    # [reflect(15) | signal | zeros to tile + halo]
+    xp = jnp.pad(x, ((0, fp - f), (radius, radius)), mode="reflect")
+    xp = jnp.pad(xp, ((0, 0), (0, tp - t + _HALO - 2 * radius)))
+
+    out = pl.pallas_call(
+        _median31_kernel,
+        grid=(fp // _BF, tp // _BT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (_BF, _BT), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((fp, tp), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_BF, _BT + _HALO), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp)
+    return out[:f, :t]

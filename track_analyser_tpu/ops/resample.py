@@ -89,10 +89,11 @@ def oversampled_peak(x: jnp.ndarray, up: int = 8) -> jnp.ndarray:
     shift = (n_rows - 1) // 2  # = half_len // up = 10
     n = x.shape[-1]
     xp = jnp.pad(x, (n_rows - 1 - shift, shift))
-    # Frames of reversed windows: X[n, q] = xp[n + (n_rows-1) - q]
-    idx = (
-        jnp.arange(n)[:, None] + (n_rows - 1) - jnp.arange(n_rows)[None, :]
+    # Reversed windows X[n, q] = xp[n + (n_rows-1) - q], assembled from
+    # n_rows contiguous shifted slices (no gather — TPU-friendly).
+    frames = jnp.stack(
+        [xp[(n_rows - 1 - q) : (n_rows - 1 - q) + n] for q in range(n_rows)],
+        axis=-1,
     )
-    frames = xp[idx]
     y = jnp.dot(frames, hmat, preferred_element_type=jnp.float32)
     return jnp.max(jnp.abs(y))

@@ -41,17 +41,39 @@ def frame_signal(
 
     With ``center=True`` the signal is zero-padded by frame_length//2 on
     both sides so frame t is centred at sample t*hop_length.
+
+    TPU note: XLA gathers are slow on TPU, so when frame_length is a
+    multiple of hop_length (every framing in this codebase) frames are
+    assembled from k = frame_length // hop_length contiguous shifted
+    reshapes — pure slices, no gather.
     """
 
     n = y.shape[-1]
     if center:
         pad = frame_length // 2
-        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)])
         total = 1 + n // hop_length
     else:
+        pad = 0
         total = 1 + (n - frame_length) // hop_length
+
+    if frame_length % hop_length == 0 and pad % hop_length == 0:
+        k = frame_length // hop_length
+        # Frame t covers padded samples [t*hop, t*hop + frame): exactly
+        # chunk rows t .. t+k-1 of the hop-chunked padded signal.
+        need_chunks = total - 1 + k
+        tail = need_chunks * hop_length - (pad + n)
+        yp = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, max(tail, 0))])
+        chunks = yp[..., : need_chunks * hop_length].reshape(
+            y.shape[:-1] + (need_chunks, hop_length)
+        )
+        parts = [chunks[..., j : j + total, :] for j in range(k)]
+        return jnp.concatenate(parts, axis=-1)
+
+    # General case (unused by the built-in configs): gather framing.
     starts = jnp.arange(total) * hop_length
     idx = starts[:, None] + jnp.arange(frame_length)[None, :]
+    if center:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)])
     return y[..., idx]
 
 

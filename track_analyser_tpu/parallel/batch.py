@@ -73,10 +73,11 @@ def result_from_graph_outputs(
 
     # --- downbeats (accent decoder over fused curves) --------------------
     tracked = downbeat_model.decode_from_accent(
-        env,
-        np.asarray(out["low_flux"], dtype=np.float64)[:f_valid],
+        np.asarray(out["beat_energy"], dtype=np.float64)[:f_valid],
+        np.asarray(out["low_energy"], dtype=np.float64)[:f_valid],
         np.asarray(beat_result.beat_times, dtype=float),
         sr,
+        flux=env,
     )
     if tracked is not None and tracked.downbeat_times:
         downbeat_result = beats_mod.DownbeatAnalysis(
@@ -209,22 +210,33 @@ def result_from_graph_outputs(
     )
 
 
-def _pad_track(audio: AudioInput, n_bucket: int) -> tuple[np.ndarray, np.ndarray, int]:
+def _pad_track(audio: AudioInput, n_bucket: int) -> tuple[np.ndarray, int]:
+    """Channel-major (2, n_bucket) payload; mono tracks duplicate their
+    channel on host only when no stereo exists (the device downmix
+    mean(stereo) then reproduces the mono signal exactly)."""
+
     n = len(audio.samples)
-    y = np.zeros(n_bucket, dtype=np.float32)
-    y[:n] = audio.samples
     stereo = np.zeros((2, n_bucket), dtype=np.float32)
     if audio.stereo_samples is not None and audio.stereo_samples.ndim == 2:
         stereo[:, :n] = audio.stereo_samples[:2, :n]
     else:
         stereo[0, :n] = audio.samples
         stereo[1, :n] = audio.samples
-    return y, stereo, n
+    return stereo, n
 
 
 @partial(jax.jit, static_argnames=("sr",))
-def _single_graph(y, stereo, n_valid, *, sr):
-    return full_track_graph(y, stereo, n_valid, sr=sr)
+def _single_graph(stereo, n_valid, *, sr):
+    return full_track_graph(stereo, n_valid, sr=sr)
+
+
+@partial(jax.jit, static_argnames=("sr", "n_bucket"))
+def _single_graph_from_mono(y, n_valid, *, sr, n_bucket):
+    """Mono fast path: upload only (n,) samples; pad + duplicate on device."""
+
+    yp = jnp.zeros(n_bucket, dtype=jnp.float32).at[: y.shape[-1]].set(y)
+    stereo = jnp.stack([yp, yp])
+    return full_track_graph(stereo, n_valid, sr=sr)
 
 
 def analyse_track_fused(
@@ -238,10 +250,18 @@ def analyse_track_fused(
     audio = source if isinstance(source, AudioInput) else coerce_audio(source)
     n = len(audio.samples)
     n_bucket = bucket_length(n) if bucket else n
-    y, stereo, n_valid = _pad_track(audio, n_bucket)
-    out = _single_graph(
-        jnp.asarray(y), jnp.asarray(stereo), jnp.asarray(n_valid), sr=audio.sample_rate
-    )
+    if audio.stereo_samples is None:
+        out = _single_graph_from_mono(
+            jnp.asarray(np.asarray(audio.samples, dtype=np.float32)),
+            jnp.asarray(n),
+            sr=audio.sample_rate,
+            n_bucket=n_bucket,
+        )
+    else:
+        stereo, n_valid = _pad_track(audio, n_bucket)
+        out = _single_graph(
+            jnp.asarray(stereo), jnp.asarray(n_valid), sr=audio.sample_rate
+        )
     out = jax.device_get(out)
     return result_from_graph_outputs(audio, out, seed=seed)
 
@@ -309,23 +329,18 @@ def analyse_library(
         for n_bucket, items in sorted(groups.items()):
             for start in range(0, len(items), n_dev):
                 chunk = items[start : start + n_dev]
-                pad_to = n_dev
-                ys, stereos, valids = [], [], []
+                stereos, valids = [], []
                 for _, _, audio in chunk:
-                    y, st, nv = _pad_track(audio, n_bucket)
-                    ys.append(y)
+                    st, nv = _pad_track(audio, n_bucket)
                     stereos.append(st)
                     valids.append(nv)
-                while len(ys) < pad_to:  # pad batch to the device count
-                    ys.append(np.zeros(n_bucket, dtype=np.float32))
+                while len(stereos) < n_dev:  # pad batch to the device count
                     stereos.append(np.zeros((2, n_bucket), dtype=np.float32))
                     valids.append(n_bucket)
 
-                shard = data_sharding(mesh)
-                yb = jax.device_put(np.stack(ys), data_sharding(mesh, rank=2))
                 sb = jax.device_put(np.stack(stereos), data_sharding(mesh, rank=3))
-                vb = jax.device_put(np.asarray(valids), shard)
-                out = jax.device_get(batched(yb, sb, vb))
+                vb = jax.device_put(np.asarray(valids), data_sharding(mesh))
+                out = jax.device_get(batched(sb, vb))
 
                 for k, (idx, src, audio) in enumerate(chunk):
                     track_out = {key: val[k] for key, val in out.items()}

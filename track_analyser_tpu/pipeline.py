@@ -66,6 +66,7 @@ def analyse_track(
     use_stems: bool = False,
     seed: int = DEFAULT_SEED,
     progress_callback: Optional[Callable[[str], None]] = None,
+    fused: bool = True,
 ) -> TrackAnalysisResult:
     """Run the deterministic analysis pipeline on ``source``.
 
@@ -73,11 +74,24 @@ def analyse_track(
     is a file path or preloaded :class:`AudioInput`; ``output_dir`` triggers
     artefact rendering; ``use_stems`` enables stem separation; ``seed``
     drives every deterministic component.
+
+    ``fused=True`` (default) runs all device work as ONE XLA dispatch
+    through the shared substrate (substrate.py); ``fused=False`` runs the
+    per-module graphs (identical results, more dispatches).
     """
 
     audio = source if isinstance(source, AudioInput) else coerce_audio(source)
     if progress_callback:
         progress_callback("audio")
+
+    if fused:
+        return _analyse_track_fused_path(
+            audio,
+            output_dir=output_dir,
+            use_stems=use_stems,
+            seed=seed,
+            progress_callback=progress_callback,
+        )
 
     beat_result, _bpm = _beat_stage(audio)
     downbeat_result = beats.analyse_downbeats(audio, beat_result, seed=seed)
@@ -126,6 +140,42 @@ def analyse_track(
 
     if output_dir is not None:
         from .rendering import outputs  # local import to avoid a circular dep
+
+        outputs.render_all(result, Path(output_dir))
+        if progress_callback:
+            progress_callback("render")
+
+    return result
+
+
+def _analyse_track_fused_path(
+    audio: AudioInput,
+    *,
+    output_dir: "Optional[str | Path]",
+    use_stems: bool,
+    seed: int,
+    progress_callback: Optional[Callable[[str], None]],
+) -> TrackAnalysisResult:
+    """Single-dispatch path: one fused graph, then host finishers.
+
+    The stage callbacks fire in the reference's order (pipeline.py:57-99)
+    after the corresponding host finisher completes.
+    """
+
+    from .parallel import batch  # local import to avoid a circular dep
+
+    result = batch.analyse_track_fused(audio, seed=seed)
+    if progress_callback:
+        for stage in ("beats", "structure", "loudness", "harmonic", "features", "stereo"):
+            progress_callback(stage)
+
+    if use_stems:
+        result.stems = stems.separate_stems(audio.path, output_dir, seed=seed)
+        if progress_callback:
+            progress_callback("stems")
+
+    if output_dir is not None:
+        from .rendering import outputs
 
         outputs.render_all(result, Path(output_dir))
         if progress_callback:

@@ -69,7 +69,6 @@ def _minmax_normalise(curve: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def full_track_graph(
-    y: jnp.ndarray,
     stereo: jnp.ndarray,
     n_valid: jnp.ndarray,
     *,
@@ -78,8 +77,9 @@ def full_track_graph(
     """Complete device-side analysis of one (padded) track.
 
     Args:
-      y: mono samples, f32[n_padded] (zeros beyond n_valid).
-      stereo: f32[2, n_padded] (mono duplicated when the source is mono).
+      stereo: f32[2, n_padded] channel-major samples, zeros beyond
+        n_valid (mono sources duplicate their channel — the host never
+        uploads a separate mono buffer; the downmix happens on device).
       n_valid: true sample count (traced scalar).
       sr: sample rate (static).
 
@@ -87,6 +87,7 @@ def full_track_graph(
     pipeline.py / parallel/batch.py for how each is consumed.
     """
 
+    y = jnp.mean(stereo, axis=0)
     cfg = DEFAULT_CONFIG
     hop = cfg.hop_length
     n_fft = cfg.n_fft
@@ -110,12 +111,10 @@ def full_track_graph(
     out["onset_env"] = env
     out["autocorr"] = autocorrelate(env)
 
-    # Low-band (kick-range) flux for the accent downbeat decoder
-    # (models/downbeat.py).
+    # Linear accent curves for the downbeat decoder (models/downbeat.py).
     n_low = max(2, int(150.0 * n_fft / sr))
-    low_db = power_to_db(jnp.sum(power[:n_low], axis=0) + 1e-12)
-    low_flux = jnp.pad(jnp.maximum(0.0, low_db[1:] - low_db[:-1]), (1, 0))
-    out["low_flux"] = jnp.where(fmask, low_flux, 0.0)
+    out["beat_energy"] = jnp.where(fmask, jnp.sqrt(jnp.sum(mel_power, axis=0) + 1e-12), 0.0)
+    out["low_energy"] = jnp.where(fmask, jnp.sqrt(jnp.sum(power[:n_low], axis=0) + 1e-12), 0.0)
 
     # ---- structure: HPSS + combined novelty ---------------------------
     harmonic, percussive = hpss(mag, kernel_size=cfg.hpss_kernel, power=cfg.hpss_power)
@@ -166,8 +165,10 @@ def full_track_graph(
 
     # ---- harmony: chroma projections + key scores ---------------------
     chroma_st = chroma_from_power(power, chroma_stft_filterbank(sr, n_fft))
-    cq_mag = magnitude(y, cfg.cq_n_fft, hop, power=1.0)
+    cq_mag = magnitude(y, cfg.cq_n_fft, cfg.cq_hop, power=1.0)
     chroma_cq = chroma_from_power(cq_mag, cq_chroma_filterbank(sr, cfg.cq_n_fft))
+    # Upsample the coarse-hop chroma to hop_length frame indexing.
+    chroma_cq = jnp.repeat(chroma_cq, cfg.cq_hop // hop, axis=1)[:, :total_frames]
     out["chroma_cq"] = chroma_cq
 
     from .harmony import MAJOR_PROFILE, MINOR_PROFILE  # host constants
@@ -277,5 +278,5 @@ def full_track_graph(
 
 
 @partial(jax.jit, static_argnames=("sr",))
-def jitted_full_track_graph(y, stereo, n_valid, *, sr):
-    return full_track_graph(y, stereo, n_valid, sr=sr)
+def jitted_full_track_graph(stereo, n_valid, *, sr):
+    return full_track_graph(stereo, n_valid, sr=sr)
