@@ -215,6 +215,20 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
     except AudioDecodeError as exc:
         raise RuntimeError(f"Could not decode audio file: {file_path}") from exc
 
+    # MPEG audio (ID3 tag or frame sync) via the system libmpg123.
+    looks_mpeg = head[0:3] == b"ID3" or (
+        len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
+    )
+    suffix = Path(file_path).suffix.lower()
+    if looks_mpeg or suffix in (".mp3", ".mp2", ".mpga"):
+        try:
+            from . import mpg123
+
+            if mpg123.available():
+                return mpg123.decode_mp3(file_path)
+        except RuntimeError:
+            pass
+
     raise RuntimeError(f"Could not decode audio file: {file_path}")
 
 

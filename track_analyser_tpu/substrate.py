@@ -280,3 +280,71 @@ def full_track_graph(
 @partial(jax.jit, static_argnames=("sr",))
 def jitted_full_track_graph(stereo, n_valid, *, sr):
     return full_track_graph(stereo, n_valid, sr=sr)
+
+
+# ---------------------------------------------------------------------------
+# Packed transport: a remote device (e.g. the relay-tunnelled chip used in
+# CI) pays a fixed round-trip per fetched buffer, so the ~20 output arrays
+# are packed into 3 on device and unpacked on host.
+# ---------------------------------------------------------------------------
+
+_CURVE_ROWS = (
+    "onset_env",
+    "autocorr",
+    "novelty",
+    "energy_novelty",
+    "perc_col",
+    "harm_col",
+    "beat_energy",
+    "low_energy",
+    "centroid",
+    "rolloff",
+    "ltas",
+    "short_term_db",
+    "momentary_db",
+)
+_SCALARS = (
+    "f_valid",
+    "integrated_lufs",
+    "true_peak",
+    "rms",
+    "balance_total",
+    "balance_low",
+    "balance_mid",
+    "balance_high",
+    "stereo_corr_centered",
+    "stereo_balance",
+    "mid_rms",
+    "side_rms",
+)
+
+
+def pack_outputs(out: Dict[str, jnp.ndarray]) -> tuple:
+    """(curves (13, W), chroma (12, F), vec) — 3 buffers instead of ~20."""
+
+    width = max(int(out[name].shape[-1]) for name in _CURVE_ROWS)
+    rows = [
+        jnp.pad(out[name].astype(jnp.float32), (0, width - out[name].shape[-1]))
+        for name in _CURVE_ROWS
+    ]
+    curves = jnp.stack(rows)
+    vec = jnp.concatenate(
+        [
+            jnp.stack([out[name].astype(jnp.float32) for name in _SCALARS]),
+            out["stereo_widths"].astype(jnp.float32),
+            out["key_scores"].astype(jnp.float32),
+        ]
+    )
+    return curves, out["chroma_cq"], vec
+
+
+def unpack_outputs(curves: np.ndarray, chroma: np.ndarray, vec: np.ndarray) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {
+        name: np.asarray(curves[i]) for i, name in enumerate(_CURVE_ROWS)
+    }
+    out["chroma_cq"] = np.asarray(chroma)
+    for i, name in enumerate(_SCALARS):
+        out[name] = np.asarray(vec[i])
+    out["stereo_widths"] = np.asarray(vec[len(_SCALARS) : len(_SCALARS) + 3])
+    out["key_scores"] = np.asarray(vec[len(_SCALARS) + 3 :])
+    return out
