@@ -29,7 +29,7 @@ def test_accent_tracker_finds_downbeat_phase():
     y, sr, beat_times = _accented_click_track()
     result = downbeat.track_downbeats(y, sr, beat_times)
     assert result is not None
-    assert result.source == "accent"
+    assert result.source in ("accent", "rnn")  # rnn once a checkpoint ships
     assert result.beat_positions[0] == 1  # accent is on beat 0
     # downbeats every 4 beats from 0
     np.testing.assert_allclose(result.downbeat_times, beat_times[::4], atol=1e-9)
@@ -48,6 +48,26 @@ def test_accent_tracker_detects_shifted_phase():
     assert result.beat_positions[0] == 3
     assert result.beat_positions[2] == 1
     np.testing.assert_allclose(result.downbeat_times, shifted[2::4], atol=1e-9)
+
+
+def test_net_checkpoint_enables_rnn_source(tmp_path, monkeypatch):
+    """A trained activation checkpoint upgrades the decoder source."""
+
+    params, _ = downbeat_net.train_downbeat(
+        steps=2, batch=2, frames=128, hidden=32, log_every=0
+    )
+    ckpt = tmp_path / "db.npz"
+    downbeat_net.save_checkpoint(params, ckpt)
+    monkeypatch.setenv("TRACK_ANALYSER_TPU_DOWNBEAT_CKPT", str(ckpt))
+    downbeat._net_params_cache.clear()
+
+    y, sr, beat_times = _accented_click_track(bars=4)
+    result = downbeat.track_downbeats(y, sr, beat_times)
+    assert result is not None
+    assert result.source == "rnn"
+
+    monkeypatch.delenv("TRACK_ANALYSER_TPU_DOWNBEAT_CKPT")
+    downbeat._net_params_cache.clear()
 
 
 def test_downbeat_net_train_step_reduces_loss():

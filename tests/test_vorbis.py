@@ -1,0 +1,184 @@
+"""Ogg Vorbis decode path: round-trip through the system libvorbisenc/
+libogg encoder (ctypes) and libvorbisfile decoder."""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from track_analyser_tpu.io import load_audio
+from track_analyser_tpu.io import vorbis
+
+
+# --- minimal ctypes Ogg Vorbis encoder (test-only) -------------------------
+
+
+class _OggPacket(ctypes.Structure):
+    _fields_ = [
+        ("packet", ctypes.POINTER(ctypes.c_ubyte)),
+        ("bytes", ctypes.c_long),
+        ("b_o_s", ctypes.c_long),
+        ("e_o_s", ctypes.c_long),
+        ("granulepos", ctypes.c_int64),
+        ("packetno", ctypes.c_int64),
+    ]
+
+
+class _OggPage(ctypes.Structure):
+    _fields_ = [
+        ("header", ctypes.POINTER(ctypes.c_ubyte)),
+        ("header_len", ctypes.c_long),
+        ("body", ctypes.POINTER(ctypes.c_ubyte)),
+        ("body_len", ctypes.c_long),
+    ]
+
+
+def _blob(n=4096):
+    return ctypes.c_byte * n
+
+
+class _OggStreamState(ctypes.Structure):
+    _fields_ = [("_opaque", _blob(1024))]
+
+
+class _VorbisInfo(ctypes.Structure):
+    _fields_ = [("_opaque", _blob(256))]
+
+
+class _VorbisComment(ctypes.Structure):
+    _fields_ = [("_opaque", _blob(256))]
+
+
+class _VorbisDspState(ctypes.Structure):
+    _fields_ = [("_opaque", _blob(2048))]
+
+
+class _VorbisBlock(ctypes.Structure):
+    _fields_ = [("_opaque", _blob(2048))]
+
+
+def _encode_ogg(path: Path, pcm: np.ndarray, sr: int) -> bool:
+    names = {}
+    for key, candidates in {
+        "ogg": ("ogg", "libogg.so.0"),
+        "vorbis": ("vorbis", "libvorbis.so.0"),
+        "vorbisenc": ("vorbisenc", "libvorbisenc.so.2"),
+    }.items():
+        lib = None
+        for cand in candidates:
+            try:
+                lib = ctypes.CDLL(ctypes.util.find_library(cand) or cand)
+                break
+            except OSError:
+                continue
+        if lib is None:
+            return False
+        names[key] = lib
+    ogg, vb, enc = names["ogg"], names["vorbis"], names["vorbisenc"]
+
+    vi = _VorbisInfo()
+    vb.vorbis_info_init(ctypes.byref(vi))
+    if enc.vorbis_encode_init_vbr(
+        ctypes.byref(vi), ctypes.c_long(1), ctypes.c_long(sr), ctypes.c_float(0.4)
+    ) != 0:
+        return False
+
+    vc = _VorbisComment()
+    vb.vorbis_comment_init(ctypes.byref(vc))
+    vd = _VorbisDspState()
+    vblk = _VorbisBlock()
+    vb.vorbis_analysis_init(ctypes.byref(vd), ctypes.byref(vi))
+    vb.vorbis_block_init(ctypes.byref(vd), ctypes.byref(vblk))
+
+    os_ = _OggStreamState()
+    ogg.ogg_stream_init(ctypes.byref(os_), 1)
+
+    header, header_comm, header_code = _OggPacket(), _OggPacket(), _OggPacket()
+    vb.vorbis_analysis_headerout(
+        ctypes.byref(vd),
+        ctypes.byref(vc),
+        ctypes.byref(header),
+        ctypes.byref(header_comm),
+        ctypes.byref(header_code),
+    )
+    for pkt in (header, header_comm, header_code):
+        ogg.ogg_stream_packetin(ctypes.byref(os_), ctypes.byref(pkt))
+
+    out = bytearray()
+    page = _OggPage()
+
+    def flush_pages(force: bool) -> None:
+        fn = ogg.ogg_stream_flush if force else ogg.ogg_stream_pageout
+        while fn(ctypes.byref(os_), ctypes.byref(page)) != 0:
+            out.extend(ctypes.string_at(page.header, page.header_len))
+            out.extend(ctypes.string_at(page.body, page.body_len))
+
+    flush_pages(True)
+
+    vb.vorbis_analysis_buffer.restype = ctypes.POINTER(
+        ctypes.POINTER(ctypes.c_float)
+    )
+    chunk = 1024
+    pos = 0
+    while pos <= pcm.size:
+        n = min(chunk, pcm.size - pos)
+        buf = vb.vorbis_analysis_buffer(ctypes.byref(vd), chunk)
+        if n > 0:
+            ctypes.memmove(
+                buf[0],
+                pcm[pos : pos + n].astype(np.float32).ctypes.data,
+                n * 4,
+            )
+        vb.vorbis_analysis_wrote(ctypes.byref(vd), n)
+        pos += chunk
+        while vb.vorbis_analysis_blockout(ctypes.byref(vd), ctypes.byref(vblk)) == 1:
+            vb.vorbis_analysis(ctypes.byref(vblk), None)
+            vb.vorbis_bitrate_addblock(ctypes.byref(vblk))
+            pkt = _OggPacket()
+            while vb.vorbis_bitrate_flushpacket(ctypes.byref(vd), ctypes.byref(pkt)) == 1:
+                ogg.ogg_stream_packetin(ctypes.byref(os_), ctypes.byref(pkt))
+                flush_pages(False)
+        if n == 0:
+            break
+    flush_pages(True)
+
+    ogg.ogg_stream_clear(ctypes.byref(os_))
+    vb.vorbis_block_clear(ctypes.byref(vblk))
+    vb.vorbis_dsp_clear(ctypes.byref(vd))
+    vb.vorbis_comment_clear(ctypes.byref(vc))
+    vb.vorbis_info_clear(ctypes.byref(vi))
+
+    path.write_bytes(bytes(out))
+    return len(out) > 0
+
+
+@pytest.fixture(scope="module")
+def ogg_fixture(tmp_path_factory):
+    if not vorbis.available():
+        pytest.skip("libvorbisfile not present")
+    sr = 44_100
+    t = np.linspace(0, 1.0, sr, endpoint=False)
+    tone = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    path = tmp_path_factory.mktemp("ogg") / "tone.ogg"
+    if not _encode_ogg(path, tone, sr):
+        pytest.skip("libvorbisenc not present")
+    return path, tone, sr
+
+
+def test_ogg_decode_metadata_and_fidelity(ogg_fixture):
+    path, tone, sr = ogg_fixture
+    data, rate, meta = load_audio(path, mono=True)
+
+    assert rate == sr
+    assert meta["file_type"] == "OGG"
+    assert meta["channels"] == 1
+    assert data.size > sr // 2
+    spec = np.abs(np.fft.rfft(data[: sr // 2]))
+    freq = np.fft.rfftfreq(sr // 2, 1 / sr)[np.argmax(spec)]
+    assert abs(freq - 440.0) < 5.0
+    rms = float(np.sqrt(np.mean(data**2)))
+    assert rms == pytest.approx(float(np.sqrt(np.mean(tone**2))), rel=0.15)

@@ -215,6 +215,16 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
     except AudioDecodeError as exc:
         raise RuntimeError(f"Could not decode audio file: {file_path}") from exc
 
+    # Ogg Vorbis via the system libvorbisfile.
+    if head[0:4] == b"OggS":
+        try:
+            from . import vorbis
+
+            if vorbis.available():
+                return vorbis.decode_ogg(file_path)
+        except RuntimeError:
+            pass
+
     # MPEG audio (ID3 tag or frame sync) via the system libmpg123.
     looks_mpeg = head[0:3] == b"ID3" or (
         len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0

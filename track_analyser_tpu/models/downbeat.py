@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
+from pathlib import Path
 from typing import List
 
 import jax
@@ -50,6 +51,32 @@ class DownbeatTrackingResult:
 
 def available() -> bool:
     return True
+
+
+_DEFAULT_CKPT = Path(__file__).parent / "checkpoints" / "downbeat_v1.npz"
+_CKPT_ENV = "TRACK_ANALYSER_TPU_DOWNBEAT_CKPT"
+_net_params_cache: dict = {}
+
+
+def _net_params():
+    """Trained activation-net weights: env override, then the bundled
+    checkpoint, else None (accent features only)."""
+
+    import os
+
+    path = os.environ.get(_CKPT_ENV) or (
+        str(_DEFAULT_CKPT) if _DEFAULT_CKPT.exists() else None
+    )
+    if path is None:
+        return None
+    if path not in _net_params_cache:
+        try:
+            from . import downbeat_net
+
+            _net_params_cache[path] = downbeat_net.load_checkpoint(path)
+        except Exception:
+            _net_params_cache[path] = None
+    return _net_params_cache[path]
 
 
 @partial(jax.jit, static_argnames=("sr",))
@@ -87,12 +114,22 @@ def track_downbeats(
     energy_j, low_j, flux_j = _accent_graph(
         jnp.asarray(np.asarray(samples, dtype=np.float32)), sr=sample_rate
     )
+    net_prob = None
+    params = _net_params()
+    if params is not None:
+        try:
+            from . import downbeat_net
+
+            net_prob = downbeat_net.downbeat_activation(params, samples, sample_rate)
+        except Exception:
+            net_prob = None
     return decode_from_accent(
         np.asarray(energy_j, dtype=np.float64),
         np.asarray(low_j, dtype=np.float64),
         beat_times,
         sample_rate,
         flux=np.asarray(flux_j, dtype=np.float64),
+        net_prob=net_prob,
     )
 
 
@@ -110,9 +147,12 @@ def decode_from_accent(
     sample_rate: int,
     *,
     flux: "np.ndarray | None" = None,
+    net_prob: "np.ndarray | None" = None,
 ) -> "DownbeatTrackingResult | None":
     """Host decoder over precomputed accent curves (shared with the fused
-    substrate graph, substrate.py)."""
+    substrate graph, substrate.py). When per-frame P(downbeat) activations
+    from the trained net are supplied they join the accent evidence and
+    the result is tagged source="rnn"."""
 
     beat_times = np.asarray(beat_times, dtype=float)
     if beat_times.size < 4:
@@ -130,6 +170,11 @@ def decode_from_accent(
     accent = _zscore(energy[idx].max(axis=1)) + _zscore(low[idx].max(axis=1))
     if flux is not None and flux.size == n_frames:
         accent = accent + 0.5 * _zscore(flux[idx].max(axis=1))
+    source = "accent"
+    if net_prob is not None and net_prob.size >= n_frames - 2:
+        np_idx = np.clip(idx, 0, net_prob.size - 1)
+        accent = accent + 2.0 * _zscore(net_prob[np_idx].max(axis=1))
+        source = "rnn"
 
     n = accent.size
     best = None
@@ -154,5 +199,5 @@ def decode_from_accent(
     return DownbeatTrackingResult(
         downbeat_times=[float(t) for t in downbeat_times],
         beat_positions=[int(p) for p in positions],
-        source="accent",
+        source=source,
     )

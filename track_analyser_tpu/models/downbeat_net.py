@@ -116,12 +116,61 @@ def train_step(
     return new_p, new_m, loss
 
 
+def save_checkpoint(params: Dict[str, jnp.ndarray], path) -> None:
+    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load_checkpoint(path) -> Dict[str, jnp.ndarray]:
+    with np.load(path) as data:
+        return {k: jnp.asarray(data[k]) for k in data.files}
+
+
+def train_downbeat(
+    steps: int = 300,
+    *,
+    batch: int = 8,
+    frames: int = 256,
+    hidden: int = 128,
+    lr: float = 5e-3,
+    seed: int = 0,
+    checkpoint_path=None,
+    log_every: int = 50,
+):
+    """Train the activation network on procedural click/accent grids."""
+
+    rng = np.random.default_rng(seed)
+    params = init_params(jax.random.PRNGKey(seed), hidden=hidden)
+    momentum = jax.tree.map(jnp.zeros_like, params)
+    losses = []
+    for step in range(steps):
+        feats, labels = synthetic_audio_batch(rng, batch=batch, frames=frames)
+        params, momentum, loss = train_step(params, momentum, feats, labels, lr)
+        losses.append(float(loss))
+        if log_every and step % log_every == 0:
+            print(f"[train_downbeat] step {step} loss {losses[-1]:.4f}", flush=True)
+    if checkpoint_path is not None:
+        save_checkpoint(params, checkpoint_path)
+    return params, losses
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--out", type=str, default="downbeat_ckpt.npz")
+    args = ap.parse_args()
+    train_downbeat(
+        args.steps, batch=args.batch, hidden=args.hidden, checkpoint_path=args.out
+    )
+
+
 def synthetic_batch(
     rng: np.random.Generator, *, batch: int = 8, frames: int = 256, n_mels: int = 128
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Procedural click-pattern batch for training/smoke (no dataset in
-    this environment; real training sweeps synthesise varied tempi,
-    meters and timbres the same way)."""
+    """Abstract click-pattern batch (fast smoke training)."""
 
     feats = rng.normal(0.0, 0.1, size=(batch, frames, n_mels)).astype(np.float32)
     labels = np.zeros((batch, frames), dtype=np.int32)
@@ -137,3 +186,86 @@ def synthetic_batch(
             if f + 1 < frames:
                 feats[b, f + 1, :] += 0.5 * amp * np.exp(-np.arange(n_mels) / 40.0)
     return feats, labels
+
+
+# ---------------------------------------------------------------------------
+# Real-feature path: the net consumes standardised log-mel frames computed
+# by the shared ops tier, so training audio and inference audio go through
+# the SAME front-end.
+# ---------------------------------------------------------------------------
+
+_SR = 22_050
+_HOP = 512
+
+
+def logmel_features(samples: np.ndarray, sr: int = _SR) -> np.ndarray:
+    """Standardised log-mel frames (T, 128) — the net's input contract."""
+
+    import jax.numpy as jnp
+
+    from ..ops.mel import mel_filterbank, melspectrogram_from_power, power_to_db
+    from ..ops.stft import magnitude
+
+    power = magnitude(jnp.asarray(np.asarray(samples, dtype=np.float32)), 2048, _HOP, power=2.0)
+    mel_db = power_to_db(melspectrogram_from_power(power, mel_filterbank(sr, 2048, 128)))
+    feats = np.asarray(mel_db).T
+    mu, sd = feats.mean(), feats.std() + 1e-6
+    return ((feats - mu) / sd).astype(np.float32)
+
+
+def synthetic_audio_example(
+    rng: np.random.Generator, *, seconds: float = 6.0, sr: int = _SR
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Synthesise a percussive pattern; return (feats (T,128), labels (T,))."""
+
+    n = int(seconds * sr)
+    bpm = rng.uniform(80, 160)
+    meter = int(rng.choice([3, 4]))
+    beat = 60.0 / bpm
+    offset = rng.uniform(0, beat)
+    y = rng.normal(0, rng.uniform(0.002, 0.02), n).astype(np.float64)
+    t_hit = np.arange(int(0.05 * sr)) / sr
+
+    beat_times = np.arange(offset, seconds - 0.05, beat)
+    for i, bt in enumerate(beat_times):
+        s = int(bt * sr)
+        e = min(n, s + t_hit.size)
+        is_down = (i % meter) == 0
+        amp = rng.uniform(0.7, 1.0) if is_down else rng.uniform(0.25, 0.55)
+        # kick-ish downbeats, hat/snare-ish other beats
+        if is_down:
+            seg = np.sin(2 * np.pi * (55 + 60 * np.exp(-t_hit * 50)) * t_hit)
+        else:
+            seg = rng.normal(0, 1.0, t_hit.size) * np.exp(-t_hit * 90)
+            seg += 0.5 * np.sin(2 * np.pi * rng.uniform(800, 2000) * t_hit)
+        y[s:e] += amp * (seg * np.exp(-t_hit * 25))[: e - s]
+    # harmonic bed
+    y += rng.uniform(0.05, 0.25) * np.sin(2 * np.pi * rng.uniform(80, 300) * np.arange(n) / sr)
+
+    feats = logmel_features(y, sr)
+    labels = np.zeros(feats.shape[0], dtype=np.int32)
+    for i, bt in enumerate(beat_times):
+        f = int(bt * sr / _HOP)
+        if 0 <= f < labels.size:
+            labels[f] = 2 if (i % meter) == 0 else 1
+            if f + 1 < labels.size and labels[f + 1] == 0:
+                labels[f + 1] = labels[f]
+    return feats, labels
+
+
+def synthetic_audio_batch(
+    rng: np.random.Generator, *, batch: int = 8, seconds: float = 6.0, frames: int = 256
+) -> Tuple[np.ndarray, np.ndarray]:
+    pairs = [synthetic_audio_example(rng, seconds=seconds) for _ in range(batch)]
+    feats = np.stack([f[:frames] for f, _ in pairs])
+    labels = np.stack([l[:frames] for _, l in pairs])
+    return feats, labels
+
+
+def downbeat_activation(params, samples: np.ndarray, sr: int) -> np.ndarray:
+    """Per-frame P(downbeat) curve (T,) on real audio."""
+
+    feats = logmel_features(samples, sr)
+    logits = forward(params, jnp.asarray(feats))
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    return probs[:, 2]
