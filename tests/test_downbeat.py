@@ -50,6 +50,27 @@ def test_accent_tracker_detects_shifted_phase():
     np.testing.assert_allclose(result.downbeat_times, shifted[2::4], atol=1e-9)
 
 
+def test_viterbi_recovers_midtrack_phase_shift():
+    """A grid slip mid-track (e.g. an edit) re-locks via the Viterbi DBN —
+    a global phase vote cannot represent two phases."""
+
+    from track_analyser_tpu.models.downbeat import decode_from_accent
+
+    n = 32
+    sr = 22_050
+    beat_times = np.arange(n) * 0.5
+    beat_frames = (beat_times * sr / 512).astype(int)
+    energy = np.full(beat_frames[-1] + 4, 0.2)
+    # downbeats at beats 0,4,8,12 then shifted to 18,22,26,30 (slip of 2)
+    for i in list(range(0, 14, 4)) + list(range(18, n, 4)):
+        energy[beat_frames[i]] = 1.0
+    result = decode_from_accent(energy, energy, beat_times, sr)
+    assert result is not None
+    positions = np.asarray(result.beat_positions)
+    assert positions[0] == 1 and positions[4] == 1
+    assert positions[18] == 1 and positions[22] == 1
+
+
 def test_net_checkpoint_enables_rnn_source(tmp_path, monkeypatch):
     """A trained activation checkpoint upgrades the decoder source."""
 

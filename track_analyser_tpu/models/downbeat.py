@@ -133,6 +133,64 @@ def track_downbeats(
     )
 
 
+@partial(jax.jit, static_argnames=("meter",))
+def _viterbi_meter(accent: jnp.ndarray, *, meter: int):
+    """Bar-position Viterbi over one meter (the DBN decode as lax.scan).
+
+    States are positions 0..meter-1 (0 = downbeat). Emissions: position 0
+    scores +accent, others -accent/(meter-1) (zero-sum so string length
+    doesn't bias the meter comparison). Transitions advance one position
+    per beat; staying or double-advancing (a missed/inserted beat) costs
+    a fixed penalty, which lets the decoder re-lock after grid slips —
+    something the global phase vote cannot do.
+    """
+
+    # Several beats' worth of evidence: a slip must be sustained, not a
+    # one-beat accent outlier.
+    slip_penalty = 10.0
+    n_states = meter
+
+    def emit(a):
+        down = a
+        other = -a / (meter - 1)
+        return jnp.full((n_states,), other).at[0].set(down)
+
+    def step(delta, a):
+        adv = jnp.roll(delta, 1)  # from position p-1
+        stay = delta - slip_penalty
+        skip = jnp.roll(delta, 2) - slip_penalty
+        stacked = jnp.stack([adv, stay, skip])
+        best = jnp.max(stacked, axis=0)
+        choice = jnp.argmax(stacked, axis=0)
+        new_delta = best + emit(a)
+        return new_delta, choice
+
+    init = emit(accent[0])
+    delta, choices = jax.lax.scan(step, init, accent[1:])
+    return delta, choices
+
+
+def _viterbi_positions(accent: np.ndarray, meter: int) -> tuple[float, np.ndarray]:
+    """Decode positions (1-based) for one meter; returns (score, positions)."""
+
+    delta, choices = _viterbi_meter(jnp.asarray(accent, dtype=jnp.float32), meter=meter)
+    delta = np.asarray(delta)
+    choices = np.asarray(choices)  # (n-1, meter): 0=advance, 1=stay, 2=skip
+    n = accent.size
+    state = int(np.argmax(delta))
+    score = float(delta[state]) / max(n, 1)
+    positions = np.zeros(n, dtype=int)
+    positions[-1] = state
+    for i in range(n - 2, -1, -1):
+        move = choices[i, state]
+        if move == 0:
+            state = (state - 1) % meter
+        elif move == 2:
+            state = (state - 2) % meter
+        positions[i] = state
+    return score, positions + 1
+
+
 def _zscore(x: np.ndarray) -> np.ndarray:
     std = float(np.std(x))
     if std < 1e-12:
@@ -175,26 +233,22 @@ def decode_from_accent(
         np_idx = np.clip(idx, 0, net_prob.size - 1)
         accent = accent + 2.0 * _zscore(net_prob[np_idx].max(axis=1))
         source = "rnn"
+    accent = np.clip(accent, -6.0, 6.0)  # bound single-beat outliers
 
     n = accent.size
     best = None
     for meter in (3, 4):
-        if n < meter:
+        if n < 2 * meter:
             continue
-        for phase in range(meter):
-            mask = (np.arange(n) % meter) == phase
-            if not np.any(mask) or np.all(mask):
-                continue
-            contrast = float(np.mean(accent[mask]) - np.mean(accent[~mask]))
-            # Prefer 4/4 on near-ties — the overwhelmingly common meter.
-            score = contrast * (1.05 if meter == 4 else 1.0)
-            if best is None or score > best[0]:
-                best = (score, meter, phase)
+        score, positions = _viterbi_positions(accent, meter)
+        # Prefer 4/4 on near-ties — the overwhelmingly common meter.
+        score = score * (1.05 if meter == 4 and score > 0 else 1.0)
+        if best is None or score > best[0]:
+            best = (score, positions)
 
     if best is None:
         return None
-    _, meter, phase = best
-    positions = ((np.arange(n) - phase) % meter) + 1
+    _, positions = best
     downbeat_times = beat_times[positions == 1]
     return DownbeatTrackingResult(
         downbeat_times=[float(t) for t in downbeat_times],
