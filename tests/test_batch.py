@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import math
+import pytest
 import wave
 from pathlib import Path
 
@@ -51,6 +52,61 @@ def test_analyze_batch_cli(tmp_path) -> None:
     )
     assert result2.exit_code == 0, result2.output
     assert len(manifest.read_text().splitlines()) == 2
+
+
+def test_int8_transport_matches_int16_within_tolerances(tmp_path) -> None:
+    from track_analyser_tpu.parallel.batch import analyse_library
+    from track_analyser_tpu.utils import AudioInput
+
+    sr = 44_100
+    t = np.linspace(0, 3.0, 3 * sr, endpoint=False)
+    y = 0.3 * np.sin(2 * math.pi * 220.0 * t)
+    for b in np.arange(0, 3.0, 0.5):
+        s = int(b * sr)
+        e = min(y.size, s + 441)
+        y[s:e] += np.exp(-np.linspace(0, 6, e - s))
+    audio = AudioInput(samples=y.astype(np.float32), sample_rate=sr)
+
+    r8 = analyse_library([audio], transport="int8")[0]
+    r16 = analyse_library([audio], transport="int16")[0]
+
+    # Tempo estimates on a 3 s snippet are fragile for BOTH transports;
+    # the real +-0.1 BPM / 5 ms contract is asserted on the 128 s track in
+    # test_tempo.py (and holds under int8 — see commit history). Here we
+    # assert the energy/key metrics, which are transport-sensitive.
+    assert r8.beat.bpm == pytest.approx(r16.beat.bpm, abs=1.5)
+    # int8 distortion on a clean sine costs ~0.08 LU; the BS.1770 contract
+    # is +-0.3 LU.
+    assert r8.loudness.integrated_lufs == pytest.approx(
+        r16.loudness.integrated_lufs, abs=0.15
+    )
+    assert r8.loudness.true_peak_dbfs == pytest.approx(
+        r16.loudness.true_peak_dbfs, abs=0.1
+    )
+    assert r8.harmonic.primary_key.key == r16.harmonic.primary_key.key
+    assert len(r8.structure.segments) == len(r16.structure.segments)
+
+
+def test_int8_transport_holds_tempo_contract() -> None:
+    """The +-0.1 BPM / 5 ms gates survive int8 transport quantisation."""
+
+    import jax.numpy as jnp
+
+    from tests.test_tempo import _noisy_click_track
+    from track_analyser_tpu.parallel.batch import _I8_BLOCK, _dequantise_i8, _quantise_i8
+    from track_analyser_tpu.tempo import beat_grid, estimate_bpm
+
+    y, sr, expected = _noisy_click_track(bars=32)
+    n_pad = -(-y.size // _I8_BLOCK) * _I8_BLOCK
+    yp = np.zeros(n_pad, dtype=np.float32)
+    yp[: y.size] = y
+    vals, scales = _quantise_i8(np.stack([yp, yp]))
+    yq = np.asarray(_dequantise_i8(jnp.asarray(vals), jnp.asarray(scales)))[0][: y.size]
+
+    assert abs(estimate_bpm(yq, sr) - 120.0) <= 0.1
+    grid = beat_grid(yq, sr)
+    actual = grid["time"].to_numpy()[: expected.size]
+    assert float(np.max(np.abs(actual - expected[: actual.size]))) <= 0.005
 
 
 def test_stage_timer_wraps_progress_callback(tmp_path) -> None:

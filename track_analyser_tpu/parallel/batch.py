@@ -35,7 +35,7 @@ from ..models import downbeat as downbeat_model
 from ..pipeline import TrackAnalysisResult
 from ..substrate import bucket_length, full_track_graph, pack_outputs, unpack_outputs
 from ..utils import AudioInput, coerce_audio, deterministic_rng
-from .mesh import data_sharding, make_mesh, replicated
+from .mesh import data_sharding, make_mesh
 
 __all__ = ["analyse_track_fused", "analyse_library", "result_from_graph_outputs"]
 
@@ -270,6 +270,40 @@ def _quantise_i16(x: np.ndarray) -> np.ndarray:
     return np.clip(x * 32768.0, -32768.0, 32767.0).astype(np.int16)
 
 
+_I8_BLOCK = 8_192  # samples per scaling block (bucket quantum divides it)
+
+
+def _quantise_i8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Blockwise-scaled int8: (values (C, n) int8, scales (C, n/B) f32).
+
+    ~45 dB SNR relative to the local block peak — another 2x off the
+    host->device transfer. Far below every analysis tolerance (quantisation
+    noise rides the signal, so quiet gated-out passages stay quiet).
+    """
+
+    c, n = x.shape
+    blocks = x.reshape(c, n // _I8_BLOCK, _I8_BLOCK)
+    scales = np.max(np.abs(blocks), axis=-1).astype(np.float32)
+    safe = np.where(scales > 0, scales, 1.0)
+    vals = np.clip(blocks / safe[:, :, None] * 127.0, -127.0, 127.0).astype(np.int8)
+    return vals.reshape(c, n), scales
+
+
+def _dequantise_i8(vals: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    c, n = vals.shape
+    blocks = vals.astype(jnp.float32).reshape(c, n // _I8_BLOCK, _I8_BLOCK)
+    out = blocks * (scales[:, :, None] / 127.0)
+    return out.reshape(c, n)
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def _batched_graph_i8(vals, scales, n_valid, *, sr):
+    def one(v, s, nv):
+        return pack_outputs(full_track_graph(_dequantise_i8(v, s), nv, sr=sr))
+
+    return jax.vmap(one)(vals, scales, n_valid)
+
+
 def analyse_track_fused(
     source: "str | AudioInput",
     *,
@@ -321,6 +355,7 @@ def analyse_library(
     output_dir: "Optional[str | Path]" = None,
     progress_callback: Optional[Callable[[str, int, int], None]] = None,
     manifest_path: "Optional[str | Path]" = None,
+    transport: str = "int8",
 ) -> List[TrackAnalysisResult]:
     """Analyse a library of tracks with data-parallel batches.
 
@@ -328,6 +363,9 @@ def analyse_library(
     padded buckets; each bucket group is analysed by one vmapped, pjit'd
     dispatch sharded over the mesh's ``data`` axis. A JSONL manifest makes
     sweeps resumable: already-listed sources are skipped.
+
+    ``transport``: "int8" (default, blockwise-scaled, ~45 dB SNR, least
+    host->device bandwidth) or "int16" (~96 dB SNR).
     """
 
     mesh = mesh or make_mesh()
@@ -348,14 +386,15 @@ def analyse_library(
         if not (isinstance(s, (str, Path)) and str(s) in done)
     ]
 
-    # Host decode pool: decode, pad and int16-quantise in parallel worker
+    # Host decode pool: decode, pad and quantise in parallel worker
     # threads (none of it can be device work; all of it overlaps).
     def _load(item):
         idx, src = item
         audio = src if isinstance(src, AudioInput) else coerce_audio(src, target_sr=target_sr)
         n_bucket = bucket_length(len(audio.samples))
         st, nv = _pad_track(audio, n_bucket)
-        return idx, src, audio, n_bucket, _quantise_i16(st), nv
+        payload = _quantise_i8(st) if transport == "int8" else (_quantise_i16(st),)
+        return idx, src, audio, n_bucket, payload, nv
 
     with ThreadPoolExecutor(max_workers=decode_workers) as pool:
         loaded = list(pool.map(_load, todo))
@@ -365,7 +404,10 @@ def analyse_library(
     for idx, src, audio, n_bucket, sti, nv in loaded:
         groups.setdefault(n_bucket, []).append((idx, src, audio, sti, nv))
 
-    batched = partial(_batched_graph_i16, sr=target_sr)
+    if transport == "int8":
+        batched = partial(_batched_graph_i8, sr=target_sr)
+    else:
+        batched = partial(_batched_graph_i16, sr=target_sr)
 
     results: List[Optional[TrackAnalysisResult]] = [None] * len(sources)
     n_done = 0
@@ -413,15 +455,29 @@ def analyse_library(
     pending = None
     with mesh:
         for n_bucket, chunk in work:
-            stereos = [sti for _, _, _, sti, _ in chunk]
+            payloads = [payload for _, _, _, payload, _ in chunk]
             valids = [nv for _, _, _, _, nv in chunk]
-            while len(stereos) < n_dev:  # pad batch to the device count
-                stereos.append(np.zeros((2, n_bucket), dtype=np.int16))
-                valids.append(n_bucket)
+            n_pad = n_dev - len(payloads)
+            if n_pad > 0:  # pad batch to the device count
+                if transport == "int8":
+                    zero = (
+                        np.zeros((2, n_bucket), dtype=np.int8),
+                        np.zeros((2, n_bucket // _I8_BLOCK), dtype=np.float32),
+                    )
+                else:
+                    zero = (np.zeros((2, n_bucket), dtype=np.int16),)
+                payloads.extend([zero] * n_pad)
+                valids.extend([n_bucket] * n_pad)
 
-            sb = jax.device_put(np.stack(stereos), data_sharding(mesh, rank=3))
+            staged = [
+                jax.device_put(
+                    np.stack([p[part] for p in payloads]),
+                    data_sharding(mesh, rank=3),
+                )
+                for part in range(len(payloads[0]))
+            ]
             vb = jax.device_put(np.asarray(valids), data_sharding(mesh))
-            out_handle = batched(sb, vb)  # async dispatch
+            out_handle = batched(*staged, vb)  # async dispatch
             if pending is not None:
                 _finish(*pending)
             pending = (chunk, out_handle)

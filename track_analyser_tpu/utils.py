@@ -45,7 +45,12 @@ class AudioInput:
 
 def enable_persistent_compilation_cache(cache_dir: "str | None" = None) -> None:
     """Enable JAX's on-disk compilation cache so repeated CLI invocations
-    skip XLA recompiles (cold compile on a TPU costs ~minutes)."""
+    skip XLA recompiles (cold compile on a TPU costs ~minutes).
+
+    Also honours TRACK_ANALYSER_TPU_DEBUG_NANS=1 — the numerical-sanitizer
+    mode (jax_debug_nans) for debugging device graphs (SURVEY.md section 5:
+    the TPU-idiomatic replacement for the reference's absent sanitizers).
+    """
 
     import os
 
@@ -58,6 +63,8 @@ def enable_persistent_compilation_cache(cache_dir: "str | None" = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass  # cache is an optimisation, never a requirement
+    if os.environ.get("TRACK_ANALYSER_TPU_DEBUG_NANS") == "1":
+        jax.config.update("jax_debug_nans", True)
 
 
 def deterministic_rng(seed: int = DEFAULT_SEED) -> np.random.Generator:
