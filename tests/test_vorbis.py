@@ -37,28 +37,28 @@ class _OggPage(ctypes.Structure):
     ]
 
 
-def _blob(n=4096):
+def _blob(n=16384):
     return ctypes.c_byte * n
 
 
 class _OggStreamState(ctypes.Structure):
-    _fields_ = [("_opaque", _blob(1024))]
+    _fields_ = [("_opaque", _blob(16384))]
 
 
 class _VorbisInfo(ctypes.Structure):
-    _fields_ = [("_opaque", _blob(256))]
+    _fields_ = [("_opaque", _blob(16384))]
 
 
 class _VorbisComment(ctypes.Structure):
-    _fields_ = [("_opaque", _blob(256))]
+    _fields_ = [("_opaque", _blob(16384))]
 
 
 class _VorbisDspState(ctypes.Structure):
-    _fields_ = [("_opaque", _blob(2048))]
+    _fields_ = [("_opaque", _blob(16384))]
 
 
 class _VorbisBlock(ctypes.Structure):
-    _fields_ = [("_opaque", _blob(2048))]
+    _fields_ = [("_opaque", _blob(16384))]
 
 
 def _encode_ogg(path: Path, pcm: np.ndarray, sr: int) -> bool:

@@ -19,7 +19,7 @@ _lib: "ctypes.CDLL | None | bool" = None
 
 
 class _OggVorbisFile(ctypes.Structure):
-    _fields_ = [("_opaque", ctypes.c_byte * 1024)]  # generously sized
+    _fields_ = [("_opaque", ctypes.c_byte * 8192)]  # generously sized
 
 
 class _VorbisInfo(ctypes.Structure):
