@@ -76,6 +76,88 @@ def test_batched_analysis_sharded_over_data_axis(click_signal):
     np.testing.assert_allclose(envs, np.broadcast_to(envs[0], envs.shape), atol=1e-5)
 
 
+def test_sharded_full_analysis_matches_fused():
+    """The sequence-sharded substrate reproduces the fused single-device
+    graph: framewise curves, scalars and the final analysis decisions."""
+
+    from functools import partial
+
+    import jax.numpy as jnp
+
+    from track_analyser_tpu.parallel.sharded import analyse_track_sharded, sharded_track_outputs
+    from track_analyser_tpu.substrate import full_track_graph
+    from track_analyser_tpu.utils import AudioInput
+
+    # 60 s — long enough that each of the 8 shards exceeds the halo. Ends
+    # in a fade-out: the analysis tail inside the padded bucket depends on
+    # the (arbitrary) bucket length in BOTH implementations, so the honest
+    # parity domain is a track that is quiet at its boundary.
+    sr = 22_050
+    n = sr * 60
+    rng = np.random.default_rng(0)
+    y = rng.normal(0, 0.01, n).astype(np.float32)
+    y += 0.2 * np.sin(2 * np.pi * 220.0 * np.arange(n) / sr).astype(np.float32)
+    for b in np.arange(0.0, 57.0, 0.5):
+        s = int(b * sr)
+        e = min(n, s + 220)
+        y[s:e] += np.exp(-np.linspace(0, 6, e - s)).astype(np.float32)
+    fade = np.ones(n, dtype=np.float32)
+    fade[-3 * sr :] = np.linspace(1.0, 0.0, 3 * sr, dtype=np.float32)
+    y *= fade
+    stereo = np.stack([y, 0.5 * y])
+    mesh = make_mesh((8,), ("seq",))
+
+    out_sh = sharded_track_outputs(stereo, n, sr, mesh)
+
+    # Reference: fused graph on the same padded length (exact shapes).
+    padded = out_sh["onset_env"].shape[0] * 512
+    buf = np.zeros((2, padded), dtype=np.float32)
+    buf[:, :n] = stereo
+    ref = jax.device_get(
+        jax.jit(partial(full_track_graph, sr=sr))(jnp.asarray(buf), jnp.asarray(n))
+    )
+
+    f_valid = 1 + n // 512
+    for key, tol in [
+        ("onset_env", 1e-3),
+        ("novelty", 2e-3),
+        ("perc_col", 2e-2),
+        ("harm_col", 2e-2),
+        ("centroid", 1.0),
+    ]:
+        a = np.asarray(out_sh[key])[:f_valid]
+        b = np.asarray(ref[key])[:f_valid]
+        np.testing.assert_allclose(a, b, atol=tol, rtol=1e-3, err_msg=key)
+
+    assert float(out_sh["integrated_lufs"]) == pytest.approx(
+        float(ref["integrated_lufs"]), abs=0.01
+    )
+    assert float(out_sh["true_peak"]) == pytest.approx(float(ref["true_peak"]), rel=1e-3)
+    # One-pass f32 covariance over 1.3M samples carries ~1e-3 noise in
+    # both implementations (true value is exactly 1.0 here).
+    assert float(out_sh["stereo_corr_centered"]) == pytest.approx(
+        float(ref["stereo_corr_centered"]), abs=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh["key_scores"]), np.asarray(ref["key_scores"]), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh["stereo_widths"]), np.asarray(ref["stereo_widths"]), atol=1e-3
+    )
+
+    # End-to-end: the sharded result object agrees with the fused pipeline.
+    audio = AudioInput(samples=y, sample_rate=sr, stereo_samples=stereo)
+    result = analyse_track_sharded(audio, mesh)
+    from track_analyser_tpu.parallel.batch import analyse_track_fused
+
+    ref_result = analyse_track_fused(audio, transport="float32")
+    assert result.beat.bpm == pytest.approx(ref_result.beat.bpm, abs=0.01)
+    assert result.harmonic.primary_key.key == ref_result.harmonic.primary_key.key
+    assert result.loudness.integrated_lufs == pytest.approx(
+        ref_result.loudness.integrated_lufs, abs=0.02
+    )
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
     from pathlib import Path

@@ -30,7 +30,12 @@ from ..config import DEFAULT_CONFIG
 from ..ops.mel import mel_filterbank, power_to_db
 from ..ops.stft import hann_window
 
-__all__ = ["sharded_onset_envelope", "shard_halo_exchange"]
+__all__ = [
+    "sharded_onset_envelope",
+    "shard_halo_exchange",
+    "sharded_track_outputs",
+    "analyse_track_sharded",
+]
 
 
 def shard_halo_exchange(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
@@ -152,3 +157,468 @@ def sharded_onset_envelope(
     src = env_flux[: max(0, total_frames - shift)]
     env[shift : shift + src.size] = src
     return env
+
+
+# ---------------------------------------------------------------------------
+# Full sequence-sharded track analysis
+# ---------------------------------------------------------------------------
+#
+# One long track, its sample/frame axis split over the ``seq`` mesh axis.
+# Each shard computes the substrate on an extended local block (own samples
+# plus a +-HALO_FRAMES halo exchanged over ICI with ppermute); global
+# properties (min/max normalisation scales, gated-loudness thresholds, key
+# chroma means, stereo statistics) reduce with psum/pmax/pmin. Framewise
+# outputs come back sharded; scalars come back replicated. Numerics match
+# substrate.full_track_graph (see tests/test_sharding.py).
+
+def _halo_frames(sr: int, hop: int = 512) -> int:
+    """Frames of one-hop halo covering every temporal context in the
+    substrate: centre padding (2), flux lag (1), HPSS median (15), MFCC
+    context (2 s), ratio gaussian radius (4 sigma of 0.5 s), novelty
+    smoothing (7), K-weighting FIR (16384 samples), true-peak taps.
+    Rounded up to a multiple of 4 so the coarse chroma grid stays aligned."""
+
+    ratio_radius = int(4.0 * max(1.0, 0.5 * sr / hop) + 0.5)
+    context = max(2, int(round(2.0 * sr / hop)))
+    kweight = -(-16_384 // hop)
+    h = max(ratio_radius, context, kweight) + 48
+    return -(-h // 4) * 4
+
+
+def _exchange_sample_halos(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
+    """[left halo | own | right halo] along the last axis; edges read zeros."""
+
+    n_shards = jax.lax.psum(1, axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    perm_right = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    perm_left = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    from_left = jax.lax.ppermute(x[..., -halo:], axis_name, perm_right)
+    from_right = jax.lax.ppermute(x[..., :halo], axis_name, perm_left)
+    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
+    from_right = jnp.where(idx == n_shards - 1, jnp.zeros_like(from_right), from_right)
+    return jnp.concatenate([from_left, x, from_right], axis=-1)
+
+
+def _pminmax_normalise(curve_ext, own_mask_ext, axis_name, keep_mask_ext=None):
+    """Min-max normalisation with GLOBAL extrema over owned+valid frames.
+
+    ``keep_mask_ext`` controls which extended frames keep their normalised
+    value (halo frames must survive for downstream smoothing); extrema are
+    always taken over owned frames only so every shard agrees.
+    """
+
+    big = jnp.float32(3.4e38)
+    lo = jax.lax.pmin(jnp.min(jnp.where(own_mask_ext, curve_ext, big)), axis_name)
+    hi = jax.lax.pmax(jnp.max(jnp.where(own_mask_ext, curve_ext, -big)), axis_name)
+    span = hi - lo
+    out = jnp.where(span < 1e-9, jnp.zeros_like(curve_ext), (curve_ext - lo) / jnp.where(span < 1e-9, 1.0, span))
+    keep = own_mask_ext if keep_mask_ext is None else keep_mask_ext
+    return jnp.where(keep, out, 0.0)
+
+
+def _masked_pmean(x, mask, axis_name):
+    num = jax.lax.psum(jnp.sum(jnp.where(mask, x, 0.0)), axis_name)
+    den = jax.lax.psum(jnp.sum(mask.astype(jnp.float32)), axis_name)
+    return num / jnp.maximum(den, 1.0)
+
+
+def _local_track_analysis(
+    stereo_local: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    *,
+    sr: int,
+    frames_per_shard: int,
+    axis_name: str,
+):
+    """Shard-local substrate over the halo-extended block (see module doc).
+
+    Mirrors substrate.full_track_graph stage by stage; every deviation is
+    a halo slice or a collective in place of a local reduction.
+    """
+
+    from ..config import DEFAULT_CONFIG as cfg
+    from ..ops.chroma import chroma_from_power, chroma_stft_filterbank, cq_chroma_filterbank
+    from ..ops.filters import gaussian_filter1d, hpss
+    from ..ops.loudness import k_weighted
+    from ..ops.mel import melspectrogram_from_power, mfcc_from_log_mel, power_to_db
+    from ..ops.onset import autocorrelate, onset_strength_from_mel
+    from ..ops.resample import oversampled_peak
+    from ..ops.spectral import ltas as ltas_op, spectral_centroid, spectral_rolloff
+    from ..ops.stft import fft_frequencies, magnitude, stft as stft_op
+
+    hop = cfg.hop_length
+    n_fft = cfg.n_fft
+    hf = _halo_frames(sr, hop)
+    fs_own = frames_per_shard
+    shard = jax.lax.axis_index(axis_name)
+
+    halo_samples = hf * hop
+    stereo_ext = _exchange_sample_halos(stereo_local, halo_samples, axis_name)
+    y_ext = jnp.mean(stereo_ext, axis=0)
+
+    # Global frame bookkeeping: own frame j <-> global frame shard*fs + j
+    # <-> extended-block frame hf + j.
+    f_valid = 1 + n_valid // hop
+    own_global = shard * fs_own + jnp.arange(fs_own)
+    own_mask = own_global < f_valid  # (fs_own,)
+    f_ext = 1 + y_ext.shape[-1] // hop
+    ext_global = shard * fs_own - hf + jnp.arange(f_ext)
+    ext_valid = (ext_global >= 0) & (ext_global < f_valid)
+    own_sel = slice(hf, hf + fs_own)
+    own_in_ext = (jnp.arange(f_ext) >= hf) & (jnp.arange(f_ext) < hf + fs_own)
+    own_valid_ext = own_in_ext & ext_valid
+
+    out = {}
+
+    # ---- 2048 STFT family (extended block) ----------------------------
+    mag = magnitude(y_ext, n_fft, hop, power=1.0)[:, :f_ext]
+    power = mag * mag
+    mel_fb = mel_filterbank(sr, n_fft, cfg.n_mels)
+    mel_power = melspectrogram_from_power(power, mel_fb)
+
+    # Onset envelope: the dB floor (top_db) is relative to the GLOBAL max.
+    amin = 1e-10
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel_power))
+    gmax = jax.lax.pmax(jnp.max(jnp.where(ext_valid[None, :], log_spec, -jnp.inf)), axis_name)
+    s_db = jnp.maximum(log_spec, gmax - 80.0)
+    flux = jnp.maximum(0.0, s_db[:, 1:] - s_db[:, :-1])
+    env_ext = jnp.pad(jnp.mean(flux, axis=0), (1 + n_fft // (2 * hop), 0))[:f_ext]
+    # The fused graph's left pad zeroes the first lag + n_fft//(2*hop)
+    # frames; shard 0 would otherwise compute flux for pre-start windows.
+    env_ext = jnp.where(ext_valid & (ext_global >= 1 + n_fft // (2 * hop)), env_ext, 0.0)
+    env_own = jnp.where(own_mask, env_ext[own_sel], 0.0)
+    out["onset_env"] = env_own
+
+    # Autocorrelation needs the whole envelope: it is tiny (~4 B/frame),
+    # so all-gather it and autocorrelate redundantly on every shard.
+    env_full = jax.lax.all_gather(env_own, axis_name).reshape(-1)
+    ac_full = autocorrelate(env_full)
+    out["autocorr"] = ac_full.reshape(jax.lax.psum(1, axis_name), fs_own)[shard]
+
+    # Accent curves for the downbeat decoder.
+    out["beat_energy"] = jnp.where(
+        own_mask, jnp.sqrt(jnp.sum(mel_power, axis=0) + 1e-12)[own_sel], 0.0
+    )
+    n_low = max(2, int(150.0 * n_fft / sr))
+    out["low_energy"] = jnp.where(
+        own_mask, jnp.sqrt(jnp.sum(power[:n_low], axis=0) + 1e-12)[own_sel], 0.0
+    )
+
+    # ---- structure curves ----------------------------------------------
+    # The fused graph's median/smoothing stages REFLECT the spectrogram at
+    # the global start; shard 0's left halo is zeros (correct for the
+    # STFT), so substitute the reflection for the HPSS/ratio chain.
+    left_reflect = jnp.flip(mag[:, hf + 1 : 2 * hf + 1], axis=1)
+    right_reflect = jnp.flip(mag[:, -(2 * hf + 1) : -(hf + 1)], axis=1)
+    n_sh = jax.lax.psum(1, axis_name)
+    mag_hpss = jnp.concatenate(
+        [
+            jnp.where(shard == 0, left_reflect, mag[:, :hf]),
+            mag[:, hf:-hf],
+            jnp.where(shard == n_sh - 1, right_reflect, mag[:, -hf:]),
+        ],
+        axis=1,
+    )
+    harmonic, percussive = hpss(mag_hpss, kernel_size=cfg.hpss_kernel, power=cfg.hpss_power)
+    spectral_flux_ext = env_ext
+
+    log_mel = power_to_db(mel_power + 1e-9, top_db=None)
+    gmax2 = jax.lax.pmax(jnp.max(jnp.where(ext_valid[None, :], log_mel, -jnp.inf)), axis_name)
+    log_mel = jnp.maximum(log_mel, gmax2 - 80.0)
+    mfcc = mfcc_from_log_mel(log_mel, cfg.n_mfcc)
+    mfcc = gaussian_filter1d(mfcc, sigma=1.0, axis=1)
+    context = max(2, int(round(cfg.novelty_context_seconds * sr / float(hop))))
+    cs = jnp.concatenate([jnp.zeros((mfcc.shape[0], 1)), jnp.cumsum(mfcc, axis=1)], axis=1)
+    fidx = jnp.arange(f_ext)
+    lo_i = jnp.clip(fidx - context, 0, f_ext)
+    hi_i = jnp.clip(fidx + context, 0, f_ext)
+    left_mean = (cs[:, fidx] - cs[:, lo_i]) / jnp.maximum(fidx - lo_i, 1)
+    right_mean = (cs[:, hi_i] - cs[:, fidx]) / jnp.maximum(hi_i - fidx, 1)
+    ln = left_mean / (jnp.linalg.norm(left_mean, axis=0) + 1e-9)
+    rn = right_mean / (jnp.linalg.norm(right_mean, axis=0) + 1e-9)
+    sim = 1.0 - jnp.sum(ln * rn, axis=0)
+    sim_valid = (ext_global >= context) & (ext_global < f_valid - context)
+    self_similarity_ext = jnp.where(sim_valid, sim, 0.0)
+
+    perc_raw = jnp.sum(percussive, axis=0)
+    harm_raw = jnp.sum(harmonic, axis=0)
+    perc_col_ext = jnp.where(ext_valid, perc_raw, 0.0)
+    harm_col_ext = jnp.where(ext_valid, harm_raw, 0.0)
+    # Ratio chain: the fused graph's smoothing REFLECTS the masked curve
+    # at both edges of the padded array (frame 0 and frame L). The mag was
+    # mirrored above, so the raw cols already carry mirrored values in the
+    # out-of-range halo; the validity mask must mirror the same way.
+    n_sh_ = jax.lax.psum(1, axis_name)
+    last_frame = n_sh_ * fs_own  # index L of the padded array's last frame
+    g_ref = jnp.abs(ext_global)
+    g_eff = jnp.where(g_ref > last_frame, 2 * last_frame - g_ref, g_ref)
+    chain_ok = g_eff < f_valid
+    perc_chain = jnp.where(chain_ok, perc_raw, 0.0)
+    harm_chain = jnp.where(chain_ok, harm_raw, 0.0)
+    ratio = perc_chain / (perc_chain + harm_chain + 1e-9)
+    ratio_sigma = max(1.0, 0.5 * sr / float(hop))
+    ratio_smooth = gaussian_filter1d(ratio, sigma=ratio_sigma)
+    energy_novelty_ext = jnp.abs(jnp.diff(ratio_smooth, prepend=ratio_smooth[0:1]))
+
+    w_flux, w_sim, w_energy = cfg.novelty_weights
+    combined = (
+        w_flux * _pminmax_normalise(spectral_flux_ext, own_valid_ext, axis_name, ext_valid)
+        + w_sim * _pminmax_normalise(self_similarity_ext, own_valid_ext, axis_name, ext_valid)
+        + w_energy * _pminmax_normalise(energy_novelty_ext, own_valid_ext, axis_name, ext_valid)
+    )
+    novelty_ext = gaussian_filter1d(combined, sigma=cfg.novelty_smooth_sigma)
+    out["novelty"] = jnp.where(own_mask, novelty_ext[own_sel], 0.0)
+    out["energy_novelty"] = _pminmax_normalise(energy_novelty_ext, own_valid_ext, axis_name)[own_sel]
+    out["perc_col"] = perc_col_ext[own_sel]
+    out["harm_col"] = harm_col_ext[own_sel]
+
+    # ---- features --------------------------------------------------------
+    freqs = fft_frequencies(sr, n_fft)
+    lt_num = jax.lax.psum(jnp.sum(jnp.where(own_valid_ext[None, :], mag, 0.0), axis=-1), axis_name)
+    lt_den = jax.lax.psum(jnp.sum(own_valid_ext.astype(jnp.float32)), axis_name)
+    out["ltas"] = lt_num / jnp.maximum(lt_den, 1.0)
+    out["centroid"] = jnp.where(own_mask, spectral_centroid(mag, freqs)[own_sel], 0.0)
+    out["rolloff"] = jnp.where(
+        own_mask, spectral_rolloff(mag, freqs, cfg.rolloff_percent)[own_sel], 0.0
+    )
+
+    # ---- harmony ----------------------------------------------------------
+    chroma_st = chroma_from_power(power, chroma_stft_filterbank(sr, n_fft))
+    cq_mag = magnitude(y_ext, cfg.cq_n_fft, cfg.cq_hop, power=1.0)
+    chroma_cq_coarse = chroma_from_power(cq_mag, cq_chroma_filterbank(sr, cfg.cq_n_fft))
+    rep = cfg.cq_hop // hop
+    chroma_cq_ext = jnp.repeat(chroma_cq_coarse, rep, axis=1)[:, :f_ext]
+    out["chroma_cq"] = chroma_cq_ext[:, own_sel]
+
+    from ..harmony import MAJOR_PROFILE, MINOR_PROFILE
+
+    major = MAJOR_PROFILE / np.linalg.norm(MAJOR_PROFILE)
+    minor = MINOR_PROFILE / np.linalg.norm(MINOR_PROFILE)
+    rot = np.stack([np.roll(major, s) for s in range(12)] + [np.roll(minor, s) for s in range(12)])
+    scores = jnp.zeros(24)
+    for chroma in (chroma_cq_ext, chroma_st):
+        csum = jax.lax.psum(
+            jnp.sum(jnp.where(own_valid_ext[None, :], chroma, 0.0), axis=-1), axis_name
+        )
+        cmean = csum / jnp.maximum(lt_den, 1.0)
+        norm = jnp.linalg.norm(cmean)
+        cnorm = cmean / jnp.where(norm > 0, norm, 1.0)
+        scores = scores + jnp.where(norm > 0, jnp.dot(jnp.asarray(rot, dtype=jnp.float32), cnorm), 0.0)
+    out["key_scores"] = scores
+
+    # ---- spectral balance ---------------------------------------------------
+    bal_mag = magnitude(y_ext, cfg.balance_n_fft, cfg.balance_hop, power=1.0)
+    bal_ext_frames = bal_mag.shape[1]
+    bal_hf = hf * hop // cfg.balance_hop
+    bal_own = fs_own * hop // cfg.balance_hop
+    bal_global = shard * bal_own + jnp.arange(bal_ext_frames) - bal_hf
+    bal_valid = (
+        (bal_global >= 0)
+        & (bal_global < 1 + n_valid // cfg.balance_hop)
+        & (jnp.arange(bal_ext_frames) >= bal_hf)
+        & (jnp.arange(bal_ext_frames) < bal_hf + bal_own)
+    )
+    bal = jnp.where(bal_valid[None, :], bal_mag, 0.0)
+    bal_freqs = jnp.asarray(fft_frequencies(sr, cfg.balance_n_fft), dtype=jnp.float32)[:, None]
+    out["balance_total"] = jax.lax.psum(jnp.sum(bal), axis_name)
+    out["balance_low"] = jax.lax.psum(jnp.sum(jnp.where(bal_freqs < 200.0, bal, 0.0)), axis_name)
+    out["balance_mid"] = jax.lax.psum(
+        jnp.sum(jnp.where((bal_freqs >= 200.0) & (bal_freqs < 2000.0), bal, 0.0)), axis_name
+    )
+    out["balance_high"] = jax.lax.psum(jnp.sum(jnp.where(bal_freqs >= 2000.0, bal, 0.0)), axis_name)
+
+    # ---- loudness -------------------------------------------------------------
+    yk_ext = k_weighted(y_ext, sr)
+    block_len = int(round(cfg.loudness_block_seconds * sr))
+    hop_g = int(round(cfg.loudness_block_seconds * 0.25 * sr))
+    own_samples = fs_own * hop
+    own_start = shard * own_samples
+    # Blocks whose start falls in this shard's own sample range; capacity
+    # covers the worst case (+1 for alignment).
+    cap = own_samples // hop_g + 1
+    block_ids = jnp.arange(cap)
+    first_block = (own_start + hop_g - 1) // hop_g
+    starts_global = (first_block + block_ids) * hop_g
+    starts_local = starts_global - own_start + halo_samples
+    block_ok = (
+        (starts_global < jnp.minimum((shard + 1) * own_samples, n_valid - block_len + 1))
+        & (starts_local + block_len <= yk_ext.shape[-1])
+    )
+    yk_sq = yk_ext * yk_ext
+    cs_k = jnp.concatenate([jnp.zeros(1), jnp.cumsum(yk_sq)])
+    z = (cs_k[jnp.clip(starts_local + block_len, 0, cs_k.shape[0] - 1)] - cs_k[jnp.clip(starts_local, 0, cs_k.shape[0] - 1)]) / block_len
+    eps = 1e-20
+    loud = -0.691 + 10.0 * jnp.log10(z + eps)
+    abs_ok = block_ok & (loud > cfg.gate_absolute_lufs)
+    z_abs = _masked_pmean(z, abs_ok, axis_name)
+    gamma_r = -0.691 + 10.0 * jnp.log10(z_abs + eps) + cfg.gate_relative_lu
+    both = abs_ok & (loud > gamma_r)
+    out["integrated_lufs"] = -0.691 + 10.0 * jnp.log10(_masked_pmean(z, both, axis_name) + eps)
+
+    # True peak / RMS
+    smask_ext = (jnp.arange(y_ext.shape[-1]) >= halo_samples) & (
+        jnp.arange(y_ext.shape[-1]) < halo_samples + own_samples
+    )
+    peak_local = oversampled_peak(jnp.where(smask_ext, y_ext, 0.0), cfg.true_peak_oversample)
+    out["true_peak"] = jax.lax.pmax(peak_local, axis_name)
+    glob_idx = jnp.arange(y_ext.shape[-1]) - halo_samples + own_start
+    sval = smask_ext & (glob_idx < n_valid)
+    out["rms"] = jnp.sqrt(_masked_pmean(y_ext * y_ext, sval, axis_name))
+
+    # ---- stereo ------------------------------------------------------------
+    left, right = stereo_ext[0], stereo_ext[1]
+    n_ok = jax.lax.psum(jnp.sum(sval.astype(jnp.float32)), axis_name)
+    s_l = jax.lax.psum(jnp.sum(jnp.where(sval, left, 0.0)), axis_name)
+    s_r = jax.lax.psum(jnp.sum(jnp.where(sval, right, 0.0)), axis_name)
+    s_ll = jax.lax.psum(jnp.sum(jnp.where(sval, left * left, 0.0)), axis_name)
+    s_rr = jax.lax.psum(jnp.sum(jnp.where(sval, right * right, 0.0)), axis_name)
+    s_lr = jax.lax.psum(jnp.sum(jnp.where(sval, left * right, 0.0)), axis_name)
+    nn = jnp.maximum(n_ok, 1.0)
+    cov = s_lr - s_l * s_r / nn
+    var_l = jnp.maximum(s_ll - s_l * s_l / nn, 0.0)
+    var_r = jnp.maximum(s_rr - s_r * s_r / nn, 0.0)
+    denom = jnp.sqrt(var_l * var_r)
+    out["stereo_corr_centered"] = jnp.where(
+        denom > 1e-12, jnp.clip(cov / jnp.where(denom > 1e-12, denom, 1.0), -1.0, 1.0), 1.0
+    )
+    out["stereo_balance"] = (
+        jax.lax.psum(jnp.sum(jnp.where(sval, jnp.abs(left), 0.0)), axis_name)
+        - jax.lax.psum(jnp.sum(jnp.where(sval, jnp.abs(right), 0.0)), axis_name)
+    ) / nn
+    mid_t = 0.5 * (left + right)
+    side_t = 0.5 * (left - right)
+    out["mid_rms"] = jnp.sqrt(_masked_pmean(mid_t * mid_t, sval, axis_name))
+    out["side_rms"] = jnp.sqrt(_masked_pmean(side_t * side_t, sval, axis_name))
+
+    sl = stft_op(left, n_fft, hop)[:, :f_ext]
+    sr_spec = stft_op(right, n_fft, hop)[:, :f_ext]
+    mid_e = jnp.where(own_valid_ext[None, :], jnp.abs(0.5 * (sl + sr_spec)) ** 2, 0.0)
+    side_e = jnp.where(own_valid_ext[None, :], jnp.abs(0.5 * (sl - sr_spec)) ** 2, 0.0)
+    freqs_j = jnp.asarray(freqs, dtype=jnp.float32)
+    nyq = sr / 2.0
+    widths = []
+    for lo_f, hi_f in ((0.0, min(200.0, nyq)), (200.0, min(2000.0, nyq)), (2000.0, nyq)):
+        bmask = (freqs_j >= lo_f) & (freqs_j <= hi_f)
+        nb = jnp.maximum(jnp.sum(bmask), 1) * jnp.maximum(lt_den, 1.0)
+        m = jax.lax.psum(jnp.sum(jnp.where(bmask[:, None], mid_e, 0.0)), axis_name) / nb
+        s = jax.lax.psum(jnp.sum(jnp.where(bmask[:, None], side_e, 0.0)), axis_name) / nb
+        widths.append(jnp.where(m <= 1e-12, 0.0, jnp.sqrt(s / jnp.where(m <= 1e-12, 1.0, m))))
+    out["stereo_widths"] = jnp.stack(widths)
+    out["f_valid"] = f_valid.astype(jnp.float32)
+    return out
+
+
+def sharded_track_outputs(
+    stereo: np.ndarray,
+    n_valid: int,
+    sr: int,
+    mesh: Mesh,
+    *,
+    axis: str = "seq",
+):
+    """Run the sequence-sharded analysis; returns the substrate output dict
+    with framewise arrays reassembled to full length (host side)."""
+
+    hop = 512
+    n_shards = mesh.shape[axis]
+    total_frames = 1 + int(n_valid) // hop
+    # frames per shard: multiple of cq_hop/hop (=4) so the coarse chroma
+    # grid aligns with shard boundaries.
+    fs = -(-total_frames // n_shards)
+    fs = -(-fs // 4) * 4
+    hf = _halo_frames(sr, hop)
+    if fs < hf:
+        raise ValueError(
+            f"track too short for {n_shards} seq shards: {fs} frames/shard "
+            f"< halo {hf}; use fewer shards or the fused single-device path"
+        )
+    padded = fs * n_shards * hop
+    buf = np.zeros((2, padded), dtype=np.float32)
+    buf[:, : stereo.shape[-1]] = stereo[:, :padded]
+
+    fn = shard_map(
+        partial(
+            _local_track_analysis,
+            sr=sr,
+            frames_per_shard=fs,
+            axis_name=axis,
+        ),
+        mesh=mesh,
+        in_specs=(P(None, axis), P()),
+        out_specs={
+            # framewise, sharded over the frame axis
+            "onset_env": P(axis),
+            "autocorr": P(axis),
+            "beat_energy": P(axis),
+            "low_energy": P(axis),
+            "novelty": P(axis),
+            "energy_novelty": P(axis),
+            "perc_col": P(axis),
+            "harm_col": P(axis),
+            "centroid": P(axis),
+            "rolloff": P(axis),
+            "chroma_cq": P(None, axis),
+            # replicated scalars / vectors
+            "ltas": P(),
+            "key_scores": P(),
+            "balance_total": P(),
+            "balance_low": P(),
+            "balance_mid": P(),
+            "balance_high": P(),
+            "integrated_lufs": P(),
+            "true_peak": P(),
+            "rms": P(),
+            "stereo_corr_centered": P(),
+            "stereo_balance": P(),
+            "mid_rms": P(),
+            "side_rms": P(),
+            "stereo_widths": P(),
+            "f_valid": P(),
+        },
+        check_rep=False,
+    )
+    with mesh:
+        out = jax.device_get(jax.jit(fn)(jnp.asarray(buf), jnp.asarray(np.int32(n_valid))))
+    return out
+
+
+def analyse_track_sharded(audio, mesh: Mesh, *, axis: str = "seq", seed: int = 13_370):
+    """Full TrackAnalysisResult for ONE long track sharded across chips.
+
+    The short-term/momentary RMS curves are the only pieces computed on
+    host (simple cumsum framing; their hops do not align with shard
+    boundaries and they are O(n) once per track).
+    """
+
+    from ..parallel.batch import result_from_graph_outputs
+
+    stereo = (
+        audio.stereo_samples
+        if audio.stereo_samples is not None
+        else np.stack([audio.samples, audio.samples])
+    ).astype(np.float32)
+    n = int(len(audio.samples))
+    out = sharded_track_outputs(stereo, n, audio.sample_rate, mesh, axis=axis)
+
+    # Host: sliding RMS-dB curves via one cumulative sum.
+    y = np.asarray(audio.samples, dtype=np.float64)
+    cs = np.concatenate([[0.0], np.cumsum(y * y)])
+
+    def rms_db(seconds: float) -> np.ndarray:
+        fl = max(1024, int(round(audio.sample_rate * seconds)))
+        if fl % 2:
+            fl += 1
+        hp = max(1, fl // 2)
+        pad = fl // 2
+        total = 1 + n // hp
+        starts = np.arange(total) * hp - pad
+        lo = np.clip(starts, 0, n)
+        hi = np.clip(starts + fl, 0, n)
+        rms = np.sqrt((cs[hi] - cs[lo]) / fl)
+        db = 20.0 * np.log10(np.maximum(rms + 1e-9, 1e-5))
+        return np.maximum(db, db.max() - 80.0)
+
+    out = dict(out)
+    out["short_term_db"] = rms_db(3.0)
+    out["momentary_db"] = rms_db(0.4)
+    return result_from_graph_outputs(audio, out, seed=seed)
