@@ -158,6 +158,15 @@ def test_sharded_full_analysis_matches_fused():
     )
 
 
+def test_sharded_rejects_too_short_tracks():
+    from track_analyser_tpu.parallel.sharded import sharded_track_outputs
+
+    mesh = make_mesh((8,), ("seq",))
+    short = np.zeros((2, 22_050), dtype=np.float32)  # 1 s over 8 shards
+    with pytest.raises(ValueError, match="too short"):
+        sharded_track_outputs(short, 22_050, 22_050, mesh)
+
+
 def test_dryrun_multichip_entrypoint():
     import sys
     from pathlib import Path
