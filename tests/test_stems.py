@@ -65,7 +65,8 @@ def test_separate_stems_writes_files(tmp_path):
         data, rate, _ = decode_wav(path)
         assert rate == sr
         assert data.shape[-1] == mix.size
-    assert bundle.model_name == "hpss-dsp-v1"
+    # Neural path when the bundled checkpoint is present, DSP otherwise.
+    assert bundle.model_name in ("bandsplit-masknet-v1", "hpss-dsp-v1")
 
 
 def test_separate_stems_none_without_path(tmp_path):

@@ -20,8 +20,9 @@ from typing import Dict, Optional
 
 import numpy as np
 
-MODEL_NAME = "bandsplit-unet-v0"
+MODEL_NAME = "bandsplit-masknet-v1"
 _CKPT_ENV = "TRACK_ANALYSER_TPU_SEPARATION_CKPT"
+_BUNDLED = Path(__file__).parent / "checkpoints" / "separation_v1.npz"
 
 __all__ = ["available", "separate", "MODEL_NAME"]
 
@@ -30,6 +31,8 @@ def _checkpoint_path() -> Optional[Path]:
     path = os.environ.get(_CKPT_ENV)
     if path and Path(path).exists():
         return Path(path)
+    if _BUNDLED.exists():
+        return _BUNDLED
     return None
 
 
