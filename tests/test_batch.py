@@ -87,6 +87,36 @@ def test_int8_transport_matches_int16_within_tolerances(tmp_path) -> None:
     assert len(r8.structure.segments) == len(r16.structure.segments)
 
 
+def test_library_mixed_durations_group_into_buckets(tmp_path) -> None:
+    """Tracks of different lengths group into different padded buckets and
+    all come back in input order."""
+
+    from track_analyser_tpu.parallel.batch import analyse_library
+    from track_analyser_tpu.utils import AudioInput
+
+    sr = 44_100
+    tracks = []
+    for seconds, freq in ((0.5, 220.0), (2.5, 330.0), (0.6, 440.0)):
+        t = np.linspace(0, seconds, int(sr * seconds), endpoint=False)
+        tracks.append(
+            AudioInput(
+                samples=(0.3 * np.sin(2 * math.pi * freq * t)).astype(np.float32),
+                sample_rate=sr,
+            )
+        )
+    results = analyse_library(tracks)
+    assert len(results) == 3
+    durations = [r.audio.duration for r in results]
+    assert durations[0] == pytest.approx(0.5, abs=0.01)
+    assert durations[1] == pytest.approx(2.5, abs=0.01)
+    assert durations[2] == pytest.approx(0.6, abs=0.01)
+    # LTAS peak tracks each tone
+    for r, freq in zip(results, (220.0, 330.0, 440.0)):
+        ltas = r.features.ltas
+        peak = float(ltas.frequencies[np.argmax(ltas.magnitude)])
+        assert peak == pytest.approx(freq, abs=22.0)
+
+
 def test_int8_transport_holds_tempo_contract() -> None:
     """The +-0.1 BPM / 5 ms gates survive int8 transport quantisation."""
 
