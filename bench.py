@@ -14,8 +14,11 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def _make_track(seconds: float = 180.0, sr: int = 44_100, bpm: float = 126.0):
