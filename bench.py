@@ -95,7 +95,7 @@ def main() -> None:
     tracks = [audio] * n_tracks
     analyse_library(tracks[:2])  # warm the batched executable
     sweeps = []
-    for _ in range(2):  # best-of-2: the tunnelled link's throughput varies
+    for _ in range(3):  # best-of-3: the tunnelled link's throughput varies
         t0 = time.perf_counter()
         out = analyse_library(tracks)
         sweeps.append(time.perf_counter() - t0)

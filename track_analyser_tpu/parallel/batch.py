@@ -71,13 +71,17 @@ def result_from_graph_outputs(
         bpm, grid["time"].to_numpy(), sr, hop_length=hop, grid=grid
     )
 
-    # --- downbeats (accent decoder over fused curves) --------------------
+    # --- downbeats (accent + optional net evidence over fused curves) ----
+    net_prob = out.get("net_prob")
+    if net_prob is not None:
+        net_prob = np.asarray(net_prob, dtype=np.float64)[:f_valid]
     tracked = downbeat_model.decode_from_accent(
         np.asarray(out["beat_energy"], dtype=np.float64)[:f_valid],
         np.asarray(out["low_energy"], dtype=np.float64)[:f_valid],
         np.asarray(beat_result.beat_times, dtype=float),
         sr,
         flux=env,
+        net_prob=net_prob,
     )
     if tracked is not None and tracked.downbeat_times:
         downbeat_result = beats_mod.DownbeatAnalysis(
@@ -228,9 +232,76 @@ def _pad_track(audio: AudioInput, n_bucket: int) -> tuple[np.ndarray, int]:
     return stereo, n
 
 
+def _net_downbeat_prob(y: jnp.ndarray, n_valid, params, *, sr: int) -> jnp.ndarray:
+    """Per-frame P(downbeat) from the bundled activation net, computed on
+    device inside the fused dispatch (params are baked in as constants)."""
+
+    from ..models import downbeat_net
+    from ..ops.mel import mel_filterbank, melspectrogram_from_power, power_to_db
+    from ..ops.stft import magnitude, n_frames
+
+    power = magnitude(y, 2048, DEFAULT_CONFIG.hop_length, power=2.0)
+    mel_db = power_to_db(melspectrogram_from_power(power, mel_filterbank(sr, 2048, 128)))
+    feats = mel_db.T  # (T, 128)
+    total = n_frames(y.shape[-1], DEFAULT_CONFIG.hop_length)
+    fmask = jnp.arange(total) < 1 + n_valid // DEFAULT_CONFIG.hop_length
+    count = jnp.maximum(jnp.sum(fmask), 1)
+    mu = jnp.sum(jnp.where(fmask[:, None], feats, 0.0)) / (count * feats.shape[1])
+    var = jnp.sum(jnp.where(fmask[:, None], (feats - mu) ** 2, 0.0)) / (
+        count * feats.shape[1]
+    )
+    feats = (feats - mu) / (jnp.sqrt(var) + 1e-6)
+    logits = downbeat_net.forward(params, feats)
+    return jnp.where(fmask, jax.nn.softmax(logits, axis=-1)[:, 2], 0.0)
+
+
+def _bundled_net_params():
+    """Downbeat activation-net weights baked into the fused graphs as
+    compile-time constants (no per-call transfer). None disables the net.
+
+    OPT-IN (TRACK_ANALYSER_TPU_NET_DOWNBEATS=1): the current activation
+    net is a GRU whose ~15k-step serial scan costs several seconds per
+    track on TPU — fine for the per-module analyse_downbeats path, hostile
+    to the fused latency path. A time-parallel TCN retrain replaces it
+    (PARITY.md round-2 plan); until then the accent decoder is the fused
+    default.
+    """
+
+    import os
+
+    if os.environ.get("TRACK_ANALYSER_TPU_NET_DOWNBEATS") != "1":
+        return None
+
+    from ..models.downbeat import _DEFAULT_CKPT, _CKPT_ENV
+
+    path = os.environ.get(_CKPT_ENV) or (
+        str(_DEFAULT_CKPT) if _DEFAULT_CKPT.exists() else None
+    )
+    if path is None:
+        return None
+    try:
+        from ..models import downbeat_net
+
+        return downbeat_net.load_checkpoint(path)
+    except Exception:
+        return None
+
+
+def _core_graph(stereo, n_valid, *, sr):
+    """Fused graph + packed outputs (+ net downbeat activations when the
+    bundled checkpoint exists)."""
+
+    packed = pack_outputs(full_track_graph(stereo, n_valid, sr=sr))
+    params = _bundled_net_params()
+    if params is not None:
+        net = _net_downbeat_prob(jnp.mean(stereo, axis=0), n_valid, params, sr=sr)
+        return packed + (net,)
+    return packed
+
+
 @partial(jax.jit, static_argnames=("sr",))
 def _single_graph(stereo, n_valid, *, sr):
-    return pack_outputs(full_track_graph(stereo, n_valid, sr=sr))
+    return _core_graph(stereo, n_valid, sr=sr)
 
 
 @partial(jax.jit, static_argnames=("sr",))
@@ -239,7 +310,7 @@ def _single_graph_i16(stereo_i16, n_valid, *, sr):
     happens on device (free against HBM bandwidth)."""
 
     stereo = stereo_i16.astype(jnp.float32) / 32768.0
-    return pack_outputs(full_track_graph(stereo, n_valid, sr=sr))
+    return _core_graph(stereo, n_valid, sr=sr)
 
 
 @partial(jax.jit, static_argnames=("sr", "n_bucket"))
@@ -249,7 +320,7 @@ def _single_graph_from_mono_i16(y_i16, n_valid, *, sr, n_bucket):
     y = y_i16.astype(jnp.float32) / 32768.0
     yp = jnp.zeros(n_bucket, dtype=jnp.float32).at[: y.shape[-1]].set(y)
     stereo = jnp.stack([yp, yp])
-    return pack_outputs(full_track_graph(stereo, n_valid, sr=sr))
+    return _core_graph(stereo, n_valid, sr=sr)
 
 
 @partial(jax.jit, static_argnames=("sr",))
@@ -257,9 +328,7 @@ def _batched_graph_i16(stereo_i16, n_valid, *, sr):
     """Module-level jit so repeated analyse_library calls never retrace."""
 
     def one(s, v):
-        return pack_outputs(
-            full_track_graph(s.astype(jnp.float32) / 32768.0, v, sr=sr)
-        )
+        return _core_graph(s.astype(jnp.float32) / 32768.0, v, sr=sr)
 
     return jax.vmap(one)(stereo_i16, n_valid)
 
@@ -299,7 +368,7 @@ def _dequantise_i8(vals: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("sr",))
 def _batched_graph_i8(vals, scales, n_valid, *, sr):
     def one(v, s, nv):
-        return pack_outputs(full_track_graph(_dequantise_i8(v, s), nv, sr=sr))
+        return _core_graph(_dequantise_i8(v, s), nv, sr=sr)
 
     return jax.vmap(one)(vals, scales, n_valid)
 
@@ -339,10 +408,11 @@ def analyse_track_fused(
         out = _single_graph(
             jnp.asarray(stereo), jnp.asarray(n_valid), sr=audio.sample_rate
         )
-    curves, chroma, vec = jax.device_get(out)
-    return result_from_graph_outputs(
-        audio, unpack_outputs(curves, chroma, vec), seed=seed
-    )
+    fetched = jax.device_get(out)
+    out_dict = unpack_outputs(*fetched[:3])
+    if len(fetched) > 3:
+        out_dict["net_prob"] = np.asarray(fetched[3])
+    return result_from_graph_outputs(audio, out_dict, seed=seed)
 
 
 def analyse_library(
@@ -422,9 +492,13 @@ def analyse_library(
 
     def _finish(chunk, out_handle) -> None:
         nonlocal n_done
-        curves, chroma, vec = jax.device_get(out_handle)
+        fetched = jax.device_get(out_handle)
+        curves, chroma, vec = fetched[:3]
+        net = fetched[3] if len(fetched) > 3 else None
         for k, (idx, src, audio, _sti, _nv) in enumerate(chunk):
             track_out = unpack_outputs(curves[k], chroma[k], vec[k])
+            if net is not None:
+                track_out["net_prob"] = np.asarray(net[k])
             result = result_from_graph_outputs(audio, track_out, seed=seed)
             results[idx] = result
             if output_dir is not None:
