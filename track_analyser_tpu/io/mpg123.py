@@ -118,6 +118,22 @@ def decode_mp3(path: "str | Path") -> Tuple[np.ndarray, int, Dict[str, object]]:
             if rc == _MPG123_DONE:
                 break
             if rc == _MPG123_NEW_FORMAT:
+                # Mid-stream format change: deinterleave below assumes one
+                # fixed rate/channel layout — re-query and bail if it moved
+                # (we locked float32 at the initial rate, so this is rare).
+                new_rate = ctypes.c_long(0)
+                new_ch = ctypes.c_int(0)
+                new_enc = ctypes.c_int(0)
+                lib.mpg123_getformat(
+                    handle,
+                    ctypes.byref(new_rate),
+                    ctypes.byref(new_ch),
+                    ctypes.byref(new_enc),
+                )
+                if new_rate.value != rate.value or new_ch.value != channels.value:
+                    raise RuntimeError(
+                        f"mpg123 stream changes format mid-file: {path}"
+                    )
                 continue
             if rc != _MPG123_OK:
                 if chunks:

@@ -74,6 +74,7 @@ def decode_ogg(path: "str | Path") -> Tuple[np.ndarray, int, Dict[str, object]]:
         channels, rate = int(info.channels), int(info.rate)
         pcm = ctypes.POINTER(ctypes.POINTER(ctypes.c_float))()
         section = ctypes.c_int(0)
+        last_section = 0
         per_channel: list[list[np.ndarray]] = [[] for _ in range(channels)]
         while True:
             got = lib.ov_read_float(
@@ -81,6 +82,16 @@ def decode_ogg(path: "str | Path") -> Tuple[np.ndarray, int, Dict[str, object]]:
             )
             if got <= 0:
                 break
+            if section.value != last_section:
+                # Chained stream: re-query the section's format — a
+                # channel-count or rate change would make the pcm[c]
+                # dereference below invalid, so bail to the codec ladder.
+                last_section = section.value
+                sec_info = lib.ov_info(ctypes.byref(vf), section.value).contents
+                if int(sec_info.channels) != channels or int(sec_info.rate) != rate:
+                    raise RuntimeError(
+                        f"chained Ogg stream changes format mid-file: {path}"
+                    )
             for c in range(channels):
                 per_channel[c].append(
                     np.ctypeslib.as_array(pcm[c], shape=(got,)).copy()
