@@ -1,8 +1,10 @@
-"""Generate a tiny click track for smoke-testing the analyser CLI.
+"""Write the tiny click-track smoke fixture for the analyser CLI.
 
-Writes examples/tiny_click_120.wav: one 4/4 bar at 120 BPM with a 1.5 kHz
-accented downbeat and 1 kHz beats (the reference's own smoke fixture,
-scripts/make_tiny_click.py).
+One 4/4 bar at 120 BPM: beat 1 is an accented 1.5 kHz click, beats 2-4
+are 1 kHz clicks — the same fixture semantics as the reference smoke test
+(scripts/make_tiny_click.py there). Synthesis here is vectorised: every
+click is one row of a tone matrix scatter-added into the output in a
+single call.
 """
 
 from __future__ import annotations
@@ -18,63 +20,49 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from track_analyser_tpu.io import write_wav
 
 DEFAULT_OUTPUT = Path("examples/tiny_click_120.wav")
-SAMPLE_RATE = 44_100
-BPM = 120
-BEATS_PER_BAR = 4
-CLICK_DURATION_SECONDS = 0.03
-ACCENT_FREQUENCY = 1500.0
-REGULAR_FREQUENCY = 1000.0
 
 
-def _synth_click(
-    frequency: float, amplitude: float, sample_rate: int, duration: float
+def synth_click_bar(
+    sr: int = 44_100,
+    bpm: float = 120.0,
+    beats_per_bar: int = 4,
+    click_seconds: float = 0.03,
+    accent_hz: float = 1500.0,
+    beat_hz: float = 1000.0,
 ) -> np.ndarray:
-    sample_count = int(duration * sample_rate)
-    times = np.linspace(0.0, duration, sample_count, endpoint=False)
-    envelope = np.exp(-times * 50.0)
-    waveform = amplitude * np.sin(2 * np.pi * frequency * times) * envelope
-    return waveform.astype(np.float32)
+    """One bar of exponentially-decaying sine clicks, accent on beat 1."""
+
+    period = 60.0 / bpm
+    click_n = int(click_seconds * sr)
+    t = np.arange(click_n) / sr
+    decay = np.exp(-50.0 * t)
+
+    freqs = np.full(beats_per_bar, beat_hz)
+    amps = np.full(beats_per_bar, 0.6)
+    freqs[0], amps[0] = accent_hz, 0.9
+    tones = amps[:, None] * np.sin(2.0 * np.pi * freqs[:, None] * t[None, :]) * decay
+
+    starts = np.round(np.arange(beats_per_bar) * period * sr).astype(int)
+    out = np.zeros(int(np.ceil(beats_per_bar * period * sr)) + click_n, dtype=np.float64)
+    positions = (starts[:, None] + np.arange(click_n)[None, :]).reshape(-1)
+    np.add.at(out, positions, tones.reshape(-1))
+    return np.clip(out, -1.0, 1.0).astype(np.float32)
 
 
-def make_click_track(path: Path) -> Path:
-    seconds_per_beat = 60.0 / BPM
-    click = _synth_click(REGULAR_FREQUENCY, 0.6, SAMPLE_RATE, CLICK_DURATION_SECONDS)
-    accent = _synth_click(ACCENT_FREQUENCY, 0.9, SAMPLE_RATE, CLICK_DURATION_SECONDS)
-
-    click_length = click.shape[0]
-    bar_samples = int(np.ceil(BEATS_PER_BAR * seconds_per_beat * SAMPLE_RATE))
-    total_samples = bar_samples + click_length
-    audio = np.zeros(total_samples, dtype=np.float32)
-
-    for beat in range(BEATS_PER_BAR):
-        start = int(round(beat * seconds_per_beat * SAMPLE_RATE))
-        end = start + click_length
-        waveform = accent if beat == 0 else click
-        audio[start:end] += waveform[: total_samples - start]
-
-    audio = np.clip(audio, -1.0, 1.0)
-
-    path = path.resolve()
-    path.parent.mkdir(parents=True, exist_ok=True)
-    write_wav(path, audio, SAMPLE_RATE, subtype="PCM_16")
-    return path
-
-
-def parse_args() -> argparse.Namespace:
+def main(argv: "list[str] | None" = None) -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "output",
         nargs="?",
         default=str(DEFAULT_OUTPUT),
-        help="Destination path for the generated WAV (default: %(default)s)",
+        help="destination WAV path (default: %(default)s)",
     )
-    return parser.parse_args()
+    args = parser.parse_args(argv)
 
-
-def main() -> None:
-    args = parse_args()
-    written = make_click_track(Path(args.output))
-    print(f"Wrote click track to {written}")
+    path = Path(args.output).resolve()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    write_wav(path, synth_click_bar(), 44_100, subtype="PCM_16")
+    print(f"Wrote click track to {path}")
 
 
 if __name__ == "__main__":

@@ -40,20 +40,7 @@ MAJOR_PROFILE = np.array(
 MINOR_PROFILE = np.array(
     [6.33, 2.68, 3.52, 5.38, 2.6, 3.53, 2.54, 4.75, 3.98, 2.69, 3.34, 3.17]
 )
-PITCH_CLASS_NAMES = [
-    "C",
-    "C#",
-    "D",
-    "Eb",
-    "E",
-    "F",
-    "F#",
-    "G",
-    "Ab",
-    "A",
-    "Bb",
-    "B",
-]
+PITCH_CLASS_NAMES = "C C# D Eb E F F# G Ab A Bb B".split()
 
 __all__ = [
     "HarmonyAnalysis",
@@ -190,30 +177,28 @@ def _profile_matrices() -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _correlate_chroma(chroma: np.ndarray, template: np.ndarray) -> np.ndarray:
-    return np.array(
-        [float(np.dot(chroma, np.roll(template, shift))) for shift in range(12)]
-    )
+    """All 12 rotations of dot(chroma, template) as one matmul."""
+
+    rotations = np.stack([np.roll(template, shift) for shift in range(12)])
+    return rotations @ np.asarray(chroma, dtype=float)
 
 
 def _score_keys(chroma_matrices: Sequence[np.ndarray]) -> Tuple[np.ndarray, List[str]]:
     if not chroma_matrices:
         return np.array([]), []
 
-    keys = [f"{pitch} major" for pitch in PITCH_CLASS_NAMES]
-    keys += [f"{pitch} minor" for pitch in PITCH_CLASS_NAMES]
-
-    maj_rot, min_rot = _profile_matrices()
+    keys = [
+        f"{pitch} {mode}" for mode in ("major", "minor") for pitch in PITCH_CLASS_NAMES
+    ]
+    profile = np.concatenate(_profile_matrices(), axis=0)  # (24, 12)
     aggregated = np.zeros(24, dtype=float)
     for chroma in chroma_matrices:
         if chroma.size == 0:
             continue
-        chroma_mean = np.mean(chroma, axis=1)
-        norm = np.linalg.norm(chroma_mean)
-        if norm <= 0:
-            continue
-        chroma_norm = chroma_mean / norm
-        aggregated[:12] += maj_rot @ chroma_norm
-        aggregated[12:] += min_rot @ chroma_norm
+        mean = np.mean(chroma, axis=1)
+        norm = np.linalg.norm(mean)
+        if norm > 0:
+            aggregated += profile @ (mean / norm)
     return aggregated, keys
 
 
@@ -222,18 +207,13 @@ def _keys_from_scores(scores: np.ndarray, keys: List[str]) -> KeyEstimation:
         fallback = KeyEstimate(key="C major", confidence=0.0)
         return KeyEstimation(best=fallback, second_best=fallback)
 
-    positive = np.maximum(scores, 0.0)
-    total = float(np.sum(positive)) or 1.0
-    confidences = positive / total
-
-    best_idx = int(np.argmax(confidences))
-    best = KeyEstimate(key=keys[best_idx], confidence=float(confidences[best_idx]))
-    confidences[best_idx] = -np.inf
-    second_idx = int(np.argmax(confidences))
-    second = KeyEstimate(
-        key=keys[second_idx], confidence=float(max(confidences[second_idx], 0.0))
+    confidences = np.maximum(scores, 0.0)
+    confidences = confidences / (float(confidences.sum()) or 1.0)
+    first, second = np.argsort(confidences)[::-1][:2]
+    return KeyEstimation(
+        best=KeyEstimate(key=keys[first], confidence=float(confidences[first])),
+        second_best=KeyEstimate(key=keys[second], confidence=float(confidences[second])),
     )
-    return KeyEstimation(best=best, second_best=second)
 
 
 def key_estimate(y: np.ndarray, sr: int) -> KeyEstimation:
@@ -281,33 +261,35 @@ def _beat_chroma_profiles(
     return means / safe[:, None], valid
 
 
+# Chord vocabulary: 12 roots x five qualities (semitone offsets).
+_CHORD_INTERVALS = {
+    "maj": (0, 4, 7),
+    "min": (0, 3, 7),
+    "dim": (0, 3, 6),
+    "sus2": (0, 2, 7),
+    "sus4": (0, 5, 7),
+}
+
+
 @lru_cache(maxsize=1)
 def _chord_template_matrix() -> Tuple[np.ndarray, List[str]]:
-    templates = _build_chord_templates()
-    names = list(templates.keys())
-    matrix = np.stack([templates[name] for name in names])  # (60, 12)
+    """(60, 12) L2-normalised binary templates + their names, built by
+    rolling one identity-row sum per quality across all 12 roots."""
+
+    eye = np.eye(12)
+    rows, names = [], []
+    for root, pitch in enumerate(PITCH_CLASS_NAMES):
+        for quality, offsets in _CHORD_INTERVALS.items():
+            rows.append(eye[[(root + o) % 12 for o in offsets]].sum(axis=0))
+            names.append(f"{pitch}{quality}")
+    matrix = np.stack(rows)
+    matrix /= np.linalg.norm(matrix, axis=1, keepdims=True)
     return matrix, names
 
 
 def _build_chord_templates() -> Dict[str, np.ndarray]:
-    intervals = {
-        "maj": [0, 4, 7],
-        "min": [0, 3, 7],
-        "dim": [0, 3, 6],
-        "sus2": [0, 2, 7],
-        "sus4": [0, 5, 7],
-    }
-    templates: Dict[str, np.ndarray] = {}
-    for root_idx, pitch in enumerate(PITCH_CLASS_NAMES):
-        for quality, ints in intervals.items():
-            template = np.zeros(12)
-            for interval in ints:
-                template[(root_idx + interval) % 12] = 1.0
-            norm = np.linalg.norm(template)
-            if norm > 0:
-                template = template / norm
-            templates[f"{pitch}{quality}"] = template
-    return templates
+    matrix, names = _chord_template_matrix()
+    return dict(zip(names, matrix))
 
 
 def _estimate_chords(
@@ -315,6 +297,10 @@ def _estimate_chords(
     beat_result: BeatAnalysis,
     rng: np.random.Generator,
 ) -> List[ChordHint]:
+    """Best chord per beat: one (beats x 12) @ (12 x 60) matmul with a
+    deterministic rng tie-break; confidence = winning score over the
+    beat's max (reference semantics, harmony.py:285-320)."""
+
     beat_frames = beat_result.beat_frames
     if not beat_frames:
         return []
@@ -323,28 +309,30 @@ def _estimate_chords(
     )
     matrix, names = _chord_template_matrix()
     scores = profiles @ matrix.T  # (B, 60)
-    noise = rng.normal(0.0, 1e-6, size=scores.shape)
-    best = np.argmax(scores + noise, axis=1)
-    hints: List[ChordHint] = []
-    for idx in range(len(beat_frames)):
-        if not valid[idx]:
-            continue
-        base = scores[idx]
-        b = int(best[idx])
-        confidence = float(base[b] / float(np.max(base + 1e-9)))
-        hints.append(
-            ChordHint(
-                time=float(beat_result.beat_times[idx]),
-                chord=names[b],
-                confidence=confidence,
-            )
-        )
-    return hints
+    best = np.argmax(scores + rng.normal(0.0, 1e-6, size=scores.shape), axis=1)
+    winning = scores[np.arange(best.size), best]
+    confidence = winning / (scores.max(axis=1) + 1e-9)
+    times = np.asarray(beat_result.beat_times, dtype=float)
+    return [
+        ChordHint(time=float(times[i]), chord=names[best[i]], confidence=float(confidence[i]))
+        for i in np.flatnonzero(valid)
+    ]
 
 
 def _detect_chord_changes(
     chroma: np.ndarray, beat_result: BeatAnalysis, chord_hints: Sequence[ChordHint]
 ) -> List[ChordChangePoint]:
+    """Chord-change points from two vectorised evidence arrays, merged.
+
+    Evidence A: cosine novelty between consecutive beat chroma profiles —
+    keep the top ``chord_change_keep_fraction`` above the configured floor,
+    plus the first transition (it anchors the progression). Evidence B:
+    template distance across chord-hint transitions where the hint moved.
+    Duplicate times keep the max strength; output is normalised to max=1.
+    Same decision surface as the reference (harmony.py:345-420) expressed
+    as array reductions instead of a per-change dict merge.
+    """
+
     beat_frames = beat_result.beat_frames
     if len(beat_frames) < 2:
         return []
@@ -358,60 +346,70 @@ def _detect_chord_changes(
     profiles = profiles[kept]
     times = np.asarray(beat_result.beat_times, dtype=float)[kept]
 
-    similarity = np.clip(np.sum(profiles[:-1] * profiles[1:], axis=1), -1.0, 1.0)
+    similarity = np.clip(np.einsum("ij,ij->i", profiles[:-1], profiles[1:]), -1.0, 1.0)
     strengths = np.clip(1.0 - similarity, 0.0, 1.0)
-    changes = [
-        ChordChangePoint(time=float(t), strength=float(s))
-        for t, s in zip(times[1:], strengths)
-    ]
-    if not changes:
-        return []
 
-    change_map: Dict[float, float] = {}
     keep = max(1, int(np.ceil(strengths.size * DEFAULT_CONFIG.chord_change_keep_fraction)))
     if keep >= strengths.size:
-        threshold = float(np.min(strengths))
+        threshold = float(strengths.min())
     else:
-        cutoff_index = strengths.size - keep
-        threshold = float(np.partition(strengths, cutoff_index)[cutoff_index])
-    threshold = float(max(threshold, DEFAULT_CONFIG.chord_change_threshold))
-    for change in changes:
-        if change.strength >= threshold:
-            change_map[change.time] = max(change_map.get(change.time, 0.0), change.strength)
-    first_change = changes[0]
-    change_map[first_change.time] = max(
-        change_map.get(first_change.time, 0.0), first_change.strength
-    )
+        cut = strengths.size - keep
+        threshold = float(np.partition(strengths, cut)[cut])
+    threshold = max(threshold, DEFAULT_CONFIG.chord_change_threshold)
+
+    select = strengths >= threshold
+    select[0] = True
+    cand_times = [times[1:][select]]
+    cand_strengths = [strengths[select]]
 
     if len(chord_hints) >= 2:
-        templates = _build_chord_templates()
-        for prev_hint, curr_hint in zip(chord_hints, chord_hints[1:]):
-            if curr_hint.chord == prev_hint.chord:
-                continue
-            prev_template = templates.get(prev_hint.chord)
-            curr_template = templates.get(curr_hint.chord)
-            if prev_template is None or curr_template is None:
-                similarity_t = 0.0
-            else:
-                similarity_t = float(
-                    np.clip(np.dot(prev_template, curr_template), -1.0, 1.0)
-                )
-            strength = float(np.clip(1.0 - similarity_t, 0.0, 1.0))
-            change_map[curr_hint.time] = max(change_map.get(curr_hint.time, 0.0), strength)
+        matrix, names = _chord_template_matrix()
+        row_of = {name: i for i, name in enumerate(names)}
+        rows = np.array([row_of.get(h.chord, -1) for h in chord_hints], dtype=int)
+        labels = np.array([h.chord for h in chord_hints])
+        moved = labels[1:] != labels[:-1]
+        prev_rows, curr_rows = rows[:-1], rows[1:]
+        known = (prev_rows >= 0) & (curr_rows >= 0)
+        sim = np.zeros(prev_rows.size)  # unknown template pairs score 0
+        sim[known] = np.clip(
+            np.einsum("ij,ij->i", matrix[prev_rows[known]], matrix[curr_rows[known]]),
+            -1.0,
+            1.0,
+        )
+        hint_times = np.array([h.time for h in chord_hints], dtype=float)
+        cand_times.append(hint_times[1:][moved])
+        cand_strengths.append(np.clip(1.0 - sim[moved], 0.0, 1.0))
 
-    if not change_map:
+    all_times = np.concatenate(cand_times)
+    all_strengths = np.concatenate(cand_strengths)
+    if all_times.size == 0:
         return []
-
-    max_strength = max(change_map.values()) or 1.0
+    uniq, inverse = np.unique(all_times, return_inverse=True)
+    merged = np.zeros(uniq.size)
+    np.maximum.at(merged, inverse, all_strengths)
+    scale = float(merged.max()) or 1.0
     return [
-        ChordChangePoint(time=float(time), strength=float(value / max_strength))
-        for time, value in sorted(change_map.items())
+        ChordChangePoint(time=float(t), strength=float(s / scale))
+        for t, s in zip(uniq, merged)
     ]
 
 
 # ---------------------------------------------------------------------------
 # MIDI suggestion
 # ---------------------------------------------------------------------------
+
+
+# Diatonic scale-degree offsets by mode (semitones above the root).
+_MODE_STEPS = {
+    "major": np.array([0, 2, 4, 5, 7, 9, 11]),
+    "minor": np.array([0, 2, 3, 5, 7, 8, 10]),
+}
+
+
+def _scale_for_key(key: str) -> List[int]:
+    root, _, mode = key.partition(" ")
+    steps = _MODE_STEPS["major" if mode.strip().lower().startswith("major") else "minor"]
+    return list((PITCH_CLASS_NAMES.index(root) + steps) % 12)
 
 
 def _generate_midi(
@@ -424,37 +422,32 @@ def _generate_midi(
     octave: int = 0,
     start_offset: float = 0.0,
 ) -> MidiSuggestion:
-    scale = _scale_for_key(key_estimate_.key)
-    beats = [max(0.0, beat - start_offset) for beat in beat_result.beat_times[:8]]
-    if not beats:
-        beats = [0.0, 0.5, 1.0, 1.5]
-    notes = []
-    duration = float(np.median(np.diff(beats))) if len(beats) > 1 else 0.5
-    for beat_time in beats:
-        pitch_class = int(scale[int(rng.integers(0, len(scale)))])
-        velocity = int(np.clip(96 + rng.integers(-12, 12), 20, 127))
-        pitch = 60 + pitch_class + octave * 12
-        notes.append(
-            {
-                "start": float(beat_time),
-                "duration": float(duration),
-                "pitch": int(pitch),
-                "velocity": int(velocity),
-                "channel": 0,
-            }
-        )
-    df = pd.DataFrame(notes, columns=["start", "duration", "pitch", "velocity", "channel"])
-    return MidiSuggestion(name=name, notes=df)
+    """Eight-beat scale-degree sketch in the detected key.
 
+    All random draws are batched (one integers() call per column) so the
+    note table is one vectorised assembly rather than a per-beat loop
+    (reference: harmony.py:423-455).
+    """
 
-def _scale_for_key(key: str) -> List[int]:
-    key_root, _, mode = key.partition(" ")
-    root_idx = PITCH_CLASS_NAMES.index(key_root)
-    if mode.strip().lower().startswith("major"):
-        pattern = [0, 2, 4, 5, 7, 9, 11]
-    else:
-        pattern = [0, 2, 3, 5, 7, 8, 10]
-    return [(root_idx + interval) % 12 for interval in pattern]
+    scale = np.asarray(_scale_for_key(key_estimate_.key), dtype=int)
+    beats = np.maximum(
+        np.asarray(beat_result.beat_times[:8], dtype=float) - start_offset, 0.0
+    )
+    if beats.size == 0:
+        beats = np.array([0.0, 0.5, 1.0, 1.5])
+    duration = float(np.median(np.diff(beats))) if beats.size > 1 else 0.5
+    degrees = rng.integers(0, scale.size, size=beats.size)
+    velocities = np.clip(96 + rng.integers(-12, 12, size=beats.size), 20, 127)
+    notes = pd.DataFrame(
+        {
+            "start": beats,
+            "duration": np.full(beats.size, duration),
+            "pitch": 60 + scale[degrees] + 12 * octave,
+            "velocity": velocities.astype(int),
+            "channel": np.zeros(beats.size, dtype=int),
+        }
+    )
+    return MidiSuggestion(name=name, notes=notes)
 
 
 # ---------------------------------------------------------------------------
@@ -479,19 +472,34 @@ def _spectral_balance(audio: AudioInput) -> SpectralBalance:
     )
 
 
+@jax.jit
+def _stereo_image_graph(lr: jnp.ndarray):
+    """Centered L/R correlation + |L|-|R| balance on device — the same
+    formulation the fused substrate uses (substrate.py stereo image block),
+    so both execution paths agree bit-for-bit on degenerate inputs."""
+
+    left, right = lr[0], lr[1]
+    lc = left - jnp.mean(left)
+    rc = right - jnp.mean(right)
+    denom = jnp.linalg.norm(lc) * jnp.linalg.norm(rc)
+    corr = jnp.where(
+        denom > 1e-12,
+        jnp.clip(jnp.dot(lc, rc) / jnp.where(denom > 1e-12, denom, 1.0), -1.0, 1.0),
+        1.0,
+    )
+    balance = jnp.mean(jnp.abs(left)) - jnp.mean(jnp.abs(right))
+    return corr, balance
+
+
 def _stereo_image(audio: AudioInput) -> StereoImage:
     samples = (
         audio.stereo_samples if audio.stereo_samples is not None else audio.samples
     )
     samples = np.asarray(samples, dtype=np.float32)
-    if samples.ndim == 1 or samples.shape[0] < 2:
+    if samples.ndim != 2 or samples.shape[0] < 2 or samples.shape[-1] == 0:
         return StereoImage(correlation=1.0, balance=0.0)
-
-    left = samples[0]
-    right = samples[1]
-    corr = float(np.corrcoef(left, right)[0, 1]) if left.size and right.size else 0.0
-    balance = float(np.mean(np.abs(left)) - np.mean(np.abs(right)))
-    return StereoImage(correlation=corr, balance=balance)
+    corr, balance = _stereo_image_graph(jnp.asarray(samples[:2]))
+    return StereoImage(correlation=float(corr), balance=float(balance))
 
 
 # ---------------------------------------------------------------------------
@@ -521,24 +529,18 @@ def analyse_harmony(
     chord_hints = _estimate_chords(chroma_cqt, beat_result, rng)
     change_points = _detect_chord_changes(chroma_cqt, beat_result, chord_hints)
 
-    start_offset = (
-        downbeat_result.downbeat_times[0]
-        if downbeat_result and downbeat_result.downbeat_times
-        else (beat_result.beat_times[0] if beat_result.beat_times else 0.0)
-    )
+    if downbeat_result and downbeat_result.downbeat_times:
+        start_offset = downbeat_result.downbeat_times[0]
+    else:
+        start_offset = beat_result.beat_times[0] if beat_result.beat_times else 0.0
 
-    hook = _generate_midi(
-        chroma_cqt, beat_result, key_result.best, rng, name="hook", start_offset=start_offset
-    )
-    bass = _generate_midi(
-        chroma_cqt,
-        beat_result,
-        key_result.best,
-        rng,
-        name="bass",
-        octave=-1,
-        start_offset=start_offset,
-    )
+    sketches = {
+        name: _generate_midi(
+            chroma_cqt, beat_result, key_result.best, rng,
+            name=name, octave=octave, start_offset=start_offset,
+        )
+        for name, octave in (("hook", 0), ("bass", -1))
+    }
 
     return HarmonyAnalysis(
         spectral_balance=spectral_balance,
@@ -547,6 +549,6 @@ def analyse_harmony(
         secondary_key=key_result.second_best,
         chord_hints=chord_hints,
         chord_change_points=change_points,
-        hook_suggestion=hook,
-        bass_suggestion=bass,
+        hook_suggestion=sketches["hook"],
+        bass_suggestion=sketches["bass"],
     )

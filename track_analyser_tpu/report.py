@@ -1,18 +1,25 @@
 """Persisting analysis artefacts: report.json, CSV tables, PNG plots.
 
-Schema parity with the reference (report.py:88-203): the same JSON keys,
-the same beats.csv / sections.csv columns, the same five plots. The
-tempogram is computed by the jitted tempogram op instead of a second
-librosa pass.
+Schema parity with the reference (report.py:88-203): the same JSON keys
+and the same beats.csv / sections.csv columns — those dicts are the
+contract. Everything around them is this project's own machinery: CSV
+written with the stdlib writer, plots rendered through one shared panel
+helper with a single validated palette, the waveform drawn as a per-pixel
+min/max envelope (plotting 8M raw samples through matplotlib costs
+seconds), and the tempogram computed by the jitted tempogram op instead
+of a second full DSP pass (reference re-runs librosa at plot time,
+report.py:260-262).
 """
 
 from __future__ import annotations
 
+import csv
 import json
+from contextlib import contextmanager
 from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
-from typing import Dict
+from typing import Dict, Iterator, Sequence, Tuple
 
 import matplotlib
 
@@ -20,7 +27,7 @@ matplotlib.use("Agg")
 import jax
 import matplotlib.pyplot as plt
 import numpy as np
-import pandas as pd
+from matplotlib.colors import LinearSegmentedColormap
 
 from .pipeline import TrackAnalysisResult
 from .ops.mel import mel_filterbank, melspectrogram_from_power
@@ -60,34 +67,35 @@ def generate_report(
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-
     request = request or ReportRequest()
 
-    json_path: Path | None = None
+    outputs = ReportOutputs(json=None, csv={}, plots={})
     if request.include_json:
-        json_path = request.json_path or output_dir / "report.json"
-        json_path.parent.mkdir(parents=True, exist_ok=True)
-        _write_report_json(result, json_path)
-
-    csv_outputs: Dict[str, Path] = {}
+        outputs.json = request.json_path or output_dir / "report.json"
+        outputs.json.parent.mkdir(parents=True, exist_ok=True)
+        outputs.json.write_text(
+            json.dumps(_report_dict(result), indent=2), encoding="utf-8"
+        )
     if request.include_csv:
         csv_dir = request.csv_dir or output_dir
         csv_dir.mkdir(parents=True, exist_ok=True)
-        csv_outputs = _write_csv_tables(result, csv_dir)
-
-    plot_outputs: Dict[str, Path] = {}
+        outputs.csv = _write_csv_tables(result, csv_dir)
     if request.include_plots:
         plots_dir = request.plots_dir or output_dir
         plots_dir.mkdir(parents=True, exist_ok=True)
-        plot_outputs = _write_plots(result, plots_dir)
+        outputs.plots = _write_plots(result, plots_dir)
+    return outputs
 
-    return ReportOutputs(json=json_path, csv=csv_outputs, plots=plot_outputs)
+
+# ---------------------------------------------------------------------------
+# JSON — the key set below IS the parity contract (reference report.py:91-156)
+# ---------------------------------------------------------------------------
 
 
-def _write_report_json(result: TrackAnalysisResult, path: Path) -> None:
-    """Serialise ``result`` into the reference JSON schema (report.py:91-156)."""
-
-    summary = {
+def _report_dict(result: TrackAnalysisResult) -> dict:
+    downbeat = result.downbeat
+    harmonic = result.harmonic
+    return {
         "audio": {
             "path": result.audio.path,
             "sample_rate": result.audio.sample_rate,
@@ -99,8 +107,8 @@ def _write_report_json(result: TrackAnalysisResult, path: Path) -> None:
             "count": len(result.beat.beat_times),
         },
         "downbeat": {
-            "source": result.downbeat.source if result.downbeat else None,
-            "count": len(result.downbeat.downbeat_times) if result.downbeat else 0,
+            "source": downbeat.source if downbeat else None,
+            "count": len(downbeat.downbeat_times) if downbeat else 0,
         },
         "structure": [
             {
@@ -119,15 +127,15 @@ def _write_report_json(result: TrackAnalysisResult, path: Path) -> None:
             "rms_dbfs": result.loudness.rms_dbfs,
         },
         "harmonic": {
-            "key": result.harmonic.primary_key.key,
-            "key_confidence": result.harmonic.primary_key.confidence,
+            "key": harmonic.primary_key.key,
+            "key_confidence": harmonic.primary_key.confidence,
             "secondary_key": {
-                "key": result.harmonic.secondary_key.key,
-                "confidence": result.harmonic.secondary_key.confidence,
+                "key": harmonic.secondary_key.key,
+                "confidence": harmonic.secondary_key.confidence,
             },
             "chord_change_points": [
                 {"time": point.time, "strength": point.strength}
-                for point in result.harmonic.chord_change_points
+                for point in harmonic.chord_change_points
             ],
         },
         "features": {
@@ -149,58 +157,57 @@ def _write_report_json(result: TrackAnalysisResult, path: Path) -> None:
         },
     }
 
-    path.write_text(json.dumps(summary, indent=2), encoding="utf-8")
+
+# ---------------------------------------------------------------------------
+# CSV — column sets are the parity contract (reference report.py:171-198);
+# written with the stdlib csv module (no pandas round-trip needed).
+# ---------------------------------------------------------------------------
+
+_SECTION_COLUMNS = (
+    "label",
+    "category",
+    "start",
+    "end",
+    "confidence",
+    "percussive_energy",
+    "harmonic_energy",
+    "percussive_ratio",
+)
+
+
+def _write_rows(path: Path, header: Sequence[str], rows) -> None:
+    with path.open("w", newline="", encoding="utf-8") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(header)
+        writer.writerows(rows)
 
 
 def _write_csv_tables(result: TrackAnalysisResult, output_dir: Path) -> Dict[str, Path]:
-    """Write beats.csv and sections.csv (reference columns: report.py:171-198)."""
-
     beat_times = np.asarray(result.beat.beat_times, dtype=float)
     beat_frames = np.asarray(result.beat.beat_frames, dtype=int)
-    downbeat_times: np.ndarray = (
+    downbeat_times = (
         np.asarray(result.downbeat.downbeat_times, dtype=float)
         if result.downbeat
         else np.zeros(0, dtype=float)
     )
-    beats = pd.DataFrame(
-        {
-            "index": np.arange(1, beat_times.size + 1, dtype=int),
-            "time": beat_times,
-            "frame": beat_frames,
-            "is_downbeat": _flag_downbeats(beat_times, downbeat_times),
-        }
-    )
+    flags = _flag_downbeats(beat_times, downbeat_times)
+
     beats_path = output_dir / "beats.csv"
-    beats.to_csv(beats_path, index=False)
-
-    sections = pd.DataFrame(
-        [
-            {
-                "label": seg.label,
-                "category": seg.category,
-                "start": seg.start,
-                "end": seg.end,
-                "confidence": seg.confidence,
-                "percussive_energy": seg.percussive_energy,
-                "harmonic_energy": seg.harmonic_energy,
-                "percussive_ratio": seg.percussive_ratio,
-            }
-            for seg in result.structure.segments
-        ],
-        columns=[
-            "label",
-            "category",
-            "start",
-            "end",
-            "confidence",
-            "percussive_energy",
-            "harmonic_energy",
-            "percussive_ratio",
-        ],
+    _write_rows(
+        beats_path,
+        ("index", "time", "frame", "is_downbeat"),
+        (
+            (i + 1, float(beat_times[i]), int(beat_frames[i]), bool(flags[i]))
+            for i in range(beat_times.size)
+        ),
     )
-    sections_path = output_dir / "sections.csv"
-    sections.to_csv(sections_path, index=False)
 
+    sections_path = output_dir / "sections.csv"
+    _write_rows(
+        sections_path,
+        _SECTION_COLUMNS,
+        (tuple(getattr(seg, col) for col in _SECTION_COLUMNS) for seg in result.structure.segments),
+    )
     return {"beats": beats_path, "sections": sections_path}
 
 
@@ -213,37 +220,111 @@ def _flag_downbeats(beat_times: np.ndarray, downbeat_times: np.ndarray) -> np.nd
     return np.any(close, axis=1)
 
 
+# ---------------------------------------------------------------------------
+# Plots — five PNGs through one shared panel helper. Palette: one validated
+# categorical pair (blue = data, orange = event markers), a single-hue blue
+# sequential ramp for magnitude, neutral chrome tokens for ink/grid/axes.
+# ---------------------------------------------------------------------------
+
+_SURFACE = "#fcfcfb"
+_INK = "#0b0b0b"
+_MUTED = "#898781"
+_GRID = "#e1e0d9"
+_AXIS = "#c3c2b7"
+_DATA = "#2a78d6"  # categorical slot 1 (blue): the measured curve/bars
+_EVENT = "#eb6834"  # categorical slot 2 (orange): beat/boundary markers
+
+# Single-hue sequential ramp (blue 100..700) anchored at the surface colour —
+# magnitude reads as ink density, light -> dark.
+_SEQ_CMAP = LinearSegmentedColormap.from_list(
+    "ta_blue_seq",
+    [_SURFACE, "#cde2fb", "#9ec5f4", "#6da7ec", "#3987e5", "#256abf", "#184f95", "#0d366b"],
+)
+
+
+@contextmanager
+def _panel(
+    path: Path,
+    *,
+    title: str,
+    xlabel: str,
+    ylabel: str,
+    size: Tuple[float, float] = (9.0, 3.4),
+) -> Iterator[plt.Axes]:
+    """One styled figure: surface colour, hairline grid, recessive axes."""
+
+    fig, ax = plt.subplots(figsize=size, dpi=110)
+    fig.patch.set_facecolor(_SURFACE)
+    ax.set_facecolor(_SURFACE)
+    try:
+        yield ax
+        ax.set_title(title, color=_INK, fontsize=11, loc="left")
+        ax.set_xlabel(xlabel, color=_MUTED, fontsize=9)
+        ax.set_ylabel(ylabel, color=_MUTED, fontsize=9)
+        ax.tick_params(colors=_MUTED, labelsize=8)
+        ax.grid(True, color=_GRID, linewidth=0.6)
+        ax.set_axisbelow(True)
+        for side in ("top", "right"):
+            ax.spines[side].set_visible(False)
+        for side in ("left", "bottom"):
+            ax.spines[side].set_color(_AXIS)
+        if ax.get_legend_handles_labels()[0]:
+            ax.legend(
+                loc="upper right",
+                frameon=False,
+                fontsize=8,
+                labelcolor=_INK,
+            )
+        fig.tight_layout()
+        fig.savefig(path, facecolor=_SURFACE)
+    finally:
+        plt.close(fig)
+
+
 def _write_plots(result: TrackAnalysisResult, output_dir: Path) -> Dict[str, Path]:
-    """Render the five PNG visualisations (reference: report.py:218-355)."""
+    writers = {
+        "waveform_beats": _plot_waveform_beats,
+        "tempogram": _plot_tempogram,
+        "novelty": _plot_novelty,
+        "ltas": _plot_ltas,
+        "stereo_width": _plot_stereo_width,
+    }
+    return {name: fn(result, output_dir) for name, fn in writers.items()}
 
-    plots: Dict[str, Path] = {}
-    plots["waveform_beats"] = _plot_waveform_with_beats(result, output_dir)
-    plots["tempogram"] = _plot_tempogram(result, output_dir)
-    plots["novelty"] = _plot_novelty_with_boundaries(result, output_dir)
-    plots["ltas"] = _plot_ltas(result, output_dir)
-    plots["stereo_width"] = _plot_stereo_width(result, output_dir)
-    return plots
+
+def _minmax_envelope(y: np.ndarray, columns: int = 1800):
+    """Per-column (lo, hi) of the waveform — the visual a sample-accurate
+    plot would produce, at 1/step the render cost."""
+
+    step = max(1, y.size // columns)
+    m = (y.size // step) * step
+    blocks = y[:m].reshape(-1, step)
+    return blocks.min(axis=1), blocks.max(axis=1), step
 
 
-def _plot_waveform_with_beats(result: TrackAnalysisResult, output_dir: Path) -> Path:
-    samples = np.asarray(result.audio.samples, dtype=float)
-    if samples.ndim > 1:
-        samples = np.mean(samples, axis=0)
-    times = _time_axis(samples.size, result.audio.sample_rate)
-    plt.figure(figsize=(10, 4))
-    if samples.size:
-        plt.plot(times, samples, linewidth=0.8, color="#1f77b4")
-    else:
-        plt.text(0.5, 0.5, "No audio samples", ha="center", va="center")
-    for beat_time in result.beat.beat_times:
-        plt.axvline(beat_time, color="#ff7f0e", alpha=0.3, linewidth=0.8)
-    plt.title("Waveform with beats")
-    plt.xlabel("Time (s)")
-    plt.ylabel("Amplitude")
-    plt.tight_layout()
+def _plot_waveform_beats(result: TrackAnalysisResult, output_dir: Path) -> Path:
     path = output_dir / "waveform_beats.png"
-    plt.savefig(path)
-    plt.close()
+    y = np.asarray(result.audio.samples, dtype=float)
+    if y.ndim > 1:
+        y = y.mean(axis=0)
+    with _panel(path, title="Waveform & beat grid", xlabel="Time (s)", ylabel="Amplitude") as ax:
+        if y.size:
+            lo, hi, step = _minmax_envelope(y)
+            t = (np.arange(lo.size) + 0.5) * step / result.audio.sample_rate
+            ax.fill_between(t, lo, hi, color=_DATA, linewidth=0.0, label="waveform")
+            beats = np.asarray(result.beat.beat_times, dtype=float)
+            if beats.size:
+                ax.vlines(
+                    beats,
+                    ymin=float(lo.min()),
+                    ymax=float(hi.max()),
+                    colors=_EVENT,
+                    alpha=0.35,
+                    linewidth=0.7,
+                    label="beats",
+                )
+        else:
+            ax.annotate("no audio samples", (0.5, 0.5), ha="center", color=_MUTED)
     return path
 
 
@@ -258,106 +339,126 @@ def _tempogram_graph(y, *, sr, hop_length):
 
 
 def _plot_tempogram(result: TrackAnalysisResult, output_dir: Path) -> Path:
-    samples = np.asarray(result.audio.samples, dtype=np.float32)
-    if samples.ndim > 1:
-        samples = np.mean(samples, axis=0)
-    hop_length = 512
-    if samples.size:
-        tgram = np.asarray(
-            _tempogram_graph(samples, sr=result.audio.sample_rate, hop_length=hop_length),
-            dtype=float,
-        )
-    else:
-        tgram = np.zeros((1, 1), dtype=float)
-    if tgram.size == 0 or tgram.shape[1] == 0:
-        tgram = np.zeros((1, 1), dtype=float)
-    with np.errstate(divide="ignore"):
-        bpm = 60.0 * result.audio.sample_rate / (
-            np.arange(tgram.shape[0], dtype=float) * hop_length
-        )
-    bpm = np.nan_to_num(bpm, nan=0.0, posinf=0.0, neginf=0.0)
-    if bpm.size == 0:
-        bpm = np.array([0.0], dtype=float)
-    times = np.arange(tgram.shape[1], dtype=float) * hop_length / result.audio.sample_rate
-    if times.size == 0:
-        times = np.array([0.0], dtype=float)
-    x_max = times[-1] if times.size > 1 else times[0] + 1e-6
-    y_max = bpm[-1] if bpm.size > 1 else bpm[0] + 1e-6
-    plt.figure(figsize=(10, 4))
-    plt.imshow(
-        tgram,
-        aspect="auto",
-        origin="lower",
-        extent=[times[0], x_max, bpm[0], y_max],
-        cmap="magma",
-    )
-    plt.colorbar(label="Tempogram strength")
-    plt.xlabel("Time (s)")
-    plt.ylabel("Tempo (BPM)")
-    plt.title("Tempogram")
-    plt.tight_layout()
     path = output_dir / "tempogram.png"
-    plt.savefig(path)
-    plt.close()
+    y = np.asarray(result.audio.samples, dtype=np.float32)
+    if y.ndim > 1:
+        y = y.mean(axis=0)
+    sr, hop = result.audio.sample_rate, 512
+    tgram = (
+        np.asarray(_tempogram_graph(y, sr=sr, hop_length=hop), dtype=float)
+        if y.size
+        else np.zeros((2, 1))
+    )
+    if tgram.shape[0] < 2 or tgram.shape[1] < 1:
+        tgram = np.zeros((2, 1))
+    with _panel(path, title="Tempogram", xlabel="Time (s)", ylabel="Tempo (BPM)") as ax:
+        # Rows are autocorrelation lags; draw in lag space (row 1 up — lag 0
+        # is the trivial peak) and label the y axis at musically useful BPMs
+        # mapped back to their lag rows.
+        body = tgram[1:]
+        dur = tgram.shape[1] * hop / sr
+        im = ax.imshow(
+            body,
+            aspect="auto",
+            origin="lower",
+            extent=(0.0, dur, 1.0, float(tgram.shape[0])),
+            cmap=_SEQ_CMAP,
+        )
+        ticks, labels = [], []
+        for bpm in (240, 180, 150, 120, 90, 60):
+            lag = 60.0 * sr / (hop * bpm)
+            if 1.0 <= lag <= tgram.shape[0]:
+                ticks.append(lag)
+                labels.append(str(bpm))
+        if ticks:
+            ax.set_yticks(ticks, labels)
+        cbar = ax.figure.colorbar(im, ax=ax, pad=0.01)
+        cbar.set_label("Onset autocorrelation", color=_MUTED, fontsize=8)
+        cbar.ax.tick_params(colors=_MUTED, labelsize=7)
+        cbar.outline.set_visible(False)
+        ax.grid(False)
     return path
 
 
-def _plot_novelty_with_boundaries(result: TrackAnalysisResult, output_dir: Path) -> Path:
-    novelty = np.asarray(result.structure.novelty_curve, dtype=float)
-    plt.figure(figsize=(10, 4))
-    if novelty.size:
-        times = np.linspace(0.0, result.audio.duration, num=novelty.size)
-        plt.plot(times, novelty, color="#2ca02c")
-        for segment in result.structure.segments:
-            plt.axvline(segment.start, color="#d62728", alpha=0.3, linewidth=0.8)
-    else:
-        plt.text(0.5, 0.5, "No novelty data", ha="center", va="center")
-    plt.title("Novelty vs structural boundaries")
-    plt.xlabel("Time (s)")
-    plt.ylabel("Novelty")
-    plt.tight_layout()
+def _plot_novelty(result: TrackAnalysisResult, output_dir: Path) -> Path:
     path = output_dir / "novelty_boundaries.png"
-    plt.savefig(path)
-    plt.close()
+    novelty = np.asarray(result.structure.novelty_curve, dtype=float)
+    with _panel(
+        path, title="Novelty & structural boundaries", xlabel="Time (s)", ylabel="Novelty"
+    ) as ax:
+        if novelty.size:
+            t = np.linspace(0.0, result.audio.duration, num=novelty.size)
+            ax.fill_between(t, 0.0, novelty, color=_DATA, alpha=0.25, linewidth=0.0)
+            ax.plot(t, novelty, color=_DATA, linewidth=1.2, label="novelty")
+            segs = result.structure.segments
+            starts = [seg.start for seg in segs[1:]]  # first starts at 0
+            if starts:
+                ax.vlines(
+                    starts,
+                    ymin=0.0,
+                    ymax=float(novelty.max() or 1.0),
+                    colors=_EVENT,
+                    linewidth=1.0,
+                    label="boundaries",
+                )
+            top = float(novelty.max() or 1.0)
+            for seg in segs:
+                ax.annotate(
+                    seg.label,
+                    ((seg.start + seg.end) / 2.0, top),
+                    ha="center",
+                    va="bottom",
+                    fontsize=8,
+                    color=_MUTED,
+                )
+        else:
+            ax.annotate("no novelty data", (0.5, 0.5), ha="center", color=_MUTED)
     return path
 
 
 def _plot_ltas(result: TrackAnalysisResult, output_dir: Path) -> Path:
-    frequencies = np.asarray(result.features.ltas.frequencies, dtype=float)
-    magnitude_ = np.asarray(result.features.ltas.magnitude, dtype=float)
-    plt.figure(figsize=(10, 4))
-    if frequencies.size and magnitude_.size:
-        plt.semilogx(frequencies, magnitude_, color="#9467bd")
-    else:
-        plt.text(0.5, 0.5, "No LTAS data", ha="center", va="center")
-    plt.title("Long-term average spectrum")
-    plt.xlabel("Frequency (Hz)")
-    plt.ylabel("Magnitude")
-    plt.tight_layout()
     path = output_dir / "ltas.png"
-    plt.savefig(path)
-    plt.close()
+    freqs = np.asarray(result.features.ltas.frequencies, dtype=float)
+    mags = np.asarray(result.features.ltas.magnitude, dtype=float)
+    with _panel(
+        path,
+        title="Long-term average spectrum",
+        xlabel="Frequency (Hz)",
+        ylabel="Level (dB re max)",
+    ) as ax:
+        if freqs.size and mags.size:
+            keep = freqs >= 20.0  # sub-20 Hz carries no audible programme
+            f, m = freqs[keep], mags[keep]
+            ref = float(m.max()) or 1.0
+            db = 20.0 * np.log10(np.maximum(m, ref * 1e-6) / ref)
+            ax.semilogx(f, db, color=_DATA, linewidth=1.4)
+            ax.set_ylim(max(-90.0, float(db.min()) - 3.0), 3.0)
+        else:
+            ax.annotate("no LTAS data", (0.5, 0.5), ha="center", color=_MUTED)
     return path
 
 
 def _plot_stereo_width(result: TrackAnalysisResult, output_dir: Path) -> Path:
-    width = result.stereo.width
-    labels = ["Low", "Mid", "High"]
-    values = [width.low, width.mid, width.high]
-    plt.figure(figsize=(6, 4))
-    plt.bar(labels, values, color="#8c564b")
-    plt.ylim(0.0, max(values + [1.0]))
-    plt.title("Mid/Side width by band")
-    plt.ylabel("Width")
-    plt.tight_layout()
     path = output_dir / "stereo_width.png"
-    plt.savefig(path)
-    plt.close()
+    width = result.stereo.width
+    bands = ("Low", "Mid", "High")
+    values = (width.low, width.mid, width.high)
+    with _panel(
+        path,
+        title="Stereo width by band",
+        xlabel="Side/Mid energy ratio (sqrt)",
+        ylabel="",
+        size=(6.5, 3.0),
+    ) as ax:
+        ypos = np.arange(len(bands))
+        ax.barh(ypos, values, height=0.55, color=_DATA)
+        ax.set_yticks(ypos, bands)
+        ax.axvline(1.0, color=_AXIS, linewidth=1.0, linestyle="--")
+        ax.annotate(
+            "equal M/S", (1.0, len(bands) - 0.35), fontsize=7, color=_MUTED, ha="center"
+        )
+        ax.set_xlim(0.0, max(1.1, max(values) * 1.15))
+        for y, v in zip(ypos, values):
+            ax.annotate(f"{v:.2f}", (v, y), xytext=(4, 0), textcoords="offset points",
+                        va="center", fontsize=8, color=_INK)
     return path
-
-
-def _time_axis(sample_count: int, sample_rate: int) -> np.ndarray:
-    if sample_count == 0:
-        return np.zeros(0, dtype=float)
-    duration = sample_count / float(sample_rate)
-    return np.linspace(0.0, duration, num=sample_count)
