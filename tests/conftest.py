@@ -17,5 +17,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
-# Make the repo root importable when running from a source checkout.
+# Make the repo root (package) and tests dir (shared synth helpers)
+# importable when running from a source checkout.
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))

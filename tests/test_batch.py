@@ -122,11 +122,12 @@ def test_int8_transport_holds_tempo_contract() -> None:
 
     import jax.numpy as jnp
 
-    from tests.test_tempo import _noisy_click_track
+    from synth import click_grid
     from track_analyser_tpu.parallel.batch import _I8_BLOCK, _dequantise_i8, _quantise_i8
     from track_analyser_tpu.tempo import beat_grid, estimate_bpm
 
-    y, sr, expected = _noisy_click_track(bars=32)
+    sr = 48_000
+    y, expected = click_grid(120.0, 32 * 4, sr, noise_db=-34.0, seed=1234)
     n_pad = -(-y.size // _I8_BLOCK) * _I8_BLOCK
     yp = np.zeros(n_pad, dtype=np.float32)
     yp[: y.size] = y

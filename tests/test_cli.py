@@ -1,103 +1,69 @@
-"""CLI end-to-end regression tests (mirrors reference tests/test_cli.py)."""
+"""CLI end-to-end: flag surface, artefact routing, skip sentinels — the
+reference's CLI contract (/root/reference/tests/test_cli.py behaviours)
+driven through this project's click entry point on a synthesised WAV."""
 
 from __future__ import annotations
 
-import math
-import wave
 from pathlib import Path
 
-import numpy as np
+import pytest
 from click.testing import CliRunner
 
+from synth import sine, write_pcm16_wav
 from track_analyser_tpu.cli import cli
 
 
-def test_analyze_help_lists_new_flags() -> None:
-    runner = CliRunner()
-    result = runner.invoke(cli, ["analyze", "--help"])
+@pytest.fixture()
+def tone_wav(tmp_path) -> Path:
+    return write_pcm16_wav(tmp_path / "tone.wav", 0.25 * sine(220.0, 0.5, 22_050), 22_050)
+
+
+def _run(args: list[str]):
+    result = CliRunner().invoke(cli, args)
     assert result.exit_code == 0, result.output
-    help_text = result.output
+    return result
+
+
+def test_help_advertises_artefact_flags() -> None:
+    out = _run(["analyze", "--help"]).output
     for flag in ("--out", "--plots", "--json", "--csv"):
-        assert flag in help_text
-    assert "analyze" in help_text
+        assert flag in out
 
 
-def test_analyze_generates_requested_outputs(tmp_path) -> None:
-    audio_path = tmp_path / "tone.wav"
-    _write_test_tone(audio_path)
-    output_dir = tmp_path / "report"
+def test_artefacts_land_at_custom_paths(tone_wav, tmp_path) -> None:
+    out_dir = tmp_path / "report"
     plots_dir = tmp_path / "plots"
     csv_dir = tmp_path / "tables"
     json_path = tmp_path / "custom" / "custom_report.json"
 
-    runner = CliRunner()
-    result = runner.invoke(
-        cli,
+    _run(
         [
-            "analyze",
-            str(audio_path),
-            "--out",
-            str(output_dir),
-            "--plots",
-            str(plots_dir),
-            "--json",
-            str(json_path),
-            "--csv",
-            str(csv_dir),
-        ],
+            "analyze", str(tone_wav),
+            "--out", str(out_dir),
+            "--plots", str(plots_dir),
+            "--json", str(json_path),
+            "--csv", str(csv_dir),
+        ]
     )
-    assert result.exit_code == 0, result.output
-    assert json_path.exists(), "Custom JSON path should exist"
-    assert (csv_dir / "beats.csv").exists(), "beats.csv should be created"
-    assert (csv_dir / "sections.csv").exists(), "sections.csv should be created"
-    expected_plots = {
+
+    assert json_path.exists()
+    for table in ("beats.csv", "sections.csv"):
+        assert (csv_dir / table).exists()
+    for plot in (
         "waveform_beats.png",
         "tempogram.png",
         "novelty_boundaries.png",
         "ltas.png",
         "stereo_width.png",
-    }
-    for plot_name in expected_plots:
-        assert (plots_dir / plot_name).exists(), f"Plot {plot_name} should exist"
-    assert (output_dir / "report.html").exists()
-    assert (output_dir / "hook.mid").exists()
-    assert (output_dir / "bass.mid").exists()
+    ):
+        assert (plots_dir / plot).exists()
+    for artefact in ("report.html", "hook.mid", "bass.mid"):
+        assert (out_dir / artefact).exists()
 
 
-def test_analyze_skip_sentinels(tmp_path) -> None:
-    audio_path = tmp_path / "tone.wav"
-    _write_test_tone(audio_path)
-    output_dir = tmp_path / "out"
-
-    runner = CliRunner()
-    result = runner.invoke(
-        cli,
-        [
-            "analyze",
-            str(audio_path),
-            "--out",
-            str(output_dir),
-            "--plots",
-            "skip",
-            "--csv",
-            "off",
-        ],
-    )
-    assert result.exit_code == 0, result.output
-    assert (output_dir / "report.json").exists()
-    assert not (output_dir / "beats.csv").exists()
-    assert not (output_dir / "tempogram.png").exists()
-
-
-def _write_test_tone(path: Path, *, sr: int = 22_050, duration: float = 0.5) -> None:
-    sample_count = int(sr * duration)
-    times = np.linspace(0.0, duration, num=sample_count, endpoint=False)
-    waveform = 0.25 * np.sin(2.0 * math.pi * 220.0 * times)
-    pcm = np.clip(waveform, -1.0, 1.0)
-    int_samples = (pcm * 32767).astype(np.int16)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    with wave.open(str(path), "wb") as handle:
-        handle.setnchannels(1)
-        handle.setsampwidth(2)
-        handle.setframerate(sr)
-        handle.writeframes(int_samples.tobytes())
+def test_skip_sentinels_suppress_artefact_families(tone_wav, tmp_path) -> None:
+    out_dir = tmp_path / "out"
+    _run(["analyze", str(tone_wav), "--out", str(out_dir), "--plots", "skip", "--csv", "off"])
+    assert (out_dir / "report.json").exists()
+    assert not (out_dir / "beats.csv").exists()
+    assert not (out_dir / "tempogram.png").exists()

@@ -1,11 +1,14 @@
-"""Spectral feature unit tests (reference tolerances: LTAS +-5 Hz,
-centroid +-20 Hz, noise rolloff > 5 kHz)."""
+"""Spectral feature gates: LTAS peak within ±5 Hz of a pure tone,
+centroid within ±20 Hz, broadband rolloff above 5 kHz — the reference
+project's published tolerances (/root/reference/tests/test_features.py:15-58)
+— enforced against the shared-spectrogram features graph."""
 
 from __future__ import annotations
 
 import numpy as np
 import pytest
 
+from synth import sine
 from track_analyser_tpu.features import (
     analyse_features,
     compute_ltas,
@@ -14,47 +17,31 @@ from track_analyser_tpu.features import (
 )
 from track_analyser_tpu.utils import AudioInput
 
-
-def test_compute_ltas_identifies_dominant_frequency():
-    sample_rate = 22_050
-    duration = 1.0
-    t = np.linspace(0, duration, int(sample_rate * duration), endpoint=False)
-    tone = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
-
-    ltas = compute_ltas(tone, sample_rate)
-    peak_frequency = float(ltas.frequencies[np.argmax(ltas.magnitude)])
-
-    assert peak_frequency == pytest.approx(440.0, abs=5.0)
+SR = 22_050
 
 
-def test_spectral_centroid_matches_expected_for_sine():
-    sample_rate = 22_050
-    t = np.linspace(0, 1.0, sample_rate, endpoint=False)
-    tone = np.sin(2 * np.pi * 1_000.0 * t).astype(np.float32)
-
-    centroid_series = spectral_centroid_series(tone, sample_rate)
-
-    assert centroid_series.mean == pytest.approx(1_000.0, abs=20.0)
+@pytest.mark.parametrize("freq", [440.0, 1000.0])
+def test_ltas_peaks_at_tone_frequency(freq: float) -> None:
+    ltas = compute_ltas(sine(freq, 1.0, SR), SR)
+    peak = float(ltas.frequencies[np.argmax(ltas.magnitude)])
+    assert peak == pytest.approx(freq, abs=5.0)
 
 
-def test_spectral_rolloff_increases_with_broadband_signal():
-    rng = np.random.default_rng(1337)
-    sample_rate = 22_050
-    noise = rng.normal(size=sample_rate).astype(np.float32)
-
-    rolloff_series = spectral_rolloff_series(noise, sample_rate)
-
-    assert np.all(rolloff_series.values > 5_000.0)
+def test_centroid_sits_on_pure_tone() -> None:
+    series = spectral_centroid_series(sine(1000.0, 1.0, SR), SR)
+    assert series.mean == pytest.approx(1000.0, abs=20.0)
 
 
-def test_analyse_features_returns_consistent_structures():
-    sample_rate = 22_050
-    t = np.linspace(0, 1.0, sample_rate, endpoint=False)
-    tone = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
-    audio = AudioInput(samples=tone, sample_rate=sample_rate)
+def test_rolloff_exceeds_five_khz_on_white_noise() -> None:
+    noise = np.random.default_rng(1337).normal(size=SR).astype(np.float32)
+    series = spectral_rolloff_series(noise, SR)
+    assert np.all(series.values > 5000.0)
 
-    analysis = analyse_features(audio)
 
+def test_aggregate_shapes_are_consistent() -> None:
+    analysis = analyse_features(AudioInput(samples=sine(440.0, 1.0, SR), sample_rate=SR))
     assert analysis.ltas.frequencies.shape == analysis.ltas.magnitude.shape
     assert analysis.spectral_centroid.values.ndim == 1
     assert analysis.spectral_rolloff.values.ndim == 1
+    # all three series ride one spectrogram, so frame counts agree
+    assert analysis.spectral_centroid.values.size == analysis.spectral_rolloff.values.size

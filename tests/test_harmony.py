@@ -1,110 +1,70 @@
-"""Harmony integration tests (reference tolerances: key exactness,
->=70% chord-change recall within +-0.25 s)."""
+"""Harmony accuracy gates: exact key on a C-major progression (second
+choice one of its neighbours on the circle of fifths) and ≥70% of the
+chord-change boundaries recovered within ±0.25 s — the reference
+project's published tolerances (/root/reference/tests/test_harmony.py:37-64)
+— enforced against the filterbank-matmul chroma path."""
 
 from __future__ import annotations
 
 import numpy as np
 
-from track_analyser_tpu.analysis import beats
+from synth import beat_analysis_for, progression, triad
 from track_analyser_tpu.harmony import analyse_harmony, key_estimate
 from track_analyser_tpu.utils import AudioInput
 
+SR = 22_050
 
-def _midi_to_hz(midi: float) -> float:
-    return 440.0 * 2.0 ** ((midi - 69) / 12.0)
-
-
-def _synth_triad(midi_root: int, quality: str, sr: int, duration: float) -> np.ndarray:
-    intervals = {"maj": [0, 4, 7], "min": [0, 3, 7]}
-    t = np.linspace(0.0, duration, int(sr * duration), endpoint=False)
-    chord = np.zeros_like(t)
-    for interval in intervals[quality]:
-        freq = _midi_to_hz(midi_root + interval)
-        chord += np.sin(2 * np.pi * freq * t)
-    envelope = np.hanning(t.size)
-    if np.max(np.abs(envelope)) > 0:
-        chord *= envelope / np.max(envelope)
-    return chord.astype(np.float32)
+# I - IV - V - I in C major, one bar each.
+C_MAJOR_STEPS = [(60, "maj"), (65, "maj"), (67, "maj"), (60, "maj")]
 
 
-def test_harmony_pipeline_detects_key_and_changes() -> None:
-    sr = 22_050
-    duration = 1.0
-    progression = [
-        _synth_triad(60, "maj", sr, duration),  # C major
-        _synth_triad(65, "maj", sr, duration),  # F major
-        _synth_triad(67, "maj", sr, duration),  # G major
-        _synth_triad(60, "maj", sr, duration),  # C major return
-    ]
-    audio_samples = np.concatenate(progression)
-    audio_samples /= np.max(np.abs(audio_samples))
-    audio_samples = audio_samples.astype(np.float32)
+def _c_major_context():
+    y = progression(C_MAJOR_STEPS, 1.0, SR)
+    audio = AudioInput(samples=y, sample_rate=SR)
+    beat = beat_analysis_for(60.0, np.arange(len(C_MAJOR_STEPS), dtype=float), SR)
+    return y, audio, beat
 
-    key_result = key_estimate(audio_samples, sr)
-    assert key_result.best.key == "C major"
-    assert key_result.best.confidence > key_result.second_best.confidence
-    assert key_result.second_best.key in {"G major", "F major"}
 
-    audio = AudioInput(samples=audio_samples, sample_rate=sr)
-    beat_times = np.arange(len(progression)) * duration
-    beat_analysis = beats.build_beat_analysis(
-        bpm=60.0,
-        beat_times=beat_times,
-        sr=sr,
-    )
+def test_key_estimate_is_exact_on_c_major() -> None:
+    y, _, _ = _c_major_context()
+    estimate = key_estimate(y, SR)
+    assert estimate.best.key == "C major"
+    assert estimate.best.confidence > estimate.second_best.confidence
+    assert estimate.second_best.key in {"G major", "F major"}
 
-    harmony_result = analyse_harmony(audio, beat_analysis, None, seed=123)
-    assert harmony_result.primary_key.key == "C major"
+
+def test_change_point_recall_meets_seventy_percent() -> None:
+    _, audio, beat = _c_major_context()
+    result = analyse_harmony(audio, beat, None, seed=123)
+
+    assert result.primary_key.key == "C major"
+    assert result.primary_key.confidence > result.secondary_key.confidence
+    assert result.secondary_key.key in {"G major", "F major"}
+
+    found = np.array([p.time for p in result.chord_change_points])
+    assert found.size > 0
+    true_boundaries = np.array([1.0, 2.0, 3.0])
+    hits = np.abs(found[None, :] - true_boundaries[:, None]).min(axis=1) <= 0.25
+    assert hits.mean() >= 0.7
+    assert all(0.0 <= p.strength <= 1.0 for p in result.chord_change_points)
+
+
+def test_relative_minor_progression() -> None:
+    # i - iv - v - i in A minor; the relative C major is an accepted answer
+    # (identical pitch-class content).
+    y = progression([(57, "min"), (62, "min"), (64, "min"), (57, "min")], 1.0, SR)
+    assert key_estimate(y, SR).best.key in {"A minor", "C major"}
+
+
+def test_midi_suggestions_deterministic_and_voiced_apart() -> None:
+    audio = AudioInput(samples=triad(60, "maj", 2.0, SR), sample_rate=SR)
+    beat = beat_analysis_for(120.0, np.arange(4) * 0.5, SR)
+
+    runs = [analyse_harmony(audio, beat, None, seed=42) for _ in range(2)]
+    assert runs[0].hook_suggestion.notes.equals(runs[1].hook_suggestion.notes)
+    assert runs[0].bass_suggestion.notes.equals(runs[1].bass_suggestion.notes)
+    # the bass sketch sits an octave under the hook register
     assert (
-        harmony_result.primary_key.confidence
-        > harmony_result.secondary_key.confidence
-    )
-    assert harmony_result.secondary_key.key in {"G major", "F major"}
-
-    change_times = np.array(
-        [point.time for point in harmony_result.chord_change_points]
-    )
-    assert change_times.size > 0
-    expected = np.array([1.0, 2.0, 3.0])
-    matches = sum(
-        1 for boundary in expected if np.any(np.abs(change_times - boundary) <= 0.25)
-    )
-    assert matches / expected.size >= 0.7
-    assert all(
-        0.0 <= point.strength <= 1.0 for point in harmony_result.chord_change_points
-    )
-
-
-def test_minor_key_detection() -> None:
-    sr = 22_050
-    duration = 1.0
-    # A minor: Am - Dm - Em - Am
-    progression = [
-        _synth_triad(57, "min", sr, duration),
-        _synth_triad(62, "min", sr, duration),
-        _synth_triad(64, "min", sr, duration),
-        _synth_triad(57, "min", sr, duration),
-    ]
-    samples = np.concatenate(progression)
-    samples /= np.max(np.abs(samples))
-
-    key_result = key_estimate(samples.astype(np.float32), sr)
-    assert key_result.best.key in {"A minor", "C major"}
-
-
-def test_midi_suggestions_are_deterministic() -> None:
-    sr = 22_050
-    samples = _synth_triad(60, "maj", sr, 2.0)
-    audio = AudioInput(samples=samples, sample_rate=sr)
-    beat_analysis = beats.build_beat_analysis(
-        bpm=120.0, beat_times=np.arange(4) * 0.5, sr=sr
-    )
-    first = analyse_harmony(audio, beat_analysis, None, seed=42)
-    second = analyse_harmony(audio, beat_analysis, None, seed=42)
-    assert first.hook_suggestion.notes.equals(second.hook_suggestion.notes)
-    assert first.bass_suggestion.notes.equals(second.bass_suggestion.notes)
-    # bass sits an octave below the hook register
-    assert (
-        first.bass_suggestion.notes["pitch"].mean()
-        < first.hook_suggestion.notes["pitch"].mean()
+        runs[0].bass_suggestion.notes["pitch"].mean()
+        < runs[0].hook_suggestion.notes["pitch"].mean()
     )

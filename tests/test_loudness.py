@@ -1,13 +1,15 @@
-"""Loudness regression tests (tolerances from the reference suite:
-tests/test_loudness.py — integrated LUFS +-0.3, true peak +-0.2 dB)."""
+"""Loudness accuracy gates: a −18 dBFS RMS sine must measure −18.0 ±0.3
+LUFS integrated and its true peak must land within ±0.2 dB of theory —
+the reference project's published tolerances
+(/root/reference/tests/test_loudness.py:33-55) — enforced against the
+first-party gated BS.1770 graph."""
 
 from __future__ import annotations
-
-import math
 
 import numpy as np
 import pytest
 
+from synth import sine_at_rms_db
 from track_analyser_tpu.analysis.loudness import (
     analyse_loudness,
     measure_loudness,
@@ -16,61 +18,41 @@ from track_analyser_tpu.analysis.loudness import (
 from track_analyser_tpu.utils import AudioInput
 
 
-def _generate_minus_18_dbfs_sine(
-    sample_rate: int = 44_100,
-    duration: float = 1.0,
-    frequency: float = 1000.0,
-) -> np.ndarray:
-    time = np.linspace(0.0, duration, int(sample_rate * duration), endpoint=False)
-    rms_amplitude = 10 ** (-18.0 / 20.0)
-    peak_amplitude = rms_amplitude * math.sqrt(2.0)
-    return (peak_amplitude * np.sin(2.0 * np.pi * frequency * time)).astype(np.float32)
-
-
-def test_measure_loudness_matches_expected_values() -> None:
-    sample_rate = 48_000
-    samples = _generate_minus_18_dbfs_sine(sample_rate=sample_rate)
-
-    integrated, short_term, momentary, lra = measure_loudness(samples, sample_rate)
-
+@pytest.mark.parametrize("sr", [44_100, 48_000])
+def test_integrated_lufs_of_calibrated_sine(sr: int) -> None:
+    tone = sine_at_rms_db(-18.0, 1000.0, 1.0, sr)
+    integrated, short_term, momentary, _lra = measure_loudness(tone, sr)
     assert integrated == pytest.approx(-18.0, abs=0.3)
-    assert short_term
-    assert momentary
+    assert short_term and momentary  # the sliding curves exist
 
 
-def test_true_peak_dbtp_polyphase_oversampling() -> None:
-    sample_rate = 44_100
-    samples = _generate_minus_18_dbfs_sine(sample_rate=sample_rate)
-    expected = 20.0 * math.log10(float(np.max(np.abs(samples))))
-
-    true_peak = true_peak_dbtp(samples, sample_rate, oversample=8)
-
-    assert true_peak == pytest.approx(expected, abs=0.2)
-
-
-def test_analyse_loudness_uses_helpers() -> None:
-    sample_rate = 48_000
-    samples = _generate_minus_18_dbfs_sine(sample_rate=sample_rate)
-    audio = AudioInput(samples=samples, sample_rate=sample_rate)
-
-    result = analyse_loudness(audio, seed=0)
-    expected_integrated, expected_short, expected_momentary, expected_lra = (
-        measure_loudness(samples, sample_rate)
+def test_true_peak_matches_theory_after_oversampling() -> None:
+    sr = 44_100
+    tone = sine_at_rms_db(-18.0, 1000.0, 1.0, sr)
+    theoretical = 20.0 * np.log10(float(np.max(np.abs(tone))))
+    assert true_peak_dbtp(tone, sr, oversample=8) == pytest.approx(
+        theoretical, abs=0.2
     )
-    expected_true_peak = true_peak_dbtp(samples, sample_rate)
-
-    assert result.integrated_lufs == pytest.approx(expected_integrated, abs=1e-6)
-    assert result.short_term_lufs == expected_short
-    assert result.momentary_lufs == expected_momentary
-    assert result.loudness_range == pytest.approx(expected_lra, abs=1e-6)
-    assert result.true_peak_dbfs == pytest.approx(expected_true_peak, abs=1e-6)
 
 
-def test_integrated_lufs_gates_out_silence() -> None:
-    """Gating must ignore silent passages (BS.1770 absolute gate)."""
+def test_analyse_loudness_agrees_with_its_helpers() -> None:
+    sr = 48_000
+    tone = sine_at_rms_db(-18.0, 1000.0, 1.0, sr)
+    result = analyse_loudness(AudioInput(samples=tone, sample_rate=sr), seed=0)
 
-    sample_rate = 48_000
-    tone = _generate_minus_18_dbfs_sine(sample_rate=sample_rate, duration=2.0)
-    padded = np.concatenate([tone, np.zeros(sample_rate * 2, dtype=np.float32)])
-    integrated, _, _, _ = measure_loudness(padded, sample_rate)
+    integrated, short_term, momentary, lra = measure_loudness(tone, sr)
+    assert result.integrated_lufs == pytest.approx(integrated, abs=1e-6)
+    assert result.short_term_lufs == short_term
+    assert result.momentary_lufs == momentary
+    assert result.loudness_range == pytest.approx(lra, abs=1e-6)
+    assert result.true_peak_dbfs == pytest.approx(true_peak_dbtp(tone, sr), abs=1e-6)
+
+
+def test_absolute_gate_ignores_appended_silence() -> None:
+    """BS.1770 gating: trailing silence must not drag integrated LUFS down."""
+
+    sr = 48_000
+    tone = sine_at_rms_db(-18.0, 1000.0, 2.0, sr)
+    padded = np.concatenate([tone, np.zeros(2 * sr, dtype=np.float32)])
+    integrated, *_ = measure_loudness(padded, sr)
     assert integrated == pytest.approx(-18.0, abs=0.4)

@@ -1,10 +1,14 @@
-"""Stereo image unit tests (reference properties: tests/test_stereo.py)."""
+"""Stereo-image property gates (reference behaviours:
+/root/reference/tests/test_stereo.py — mono duplication collapses
+side/width, constant channels correlate at 1.0), enforced against the
+jitted M/S width graph."""
 
 from __future__ import annotations
 
 import numpy as np
 import pytest
 
+from synth import sine
 from track_analyser_tpu.stereo import (
     analyse_stereo,
     frequency_dependent_width,
@@ -13,54 +17,32 @@ from track_analyser_tpu.stereo import (
 )
 from track_analyser_tpu.utils import AudioInput
 
+SR = 22_050
 
-def test_mono_audio_yields_zero_side_and_full_correlation():
-    sample_rate = 22_050
-    t = np.linspace(0, 1.0, sample_rate, endpoint=False)
-    mono = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
-    audio = AudioInput(samples=mono, sample_rate=sample_rate)
 
-    analysis = analyse_stereo(audio)
-
+def test_duplicated_mono_has_no_side_image() -> None:
+    analysis = analyse_stereo(AudioInput(samples=sine(440.0, 1.0, SR), sample_rate=SR))
     assert analysis.side_rms == pytest.approx(0.0, abs=1e-6)
     assert analysis.correlation == pytest.approx(1.0, abs=1e-6)
-    assert analysis.width.low == pytest.approx(0.0, abs=1e-6)
-    assert analysis.width.mid == pytest.approx(0.0, abs=1e-6)
-    assert analysis.width.high == pytest.approx(0.0, abs=1e-6)
+    for band in (analysis.width.low, analysis.width.mid, analysis.width.high):
+        assert band == pytest.approx(0.0, abs=1e-6)
 
 
-def test_mid_side_rms_for_imbalanced_stereo_signal():
-    sample_rate = 22_050
-    t = np.linspace(0, 1.0, sample_rate, endpoint=False)
-    left = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
-    right = 0.5 * left
-    stereo = np.vstack([left, right])
-
-    mid_rms_value, side_rms_value = mid_side_rms(stereo)
-
-    assert mid_rms_value > side_rms_value > 0.0
+def test_level_imbalance_creates_side_energy_below_mid() -> None:
+    left = sine(440.0, 1.0, SR)
+    mid, side = mid_side_rms(np.vstack([left, 0.5 * left]))
+    assert mid > side > 0.0
 
 
-def test_frequency_dependent_width_increases_with_phase_difference():
-    sample_rate = 22_050
-    t = np.linspace(0, 1.0, sample_rate, endpoint=False)
+def test_quadrature_phase_widens_some_band() -> None:
+    t = np.arange(SR) / SR
     left = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
     right = np.sin(2 * np.pi * 440.0 * t + np.pi / 2).astype(np.float32)
-    stereo = np.vstack([left, right])
-
-    width = frequency_dependent_width(stereo, sample_rate)
-
-    assert width.low >= 0.0
-    assert width.mid >= 0.0
-    assert width.high >= 0.0
+    width = frequency_dependent_width(np.vstack([left, right]), SR)
+    assert min(width.low, width.mid, width.high) >= 0.0
     assert max(width.low, width.mid, width.high) > 0.0
 
 
-def test_mono_compatibility_handles_constant_channels():
-    left = np.ones(10, dtype=np.float32)
-    right = np.ones(10, dtype=np.float32)
-    stereo = np.vstack([left, right])
-
-    corr = mono_compatibility_correlation(stereo)
-
-    assert corr == pytest.approx(1.0)
+def test_constant_channels_report_unity_correlation() -> None:
+    flat = np.ones(10, dtype=np.float32)
+    assert mono_compatibility_correlation(np.vstack([flat, flat])) == pytest.approx(1.0)

@@ -1,56 +1,39 @@
-"""Structure segmentation test (reference tolerance: boundary within
-+-0.5 s of the 12 s drum mute)."""
+"""Structure accuracy gate: when the drums mute at 12 s the segmenter must
+place a boundary within ±0.5 s — the reference project's published
+tolerance (/root/reference/tests/test_structure.py:41-43) — enforced
+against the fused novelty graph (cumsum self-similarity + Pallas HPSS)."""
 
 from __future__ import annotations
 
 import numpy as np
 
-from track_analyser_tpu.analysis.beats import BeatAnalysis
+from synth import beat_analysis_for, drone_with_muted_drums
 from track_analyser_tpu.analysis.structure import analyse_structure
 from track_analyser_tpu.utils import AudioInput
 
+SR = 22_050
 
-def test_structure_detects_boundary_when_drums_mute():
-    sample_rate = 22_050
+
+def test_drum_mute_boundary_and_segment_invariants() -> None:
     duration = 32.0
-    t = np.linspace(0.0, duration, int(sample_rate * duration), endpoint=False)
-
-    harmonic = 0.3 * np.sin(2 * np.pi * 110.0 * t)
-    drum_times = np.arange(0.0, duration, 0.5)
-    active = drum_times[(drum_times < 12.0) | (drum_times >= 20.0)]
-    drum_track = np.zeros_like(t)
-    hit_length = int(sample_rate * 0.05)
-    envelope = np.linspace(1.0, 0.0, hit_length, dtype=np.float32)
-    for time in active:
-        start = int(time * sample_rate)
-        end = min(len(drum_track), start + hit_length)
-        span = end - start
-        if span > 0:
-            drum_track[start:end] += envelope[:span]
-
-    samples = (harmonic + drum_track).astype(np.float32)
-    audio = AudioInput(samples=samples, sample_rate=sample_rate)
-
-    beat_times = np.arange(0.0, duration, 0.5)
-    hop_length = 512
-    beat_frames = (beat_times * sample_rate / hop_length).astype(int)
-    beat = BeatAnalysis(
-        bpm=120.0,
-        beat_times=beat_times.astype(float).tolist(),
-        beat_frames=beat_frames.astype(int).tolist(),
-        confidence=1.0,
-    )
+    y = drone_with_muted_drums(duration, SR, mute_span=(12.0, 20.0))
+    audio = AudioInput(samples=y, sample_rate=SR)
+    beat = beat_analysis_for(120.0, np.arange(0.0, duration, 0.5), SR)
 
     analysis = analyse_structure(audio, beat, seed=123)
-    boundary_times = [segment.start for segment in analysis.segments[1:]]
-    assert any(abs(boundary - 12.0) <= 0.5 for boundary in boundary_times)
+    segments = analysis.segments
 
-    # Schema checks: labels, contiguity, categories assigned.
-    segs = analysis.segments
-    assert segs[0].label == "A"
-    assert segs[0].category == "intro"
-    assert segs[-1].category == "outro"
-    for a, b in zip(segs, segs[1:]):
-        assert a.end == b.start
-    assert all(0.0 <= s.confidence <= 1.0 for s in segs)
+    # The ±0.5 s gate on the 12 s mute point.
+    internal_starts = np.array([s.start for s in segments[1:]])
+    assert np.any(np.abs(internal_starts - 12.0) <= 0.5)
+
+    # Invariants: alphabetic labels, contiguous cover, intro/outro book-ends,
+    # confidences in range, novelty curve present.
+    assert segments[0].label == "A"
+    assert segments[0].category == "intro"
+    assert segments[-1].category == "outro"
+    ends = np.array([s.end for s in segments[:-1]])
+    starts = np.array([s.start for s in segments[1:]])
+    np.testing.assert_array_equal(ends, starts)
+    assert all(0.0 <= s.confidence <= 1.0 for s in segments)
     assert len(analysis.novelty_curve) > 0
