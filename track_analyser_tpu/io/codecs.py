@@ -7,9 +7,10 @@ hot path is a zero-copy numpy parse of RIFF/WAVE with an optional native
 C++ fast path (see track_analyser_tpu/native).
 
 Supported today: WAV (PCM 8/16/24/32, IEEE float32/64, WAVE_FORMAT_EXTENSIBLE),
-plus AIFF (PCM 16/24/32). Compressed formats raise the same descriptive
-``RuntimeError`` the reference raises when every backend fails
-(io.py:115-116).
+AIFF (PCM 16/24/32), and FLAC (first-party decoder, io/flac.py). Other
+formats fall through to the system-decoder ladder (MP3/Ogg) and finally
+raise the same descriptive ``RuntimeError`` the reference raises when
+every backend fails (io.py:115-116).
 """
 
 from __future__ import annotations
@@ -212,6 +213,10 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
             return decode_wav(file_path)
         if head[0:4] == b"FORM":
             return _decode_aiff(file_path)
+        if head[0:4] == b"fLaC":
+            from . import flac
+
+            return flac.decode_flac(file_path)
     except AudioDecodeError as exc:
         raise RuntimeError(f"Could not decode audio file: {file_path}") from exc
 
