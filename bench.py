@@ -1,11 +1,14 @@
-"""Benchmark: full analysis of a 3-minute 44.1 kHz stereo track.
+"""Benchmark: full analysis of a mixed-duration stereo track library.
 
-North-star target (BASELINE.md): < 50 ms/track on one TPU chip for the
-complete analysis (beats, downbeats, structure, loudness, harmony,
-features, stereo) producing a full TrackAnalysisResult.
+North-star target (BASELINE.md): < 50 ms per 3-minute track on one TPU
+chip for the complete analysis (beats, downbeats, structure, loudness,
+harmony, features, stereo) producing a full TrackAnalysisResult.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": ms_per_track, "unit": "ms", "vs_baseline": 50/ms}
+The headline sweeps SIX tracks of THREE distinct durations (two bucket-
+distinct lengths would hide a retrace bug; identical copies would hide
+everything), then normalises to 180 s of audio per track so the number
+stays comparable to the north star. Prints ONE JSON line:
+  {"metric": ..., "value": ms_per_180s_track, "unit": "ms", "vs_baseline": 50/ms}
 (vs_baseline > 1 means faster than the target).
 """
 
@@ -21,12 +24,12 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
-def _make_track(seconds: float = 180.0, sr: int = 44_100, bpm: float = 126.0):
+def _make_track(seconds: float, sr: int = 44_100, bpm: float = 126.0, seed: int = 7):
     """Synthesise a club-style stereo track: kick grid + bass + chords + hats."""
 
     n = int(seconds * sr)
     t = np.arange(n, dtype=np.float64) / sr
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(seed)
 
     beat = 60.0 / bpm
     kick = np.zeros(n)
@@ -48,12 +51,14 @@ def _make_track(seconds: float = 180.0, sr: int = 44_100, bpm: float = 126.0):
     peak = max(np.abs(left).max(), np.abs(right).max())
     left, right = left / peak * 0.9, right / peak * 0.9
     stereo = np.stack([left, right]).astype(np.float32)
-    mono = stereo.mean(axis=0)
-    return mono, stereo, sr
+
+    from track_analyser_tpu.utils import AudioInput
+
+    return AudioInput(samples=stereo.mean(axis=0), sample_rate=sr, stereo_samples=stereo)
 
 
 def main() -> None:
-    from track_analyser_tpu.utils import AudioInput, enable_persistent_compilation_cache
+    from track_analyser_tpu.utils import enable_persistent_compilation_cache
     from track_analyser_tpu.parallel.batch import analyse_library, analyse_track_fused
 
     enable_persistent_compilation_cache()
@@ -63,55 +68,63 @@ def main() -> None:
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
 
-    mono, stereo, sr = _make_track()
-    audio = AudioInput(samples=mono, sample_rate=sr, stereo_samples=stereo)
+    # Three distinct durations -> three padded buckets -> three compiled
+    # executables in one sweep (the honest shape mix).
+    durations = [181.0, 181.0, 136.0, 136.0, 96.0, 96.0]
+    tracks = [
+        _make_track(secs, bpm=118.0 + 7 * i, seed=i) for i, secs in enumerate(durations)
+    ]
+    total_audio_s = sum(durations)
 
-    # Warm up (compile + caches) + correctness spot checks.
+    # Warm up (compile all bucket executables) + correctness spot checks.
     t0 = time.perf_counter()
-    result = analyse_track_fused(audio)
+    result = analyse_track_fused(tracks[0])
     warm = time.perf_counter() - t0
     print(
-        f"[bench] warmup {warm*1e3:.0f} ms — bpm={result.beat.bpm:.2f} "
+        f"[bench] fused warmup {warm*1e3:.0f} ms — bpm={result.beat.bpm:.2f} "
         f"key={result.harmonic.primary_key.key} "
         f"lufs={result.loudness.integrated_lufs:.2f} "
         f"segments={len(result.structure.segments)}",
         file=sys.stderr,
     )
+    t0 = time.perf_counter()
+    analyse_library(tracks)  # warms every bucket's batched executable
+    print(f"[bench] sweep warmup {time.perf_counter()-t0:.1f} s", file=sys.stderr)
 
-    # Cold single-track latency (includes host->device upload each call).
-    lat = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        analyse_track_fused(audio)
-        lat.append(time.perf_counter() - t0)
-    print(
-        f"[bench] single-track latency ms: {[round(x*1e3,1) for x in lat]}",
-        file=sys.stderr,
-    )
+    # Single-track latency, both transports (includes host quantise+upload).
+    for transport in ("int16", "int8"):
+        lat = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            analyse_track_fused(tracks[0], transport=transport)
+            lat.append(time.perf_counter() - t0)
+        print(
+            f"[bench] single-track ({transport}) latency ms: "
+            f"{[round(x*1e3,1) for x in lat]}",
+            file=sys.stderr,
+        )
 
-    # Headline: pipelined per-track time over a library sweep — uploads,
-    # device compute and host finishing overlap (production batch path).
-    n_tracks = 6
-    tracks = [audio] * n_tracks
-    analyse_library(tracks[:2])  # warm the batched executable
+    # Headline: pipelined sweep over the mixed-duration library, best-of-3
+    # (relay throughput varies ~2x run to run), normalised to 180 s/track.
     sweeps = []
-    for _ in range(3):  # best-of-3: the tunnelled link's throughput varies
+    for _ in range(3):
         t0 = time.perf_counter()
         out = analyse_library(tracks)
         sweeps.append(time.perf_counter() - t0)
-        assert len(out) == n_tracks
+        assert len(out) == len(tracks)
     elapsed = min(sweeps)
-    ms = elapsed / n_tracks * 1e3
+    ms = elapsed / (total_audio_s / 180.0) * 1e3
     print(
         f"[bench] library sweeps s: {[round(s, 2) for s in sweeps]} -> "
-        f"{ms:.0f} ms/track pipelined",
+        f"{ms:.0f} ms per 180 s of audio pipelined "
+        f"({elapsed/len(tracks)*1e3:.0f} ms/track raw)",
         file=sys.stderr,
     )
 
     print(
         json.dumps(
             {
-                "metric": "full_track_analysis_ms_per_track_180s_stereo_pipelined",
+                "metric": "full_track_analysis_ms_per_180s_stereo_mixed_durations_pipelined",
                 "value": round(ms, 2),
                 "unit": "ms",
                 "vs_baseline": round(50.0 / ms, 3),

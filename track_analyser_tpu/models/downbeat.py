@@ -133,9 +133,9 @@ def track_downbeats(
     )
 
 
-@partial(jax.jit, static_argnames=("meter",))
-def _viterbi_meter(accent: jnp.ndarray, *, meter: int):
-    """Bar-position Viterbi over one meter (the DBN decode as lax.scan).
+def _viterbi_positions(accent: np.ndarray, meter: int) -> tuple[float, np.ndarray]:
+    """Bar-position Viterbi for one meter (the DBN decode); returns
+    (score, 1-based positions).
 
     States are positions 0..meter-1 (0 = downbeat). Emissions: position 0
     scores +accent, others -accent/(meter-1) (zero-sum so string length
@@ -143,40 +143,31 @@ def _viterbi_meter(accent: jnp.ndarray, *, meter: int):
     per beat; staying or double-advancing (a missed/inserted beat) costs
     a fixed penalty, which lets the decoder re-lock after grid slips —
     something the global phase vote cannot do.
+
+    Host numpy on purpose: the trellis is beats x meter (~400 x 4 for a
+    3-minute track) — microseconds of arithmetic. A device dispatch costs
+    a ~30 ms relay sync *and* a recompile for every distinct beat count,
+    so the device path was strictly worse for this op.
     """
 
     # Several beats' worth of evidence: a slip must be sustained, not a
     # one-beat accent outlier.
     slip_penalty = 10.0
-    n_states = meter
-
-    def emit(a):
-        down = a
-        other = -a / (meter - 1)
-        return jnp.full((n_states,), other).at[0].set(down)
-
-    def step(delta, a):
-        adv = jnp.roll(delta, 1)  # from position p-1
-        stay = delta - slip_penalty
-        skip = jnp.roll(delta, 2) - slip_penalty
-        stacked = jnp.stack([adv, stay, skip])
-        best = jnp.max(stacked, axis=0)
-        choice = jnp.argmax(stacked, axis=0)
-        new_delta = best + emit(a)
-        return new_delta, choice
-
-    init = emit(accent[0])
-    delta, choices = jax.lax.scan(step, init, accent[1:])
-    return delta, choices
-
-
-def _viterbi_positions(accent: np.ndarray, meter: int) -> tuple[float, np.ndarray]:
-    """Decode positions (1-based) for one meter; returns (score, positions)."""
-
-    delta, choices = _viterbi_meter(jnp.asarray(accent, dtype=jnp.float32), meter=meter)
-    delta = np.asarray(delta)
-    choices = np.asarray(choices)  # (n-1, meter): 0=advance, 1=stay, 2=skip
     n = accent.size
+    accent = np.asarray(accent, dtype=np.float64)
+    emissions = np.full((n, meter), -1.0 / (meter - 1)) * accent[:, None]
+    emissions[:, 0] = accent
+
+    delta = emissions[0].copy()
+    choices = np.empty((n - 1, meter), dtype=np.int8)
+    for i in range(1, n):
+        adv = np.roll(delta, 1)  # from position p-1
+        stay = delta - slip_penalty
+        skip = np.roll(delta, 2) - slip_penalty
+        stacked = np.stack([adv, stay, skip])
+        choices[i - 1] = np.argmax(stacked, axis=0)
+        delta = stacked.max(axis=0) + emissions[i]
+
     state = int(np.argmax(delta))
     score = float(delta[state]) / max(n, 1)
     positions = np.zeros(n, dtype=int)

@@ -14,6 +14,8 @@ bench.py.
 from __future__ import annotations
 
 import json
+import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from pathlib import Path
@@ -217,18 +219,38 @@ def result_from_graph_outputs(
     )
 
 
+_scratch_local = threading.local()
+
+
+def _scratch(key: str, shape: tuple, dtype) -> np.ndarray:
+    """Per-thread reusable buffer. On this class of host (often a single
+    vCPU) repeated large allocations pay real page-fault time per track;
+    a warm scratch turns pad+quantise into pure copy passes."""
+
+    store = getattr(_scratch_local, "store", None)
+    if store is None:
+        store = _scratch_local.store = {}
+    buf = store.get(key)
+    if buf is None or buf.shape != shape or buf.dtype != dtype:
+        buf = store[key] = np.empty(shape, dtype=dtype)
+    return buf
+
+
 def _pad_track(audio: AudioInput, n_bucket: int) -> tuple[np.ndarray, int]:
-    """Channel-major (2, n_bucket) payload; mono tracks duplicate their
-    channel on host only when no stereo exists (the device downmix
-    mean(stereo) then reproduces the mono signal exactly)."""
+    """Channel-major (2, n_bucket) payload in a per-thread scratch; mono
+    tracks duplicate their channel on host only when no stereo exists
+    (the device downmix mean(stereo) then reproduces the mono signal
+    exactly). Callers must consume/copy the buffer before the same thread
+    pads its next track."""
 
     n = len(audio.samples)
-    stereo = np.zeros((2, n_bucket), dtype=np.float32)
+    stereo = _scratch("pad_f32", (2, n_bucket), np.float32)
     if audio.stereo_samples is not None and audio.stereo_samples.ndim == 2:
         stereo[:, :n] = audio.stereo_samples[:2, :n]
     else:
         stereo[0, :n] = audio.samples
         stereo[1, :n] = audio.samples
+    stereo[:, n:] = 0.0
     return stereo, n
 
 
@@ -313,13 +335,15 @@ def _single_graph_i16(stereo_i16, n_valid, *, sr):
     return _core_graph(stereo, n_valid, sr=sr)
 
 
-@partial(jax.jit, static_argnames=("sr", "n_bucket"))
-def _single_graph_from_mono_i16(y_i16, n_valid, *, sr, n_bucket):
-    """Mono int16 fast path: upload (n,) int16; pad + duplicate on device."""
+@partial(jax.jit, static_argnames=("sr",))
+def _single_graph_from_mono_i16(y_i16, n_valid, *, sr):
+    """Mono int16 fast path: upload bucket-padded (n_bucket,) int16 and
+    duplicate to stereo on device. The buffer is padded on HOST so the
+    executable only ever sees bucket lengths — arbitrary track lengths
+    would otherwise each cost a retrace (minutes of axon compile)."""
 
     y = y_i16.astype(jnp.float32) / 32768.0
-    yp = jnp.zeros(n_bucket, dtype=jnp.float32).at[: y.shape[-1]].set(y)
-    stereo = jnp.stack([yp, yp])
+    stereo = jnp.stack([y, y])
     return _core_graph(stereo, n_valid, sr=sr)
 
 
@@ -335,8 +359,15 @@ def _batched_graph_i16(stereo_i16, n_valid, *, sr):
 
 def _quantise_i16(x: np.ndarray) -> np.ndarray:
     # Truncating cast (np.round costs ~20x more than the whole conversion);
-    # quantisation noise stays ~-90 dBFS either way.
-    return np.clip(x * 32768.0, -32768.0, 32767.0).astype(np.int16)
+    # quantisation noise stays ~-90 dBFS either way. float32 scalars +
+    # out= keep every pass in f32 — Python-float scalars upcast the whole
+    # array to f64 and cost ~50x on this host's single core. The returned
+    # int16 array is fresh (it outlives the call); only the f32
+    # intermediate rides the per-thread scratch.
+    buf = _scratch("q_f32", x.shape, np.float32)
+    np.multiply(x, np.float32(32768.0), out=buf)
+    np.clip(buf, np.float32(-32768.0), np.float32(32767.0), out=buf)
+    return buf.astype(np.int16)
 
 
 _I8_BLOCK = 8_192  # samples per scaling block (bucket quantum divides it)
@@ -352,10 +383,12 @@ def _quantise_i8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
     c, n = x.shape
     blocks = x.reshape(c, n // _I8_BLOCK, _I8_BLOCK)
-    scales = np.max(np.abs(blocks), axis=-1).astype(np.float32)
-    safe = np.where(scales > 0, scales, 1.0)
-    vals = np.clip(blocks / safe[:, :, None] * 127.0, -127.0, 127.0).astype(np.int8)
-    return vals.reshape(c, n), scales
+    scales = np.abs(blocks).max(axis=-1).astype(np.float32)
+    inv = np.float32(127.0) / np.where(scales > 0, scales, np.float32(1.0))
+    buf = _scratch("q_f32", x.shape, np.float32).reshape(blocks.shape)
+    np.multiply(blocks, inv[:, :, None], out=buf)  # one f32 pass
+    np.clip(buf, np.float32(-127.0), np.float32(127.0), out=buf)
+    return buf.astype(np.int8).reshape(c, n), scales
 
 
 def _dequantise_i8(vals: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
@@ -373,6 +406,27 @@ def _batched_graph_i8(vals, scales, n_valid, *, sr):
     return jax.vmap(one)(vals, scales, n_valid)
 
 
+@partial(jax.jit, static_argnames=("sr",))
+def _single_graph_i8_split(vals_a, vals_b, scales, n_valid, *, sr):
+    """int8 single-track graph taking the payload in two time-halves:
+    the halves upload on two concurrent streams (the tunnelled relay
+    aggregates ~40 -> ~50 MB/s across connections) and are rejoined on
+    device, where the concat is one cheap HBM pass."""
+
+    vals = jnp.concatenate([vals_a, vals_b], axis=-1)
+    return _core_graph(_dequantise_i8(vals, scales), n_valid, sr=sr)
+
+
+_single_upload_pool: "ThreadPoolExecutor | None" = None
+
+
+def _upload_pool() -> ThreadPoolExecutor:
+    global _single_upload_pool
+    if _single_upload_pool is None:
+        _single_upload_pool = ThreadPoolExecutor(max_workers=2)
+    return _single_upload_pool
+
+
 def analyse_track_fused(
     source: "str | AudioInput",
     *,
@@ -385,18 +439,31 @@ def analyse_track_fused(
     ``transport="int16"`` (default) ships samples to the device as int16
     — lossless for PCM16 sources, -96 dBFS quantisation for float sources
     (far below every analysis tolerance) and half the transfer bytes.
-    ``transport="float32"`` ships the exact samples.
+    ``transport="int8"`` (the library-sweep default) quarters the bytes
+    (blockwise-scaled, ~45 dB SNR) and uploads on two concurrent relay
+    streams. ``transport="float32"`` ships the exact samples.
     """
 
     audio = source if isinstance(source, AudioInput) else coerce_audio(source)
     n = len(audio.samples)
     n_bucket = bucket_length(n) if bucket else n
-    if audio.stereo_samples is None and transport == "int16":
-        out = _single_graph_from_mono_i16(
-            jnp.asarray(_quantise_i16(np.asarray(audio.samples, dtype=np.float32))),
-            jnp.asarray(n),
+    if transport == "int8":
+        stereo, n_valid = _pad_track(audio, n_bucket)
+        vals, scales = _quantise_i8(stereo)
+        half = vals.shape[-1] // 2
+        pool = _upload_pool()
+        fut_a = pool.submit(jax.device_put, vals[:, :half])
+        fut_b = pool.submit(jax.device_put, vals[:, half:])
+        sc = jax.device_put(scales)
+        out = _single_graph_i8_split(
+            fut_a.result(), fut_b.result(), sc, jnp.asarray(n_valid),
             sr=audio.sample_rate,
-            n_bucket=n_bucket,
+        )
+    elif audio.stereo_samples is None and transport == "int16":
+        mono_i16 = np.zeros(n_bucket, dtype=np.int16)
+        mono_i16[:n] = _quantise_i16(np.asarray(audio.samples, dtype=np.float32))
+        out = _single_graph_from_mono_i16(
+            jnp.asarray(mono_i16), jnp.asarray(n), sr=audio.sample_rate
         )
     elif transport == "int16":
         stereo, n_valid = _pad_track(audio, n_bucket)
@@ -405,8 +472,10 @@ def analyse_track_fused(
         )
     else:
         stereo, n_valid = _pad_track(audio, n_bucket)
+        # copy: _pad_track hands out a reusable scratch, and on the CPU
+        # backend jnp.asarray may alias the numpy buffer zero-copy
         out = _single_graph(
-            jnp.asarray(stereo), jnp.asarray(n_valid), sr=audio.sample_rate
+            jnp.asarray(stereo.copy()), jnp.asarray(n_valid), sr=audio.sample_rate
         )
     fetched = jax.device_get(out)
     out_dict = unpack_outputs(*fetched[:3])
@@ -421,18 +490,31 @@ def analyse_library(
     seed: int = DEFAULT_SEED,
     mesh=None,
     target_sr: int = DEFAULT_CONFIG.target_sr,
-    decode_workers: int = 8,
+    decode_workers: int = 4,
+    upload_streams: int = 2,
+    prefetch_tracks: Optional[int] = None,
     output_dir: "Optional[str | Path]" = None,
     progress_callback: Optional[Callable[[str, int, int], None]] = None,
     manifest_path: "Optional[str | Path]" = None,
     transport: str = "int8",
 ) -> List[TrackAnalysisResult]:
-    """Analyse a library of tracks with data-parallel batches.
+    """Analyse a library of tracks through a bounded streaming pipeline.
 
-    Decode runs on host worker threads; tracks are grouped into shared
-    padded buckets; each bucket group is analysed by one vmapped, pjit'd
-    dispatch sharded over the mesh's ``data`` axis. A JSONL manifest makes
-    sweeps resumable: already-listed sources are skipped.
+    Four overlapped stages, each bounded so memory stays O(prefetch), not
+    O(library):
+
+      decode pool   -> decode + resample + pad + quantise (CPU)
+      upload pool   -> device_put of quantised payloads; multiple streams
+                       aggregate relay bandwidth (measured: 1 stream ~40
+                       MB/s, 2 streams ~50 MB/s on the tunnelled link)
+      dispatch      -> one vmapped pjit'd fused-graph call per chunk,
+                       sharded over the mesh's ``data`` axis (async)
+      finish thread -> readback + host result assembly + rendering,
+                       strictly off the dispatch path
+
+    Tracks group into shared padded buckets so each bucket size is one
+    compiled executable. A JSONL manifest makes sweeps resumable:
+    already-listed sources are skipped.
 
     ``transport``: "int8" (default, blockwise-scaled, ~45 dB SNR, least
     host->device bandwidth) or "int16" (~96 dB SNR).
@@ -456,23 +538,42 @@ def analyse_library(
         if not (isinstance(s, (str, Path)) and str(s) in done)
     ]
 
-    # Host decode pool: decode, pad and quantise in parallel worker
-    # threads (none of it can be device work; all of it overlaps).
     def _load(item):
         idx, src = item
-        audio = src if isinstance(src, AudioInput) else coerce_audio(src, target_sr=target_sr)
+        # Always coerce: the batched graph is compiled with sr=target_sr, so
+        # an AudioInput at any other rate must be resampled here (near-free
+        # no-op when the rate already matches).
+        audio = coerce_audio(src, target_sr=target_sr)
         n_bucket = bucket_length(len(audio.samples))
         st, nv = _pad_track(audio, n_bucket)
         payload = _quantise_i8(st) if transport == "int8" else (_quantise_i16(st),)
         return idx, src, audio, n_bucket, payload, nv
 
-    with ThreadPoolExecutor(max_workers=decode_workers) as pool:
-        loaded = list(pool.map(_load, todo))
+    def _stage(chunk):
+        """Upload one chunk's payload parts (runs on the upload pool)."""
 
-    # Group by bucket so each group is one compiled executable.
-    groups: Dict[int, List[tuple]] = {}
-    for idx, src, audio, n_bucket, sti, nv in loaded:
-        groups.setdefault(n_bucket, []).append((idx, src, audio, sti, nv))
+        n_bucket = bucket_length(len(chunk[0][2].samples))
+        payloads = [payload for _, _, _, payload, _ in chunk]
+        valids = [nv for _, _, _, _, nv in chunk]
+        n_pad = n_dev - len(payloads)
+        if n_pad > 0:  # pad batch to the device count
+            if transport == "int8":
+                zero = (
+                    np.zeros((2, n_bucket), dtype=np.int8),
+                    np.zeros((2, n_bucket // _I8_BLOCK), dtype=np.float32),
+                )
+            else:
+                zero = (np.zeros((2, n_bucket), dtype=np.int16),)
+            payloads.extend([zero] * n_pad)
+            valids.extend([n_bucket] * n_pad)
+        staged = [
+            jax.device_put(
+                np.stack([p[part] for p in payloads]), data_sharding(mesh, rank=3)
+            )
+            for part in range(len(payloads[0]))
+        ]
+        vb = jax.device_put(np.asarray(valids), data_sharding(mesh))
+        return staged, vb
 
     if transport == "int8":
         batched = partial(_batched_graph_i8, sr=target_sr)
@@ -481,21 +582,14 @@ def analyse_library(
 
     results: List[Optional[TrackAnalysisResult]] = [None] * len(sources)
     n_done = 0
-    total = len(loaded)
-
-    # Flat work list so uploads/compute of batch k+1 overlap the readback
-    # and host finishing of batch k (double buffering over the async queue).
-    work: List[tuple[int, list]] = []
-    for n_bucket, items in sorted(groups.items()):
-        for start in range(0, len(items), n_dev):
-            work.append((n_bucket, items[start : start + n_dev]))
+    total = len(todo)
 
     def _finish(chunk, out_handle) -> None:
         nonlocal n_done
         fetched = jax.device_get(out_handle)
         curves, chroma, vec = fetched[:3]
         net = fetched[3] if len(fetched) > 3 else None
-        for k, (idx, src, audio, _sti, _nv) in enumerate(chunk):
+        for k, (idx, src, audio, _payload, _nv) in enumerate(chunk):
             track_out = unpack_outputs(curves[k], chroma[k], vec[k])
             if net is not None:
                 track_out["net_prob"] = np.asarray(net[k])
@@ -526,36 +620,74 @@ def analyse_library(
             if progress_callback:
                 progress_callback(str(src), n_done, total)
 
-    pending = None
-    with mesh:
-        for n_bucket, chunk in work:
-            payloads = [payload for _, _, _, payload, _ in chunk]
-            valids = [nv for _, _, _, _, nv in chunk]
-            n_pad = n_dev - len(payloads)
-            if n_pad > 0:  # pad batch to the device count
-                if transport == "int8":
-                    zero = (
-                        np.zeros((2, n_bucket), dtype=np.int8),
-                        np.zeros((2, n_bucket // _I8_BLOCK), dtype=np.float32),
-                    )
-                else:
-                    zero = (np.zeros((2, n_bucket), dtype=np.int16),)
-                payloads.extend([zero] * n_pad)
-                valids.extend([n_bucket] * n_pad)
+    # Pipeline bounds: how many decoded tracks may exist at once (payload
+    # + AudioInput each), and how many uploaded chunks may wait on device.
+    prefetch = prefetch_tracks or max(2 * n_dev, 4)
+    stage_depth = max(upload_streams, 2)
 
-            staged = [
-                jax.device_put(
-                    np.stack([p[part] for p in payloads]),
-                    data_sharding(mesh, rank=3),
-                )
-                for part in range(len(payloads[0]))
-            ]
-            vb = jax.device_put(np.asarray(valids), data_sharding(mesh))
-            out_handle = batched(*staged, vb)  # async dispatch
-            if pending is not None:
-                _finish(*pending)
-            pending = (chunk, out_handle)
-        if pending is not None:
-            _finish(*pending)
+    decode_pool = ThreadPoolExecutor(max_workers=decode_workers)
+    upload_pool = ThreadPoolExecutor(max_workers=upload_streams)
+    finish_pool = ThreadPoolExecutor(max_workers=1)
+
+    decode_q: deque = deque()  # futures of _load
+    buckets: Dict[int, list] = {}  # n_bucket -> decoded items awaiting a chunk
+    staged_q: deque = deque()  # (chunk, future of _stage)
+    dispatched_q: deque = deque()  # futures of _finish
+    src_iter = iter(todo)
+
+    def _pump_decodes() -> None:
+        while len(decode_q) < prefetch:
+            item = next(src_iter, None)
+            if item is None:
+                return
+            decode_q.append(decode_pool.submit(_load, item))
+
+    def _absorb(loaded) -> None:
+        idx, src, audio, n_bucket, payload, nv = loaded
+        buckets.setdefault(n_bucket, []).append((idx, src, audio, payload, nv))
+
+    def _form_chunks(flush: bool) -> None:
+        for n_bucket in sorted(buckets):
+            items = buckets[n_bucket]
+            while len(items) >= n_dev or (flush and items):
+                chunk, items = items[:n_dev], items[n_dev:]
+                buckets[n_bucket] = items
+                staged_q.append((chunk, upload_pool.submit(_stage, chunk)))
+
+    try:
+        with mesh:
+            _pump_decodes()
+            while True:
+                # Absorb completed decodes without blocking, keep the
+                # decode pool topped up, and form full chunks.
+                while decode_q and decode_q[0].done():
+                    _absorb(decode_q.popleft().result())
+                    _pump_decodes()
+                _form_chunks(flush=not decode_q)
+
+                if not staged_q:
+                    if decode_q:  # nothing uploadable yet: block on decode
+                        _absorb(decode_q.popleft().result())
+                        _pump_decodes()
+                        continue
+                    if any(buckets.values()):  # trailing partial chunks
+                        _form_chunks(flush=True)
+                        continue
+                    break  # everything dispatched
+
+                # Dispatch the oldest staged chunk; upload of later chunks
+                # and host finishing of earlier ones continue in parallel.
+                chunk, staged_future = staged_q.popleft()
+                staged, vb = staged_future.result()
+                out_handle = batched(*staged, vb)  # async dispatch
+                dispatched_q.append(finish_pool.submit(_finish, chunk, out_handle))
+                while len(dispatched_q) > stage_depth:
+                    dispatched_q.popleft().result()
+            while dispatched_q:
+                dispatched_q.popleft().result()
+    finally:
+        decode_pool.shutdown(wait=True)
+        upload_pool.shutdown(wait=True)
+        finish_pool.shutdown(wait=True)
 
     return [r for r in results if r is not None]
