@@ -76,12 +76,87 @@ def _gru_layer(x, wx, wh, b):
 
 
 def forward(params: Dict[str, jnp.ndarray], feats: jnp.ndarray) -> jnp.ndarray:
-    """Per-frame class logits. feats: (T, n_mels) -> (T, 3)."""
+    """Per-frame class logits. feats: (T, n_mels) -> (T, 3).
 
+    Dispatches on the checkpoint's parameter names: TCN checkpoints
+    (scan-free, the serving default) vs the original GRU stack.
+    """
+
+    if "tcn0_w" in params:
+        return tcn_forward(params, feats)
     x = jnp.tanh(jnp.dot(feats, params["in_w"], preferred_element_type=jnp.float32) + params["in_b"])
     x = _gru_layer(x, params["gru0_wx"], params["gru0_wh"], params["gru0_b"])
     x = _gru_layer(x, params["gru1_wx"], params["gru1_wh"], params["gru1_b"])
     return jnp.dot(x, params["out_w"], preferred_element_type=jnp.float32) + params["out_b"]
+
+
+# ---------------------------------------------------------------------------
+# Time-parallel TCN — the serving architecture.
+#
+# The GRU above costs a ~15k-step serial lax.scan on a 3-minute track,
+# seconds of TPU latency. A dilated temporal-convolution stack has the
+# same class of receptive field (~6 s at hop 512) with every frame
+# computed in parallel on the MXU; its whole-track cost inside the fused
+# graph is milliseconds (madmom-equivalent capability,
+# reference analysis/beats.py:124-141, without the serial bottleneck).
+# ---------------------------------------------------------------------------
+
+TCN_DILATIONS = (1, 2, 4, 8, 16, 32, 64)
+TCN_KERNEL = 5
+
+
+def init_tcn_params(
+    key: jax.Array, *, n_mels: int = 128, channels: int = 64
+) -> Dict[str, jnp.ndarray]:
+    keys = jax.random.split(key, 2 + 2 * len(TCN_DILATIONS))
+    params: Dict[str, jnp.ndarray] = {
+        "tcn_in_w": _glorot(keys[0], (n_mels, channels)),
+        "tcn_in_b": jnp.zeros(channels),
+        "tcn_out_w": _glorot(keys[1], (channels, N_CLASSES)),
+        "tcn_out_b": jnp.zeros(N_CLASSES),
+    }
+    for i in range(len(TCN_DILATIONS)):
+        fan = channels * TCN_KERNEL
+        params[f"tcn{i}_w"] = jax.random.normal(
+            keys[2 + 2 * i], (channels, channels, TCN_KERNEL), dtype=jnp.float32
+        ) * jnp.sqrt(2.0 / fan)
+        params[f"tcn{i}_b"] = jnp.zeros(channels)
+        params[f"tcn{i}_pw"] = _glorot(keys[3 + 2 * i], (channels, channels))
+        params[f"tcn{i}_pb"] = jnp.zeros(channels)
+    return params
+
+
+def _dilated_conv(x: jnp.ndarray, w: jnp.ndarray, dilation: int) -> jnp.ndarray:
+    """SAME-padded dilated conv over time. x: (T, C) -> (T, C_out)."""
+
+    pad = dilation * (TCN_KERNEL - 1) // 2
+    out = jax.lax.conv_general_dilated(
+        x.T[None],  # (1, C, T)
+        w,  # (C_out, C_in, K)
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+    return out[0].T
+
+
+def tcn_forward(params: Dict[str, jnp.ndarray], feats: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame class logits, fully time-parallel. feats: (T, n_mels)."""
+
+    x = jnp.tanh(
+        jnp.dot(feats, params["tcn_in_w"], preferred_element_type=jnp.float32)
+        + params["tcn_in_b"]
+    )
+    for i, dilation in enumerate(TCN_DILATIONS):
+        h = _dilated_conv(x, params[f"tcn{i}_w"], dilation) + params[f"tcn{i}_b"]
+        h = jax.nn.gelu(h)
+        x = x + jnp.dot(h, params[f"tcn{i}_pw"], preferred_element_type=jnp.float32) + params[f"tcn{i}_pb"]
+    return (
+        jnp.dot(x, params["tcn_out_w"], preferred_element_type=jnp.float32)
+        + params["tcn_out_b"]
+    )
 
 
 def loss_fn(params, feats_batch, labels_batch) -> jnp.ndarray:
@@ -213,10 +288,15 @@ def logmel_features(samples: np.ndarray, sr: int = _SR) -> np.ndarray:
     return ((feats - mu) / sd).astype(np.float32)
 
 
-def synthetic_audio_example(
+def synth_percussion(
     rng: np.random.Generator, *, seconds: float = 6.0, sr: int = _SR
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Synthesise a percussive pattern; return (feats (T,128), labels (T,))."""
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Synthesise a percussive pattern; return (audio, beat_times, meter).
+
+    Shared by training-feature generation and the held-out decoder
+    evaluation (scripts/train_downbeat_tcn.py), so both see the same
+    distribution.
+    """
 
     n = int(seconds * sr)
     bpm = rng.uniform(80, 160)
@@ -241,7 +321,15 @@ def synthetic_audio_example(
         y[s:e] += amp * (seg * np.exp(-t_hit * 25))[: e - s]
     # harmonic bed
     y += rng.uniform(0.05, 0.25) * np.sin(2 * np.pi * rng.uniform(80, 300) * np.arange(n) / sr)
+    return y, beat_times, meter
 
+
+def synthetic_audio_example(
+    rng: np.random.Generator, *, seconds: float = 6.0, sr: int = _SR
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Synthesise a percussive pattern; return (feats (T,128), labels (T,))."""
+
+    y, beat_times, meter = synth_percussion(rng, seconds=seconds, sr=sr)
     feats = logmel_features(y, sr)
     labels = np.zeros(feats.shape[0], dtype=np.int32)
     for i, bt in enumerate(beat_times):
@@ -254,9 +342,23 @@ def synthetic_audio_example(
 
 
 def synthetic_audio_batch(
-    rng: np.random.Generator, *, batch: int = 8, seconds: float = 6.0, frames: int = 256
+    rng: np.random.Generator,
+    *,
+    batch: int = 8,
+    seconds: float = 6.0,
+    frames: int = 256,
+    sample_rates: Tuple[int, ...] = (_SR,),
 ) -> Tuple[np.ndarray, np.ndarray]:
-    pairs = [synthetic_audio_example(rng, seconds=seconds) for _ in range(batch)]
+    """Batch of synthetic examples cropped to ``frames``. Mixing sample
+    rates trains one net across frame rates (22.05 kHz -> 43 fps for the
+    per-module path, 44.1 kHz -> 86 fps for the fused serving path)."""
+
+    pairs = []
+    for _ in range(batch):
+        sr = int(rng.choice(sample_rates))
+        # keep enough real audio to fill the frame crop at this rate
+        secs = max(seconds, (frames + 2) * _HOP / sr)
+        pairs.append(synthetic_audio_example(rng, seconds=secs, sr=sr))
     feats = np.stack([f[:frames] for f, _ in pairs])
     labels = np.stack([l[:frames] for _, l in pairs])
     return feats, labels
