@@ -132,7 +132,6 @@ def main() -> None:
     nn = len(audio.samples)
     f_valid = 1 + nn // hop
     env = np.asarray(out_dict["onset_env"], dtype=np.float64)[:f_valid]
-    ac = np.asarray(out_dict["autocorr"], dtype=np.float64)[:f_valid]
 
     def _t(label, fn, reps=3):
         t0 = time.perf_counter()
@@ -141,7 +140,7 @@ def main() -> None:
         print(f"  finish::{label}: {(time.perf_counter()-t0)/reps*1e3:.0f} ms")
         return result
 
-    grid, bpm = _t("grid+bpm", lambda: T.grid_and_bpm_from_env(env, ac, nn / sr, sr, hop_length=hop))
+    grid, bpm = _t("grid+bpm", lambda: T.grid_and_bpm_from_env(env, None, nn / sr, sr, hop_length=hop))
     beat_result = BE.build_beat_analysis(bpm, grid["time"].to_numpy(), sr, hop_length=hop, grid=grid)
     _t(
         "downbeat decode",

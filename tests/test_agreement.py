@@ -1,0 +1,206 @@
+"""Fused-vs-per-module agreement across EVERY TrackAnalysisResult field.
+
+The fused single-dispatch substrate and the per-module graphs are two
+implementations of the same contract; any field where they drift is a
+bug in one of them. The fused path runs with float32 transport here so
+the comparison isolates algorithmic agreement; the quantised-transport
+noise budget has its own test at the bottom (and int8 has gate tests in
+test_batch.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from synth import progression
+from track_analyser_tpu.parallel.batch import analyse_track_fused
+from track_analyser_tpu.pipeline import analyse_track
+from track_analyser_tpu.utils import AudioInput
+
+SR = 22_050
+
+
+def _rich_track() -> AudioInput:
+    """20 s: kick grid at 120 BPM + I-IV-V-I chords + stereo imbalance —
+    enough structure that every analyzer has real decisions to make."""
+
+    seconds = 20.0
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+
+    chords = np.tile(progression([(60, "maj"), (65, "maj"), (67, "maj"), (60, "maj")], 2.5, SR), 2)[:n]
+    kick = np.zeros(n, dtype=np.float32)
+    for i, b in enumerate(np.arange(0.0, seconds, 0.5)):
+        s = int(b * SR)
+        e = min(n, s + int(0.05 * SR))
+        seg = np.arange(e - s) / SR
+        amp = 1.0 if i % 4 == 0 else 0.45
+        kick[s:e] += amp * np.sin(2 * np.pi * (60 + 50 * np.exp(-seg * 60)) * seg) * np.exp(-seg * 40)
+
+    left = 0.5 * chords + 0.8 * kick
+    right = 0.35 * chords + 0.8 * kick + 0.05 * np.sin(2 * np.pi * 3000.0 * t)
+    stereo = np.stack([left, right]).astype(np.float32)
+    peak = np.abs(stereo).max()
+    stereo *= 0.9 / peak
+    return AudioInput(
+        samples=stereo.mean(axis=0), sample_rate=SR, stereo_samples=stereo
+    )
+
+
+@pytest.fixture(scope="module")
+def both_paths():
+    audio = _rich_track()
+    return (
+        analyse_track_fused(audio, transport="float32"),
+        analyse_track(audio, fused=False),
+    )
+
+
+def test_beat_fields_agree(both_paths) -> None:
+    fused, module = both_paths
+    # bucket padding changes FFT sizes in the autocorrelation, so the
+    # parabolic/regression refinement sees ~1e-7-relative input noise
+    assert fused.beat.bpm == pytest.approx(module.beat.bpm, abs=1e-3)
+    assert fused.beat.confidence == pytest.approx(module.beat.confidence, abs=1e-3)
+    assert len(fused.beat.beat_times) == len(module.beat.beat_times)
+    np.testing.assert_allclose(fused.beat.beat_times, module.beat.beat_times, atol=1e-4)
+
+
+def test_downbeat_fields_agree(both_paths) -> None:
+    fused, module = both_paths
+    assert fused.downbeat.source == module.downbeat.source
+    np.testing.assert_allclose(
+        fused.downbeat.downbeat_times, module.downbeat.downbeat_times, atol=1e-4
+    )
+    assert fused.downbeat.beat_positions == module.downbeat.beat_positions
+
+
+def test_structure_fields_agree(both_paths) -> None:
+    fused, module = both_paths
+    assert [s.label for s in fused.structure.segments] == [
+        s.label for s in module.structure.segments
+    ]
+    assert [s.category for s in fused.structure.segments] == [
+        s.category for s in module.structure.segments
+    ]
+    np.testing.assert_allclose(
+        [s.start for s in fused.structure.segments],
+        [s.start for s in module.structure.segments],
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        [s.end for s in fused.structure.segments],
+        [s.end for s in module.structure.segments],
+        atol=1e-3,
+    )
+
+
+def test_loudness_fields_agree(both_paths) -> None:
+    fused, module = both_paths
+    assert fused.loudness.integrated_lufs == pytest.approx(
+        module.loudness.integrated_lufs, abs=5e-3
+    )
+    assert fused.loudness.loudness_range == pytest.approx(
+        module.loudness.loudness_range, abs=5e-3
+    )
+    assert fused.loudness.true_peak_dbfs == pytest.approx(
+        module.loudness.true_peak_dbfs, abs=5e-3
+    )
+    assert fused.loudness.rms_dbfs == pytest.approx(module.loudness.rms_dbfs, abs=5e-3)
+    np.testing.assert_allclose(
+        fused.loudness.momentary_lufs, module.loudness.momentary_lufs, atol=2e-2
+    )
+    np.testing.assert_allclose(
+        fused.loudness.short_term_lufs, module.loudness.short_term_lufs, atol=2e-2
+    )
+
+
+def test_harmony_fields_agree(both_paths) -> None:
+    fused, module = both_paths
+    assert fused.harmonic.primary_key.key == module.harmonic.primary_key.key
+    assert fused.harmonic.secondary_key.key == module.harmonic.secondary_key.key
+    assert fused.harmonic.primary_key.confidence == pytest.approx(
+        module.harmonic.primary_key.confidence, abs=1e-3
+    )
+
+    assert [h.chord for h in fused.harmonic.chord_hints] == [
+        h.chord for h in module.harmonic.chord_hints
+    ]
+    f_times = np.array([p.time for p in fused.harmonic.chord_change_points])
+    m_times = np.array([p.time for p in module.harmonic.chord_change_points])
+    assert f_times.size == m_times.size
+    np.testing.assert_allclose(f_times, m_times, atol=1e-4)
+    np.testing.assert_allclose(
+        [p.strength for p in fused.harmonic.chord_change_points],
+        [p.strength for p in module.harmonic.chord_change_points],
+        atol=1e-2,
+    )
+
+    assert fused.harmonic.spectral_balance.low_band == pytest.approx(
+        module.harmonic.spectral_balance.low_band, abs=1e-3
+    )
+    assert fused.harmonic.stereo_image.correlation == pytest.approx(
+        module.harmonic.stereo_image.correlation, abs=1e-3
+    )
+    assert fused.harmonic.stereo_image.balance == pytest.approx(
+        module.harmonic.stereo_image.balance, abs=1e-3
+    )
+
+    # deterministic rng + same key + same grid => identical MIDI sketches
+    for attr in ("hook_suggestion", "bass_suggestion"):
+        f_notes = getattr(fused.harmonic, attr).notes
+        m_notes = getattr(module.harmonic, attr).notes
+        assert f_notes["pitch"].tolist() == m_notes["pitch"].tolist()
+        assert f_notes["velocity"].tolist() == m_notes["velocity"].tolist()
+
+
+def test_features_fields_agree(both_paths) -> None:
+    fused, module = both_paths
+    np.testing.assert_allclose(
+        fused.features.ltas.frequencies, module.features.ltas.frequencies, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        fused.features.ltas.magnitude, module.features.ltas.magnitude,
+        rtol=1e-3, atol=1e-3,
+    )
+    assert fused.features.spectral_centroid.mean == pytest.approx(
+        module.features.spectral_centroid.mean, rel=1e-3
+    )
+    assert fused.features.spectral_rolloff.mean == pytest.approx(
+        module.features.spectral_rolloff.mean, rel=1e-3
+    )
+
+
+def test_int16_transport_noise_stays_inside_decision_margins() -> None:
+    """The default fused path ships int16 samples; the -96 dBFS transport
+    noise must move measurements microscopically and decisions not at all."""
+
+    audio = _rich_track()
+    exact = analyse_track_fused(audio, transport="float32")
+    quantised = analyse_track_fused(audio)  # int16 default
+
+    # BPM comes from a regression over discretely-selected onsets, so the
+    # -96 dBFS noise can flip onset membership; half the ±0.1 accuracy
+    # gate is the budget we allow transport to consume.
+    assert quantised.beat.bpm == pytest.approx(exact.beat.bpm, abs=0.05)
+    assert quantised.loudness.integrated_lufs == pytest.approx(
+        exact.loudness.integrated_lufs, abs=0.01
+    )
+    assert quantised.loudness.true_peak_dbfs == pytest.approx(
+        exact.loudness.true_peak_dbfs, abs=0.01
+    )
+    assert quantised.harmonic.primary_key.key == exact.harmonic.primary_key.key
+    assert quantised.downbeat.source == exact.downbeat.source
+    assert len(quantised.structure.segments) == len(exact.structure.segments)
+
+
+def test_stereo_fields_agree(both_paths) -> None:
+    fused, module = both_paths
+    assert fused.stereo.mid_rms == pytest.approx(module.stereo.mid_rms, abs=1e-4)
+    assert fused.stereo.side_rms == pytest.approx(module.stereo.side_rms, abs=1e-4)
+    assert fused.stereo.correlation == pytest.approx(module.stereo.correlation, abs=1e-3)
+    for band in ("low", "mid", "high"):
+        assert getattr(fused.stereo.width, band) == pytest.approx(
+            getattr(module.stereo.width, band), abs=1e-2
+        )

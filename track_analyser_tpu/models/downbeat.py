@@ -53,19 +53,23 @@ def available() -> bool:
     return True
 
 
-_DEFAULT_CKPT = Path(__file__).parent / "checkpoints" / "downbeat_v1.npz"
+_CKPT_DIR = Path(__file__).parent / "checkpoints"
+# Preference order: the time-parallel TCN (serves the fused path too),
+# then the original GRU (per-module path only).
+_DEFAULT_CKPTS = (_CKPT_DIR / "downbeat_tcn_v1.npz", _CKPT_DIR / "downbeat_v1.npz")
+_DEFAULT_CKPT = _DEFAULT_CKPTS[-1]  # back-compat alias
 _CKPT_ENV = "TRACK_ANALYSER_TPU_DOWNBEAT_CKPT"
 _net_params_cache: dict = {}
 
 
 def _net_params():
     """Trained activation-net weights: env override, then the bundled
-    checkpoint, else None (accent features only)."""
+    checkpoints (TCN preferred), else None (accent features only)."""
 
     import os
 
-    path = os.environ.get(_CKPT_ENV) or (
-        str(_DEFAULT_CKPT) if _DEFAULT_CKPT.exists() else None
+    path = os.environ.get(_CKPT_ENV) or next(
+        (str(p) for p in _DEFAULT_CKPTS if p.exists()), None
     )
     if path is None:
         return None

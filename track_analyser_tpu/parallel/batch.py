@@ -65,10 +65,9 @@ def result_from_graph_outputs(
     rng = deterministic_rng(seed)
 
     env = np.asarray(out["onset_env"], dtype=np.float64)[:f_valid]
-    ac = np.asarray(out["autocorr"], dtype=np.float64)[:f_valid]
 
-    # --- beats ----------------------------------------------------------
-    grid, bpm = tempo_mod.grid_and_bpm_from_env(env, ac, duration, sr, hop_length=hop)
+    # --- beats (ac=None -> shared f64 host autocorrelation) --------------
+    grid, bpm = tempo_mod.grid_and_bpm_from_env(env, None, duration, sr, hop_length=hop)
     beat_result = beats_mod.build_beat_analysis(
         bpm, grid["time"].to_numpy(), sr, hop_length=hop, grid=grid
     )
@@ -281,32 +280,28 @@ def _bundled_net_params():
     """Downbeat activation-net weights baked into the fused graphs as
     compile-time constants (no per-call transfer). None disables the net.
 
-    OPT-IN (TRACK_ANALYSER_TPU_NET_DOWNBEATS=1): the current activation
-    net is a GRU whose ~15k-step serial scan costs several seconds per
-    track on TPU — fine for the per-module analyse_downbeats path, hostile
-    to the fused latency path. A time-parallel TCN retrain replaces it
-    (PARITY.md round-2 plan); until then the accent decoder is the fused
-    default.
+    ON by default when the bundled checkpoint is a time-parallel TCN
+    (milliseconds per track inside the fused dispatch); GRU checkpoints
+    are refused here because their ~15k-step serial scan costs seconds of
+    fused latency (they still serve the per-module analyse_downbeats
+    path). TRACK_ANALYSER_TPU_NET_DOWNBEATS=0 disables; =1 forces even a
+    GRU checkpoint in.
     """
 
     import os
 
-    if os.environ.get("TRACK_ANALYSER_TPU_NET_DOWNBEATS") != "1":
+    gate = os.environ.get("TRACK_ANALYSER_TPU_NET_DOWNBEATS")
+    if gate == "0":
         return None
 
-    from ..models.downbeat import _DEFAULT_CKPT, _CKPT_ENV
+    from ..models.downbeat import _net_params
 
-    path = os.environ.get(_CKPT_ENV) or (
-        str(_DEFAULT_CKPT) if _DEFAULT_CKPT.exists() else None
-    )
-    if path is None:
+    params = _net_params()
+    if params is None:
         return None
-    try:
-        from ..models import downbeat_net
-
-        return downbeat_net.load_checkpoint(path)
-    except Exception:
-        return None
+    if "tcn0_w" not in params and gate != "1":
+        return None  # serial GRU: too slow for the fused latency path
+    return params
 
 
 def _core_graph(stereo, n_valid, *, sr):

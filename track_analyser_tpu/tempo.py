@@ -45,23 +45,64 @@ def _envelope_graph(y: jnp.ndarray, *, sr: int, hop_length: int, n_fft: int = 20
     return env, autocorrelate(env)
 
 
+def autocorrelate_host(env: np.ndarray) -> np.ndarray:
+    """Linear autocorrelation of the onset envelope, float64 on host.
+
+    The envelope is ~kB, so this costs microseconds — and doing it on
+    host makes the fused (bucket-padded) and per-module (exact-shape)
+    paths bit-identical: device float32 FFTs differ in rounding with FFT
+    size, and the downstream beat regression makes discrete decisions
+    (peak sets, rounded beat indices) that amplify that noise into
+    ~0.05 BPM path disagreement.
+    """
+
+    env = np.asarray(env, dtype=np.float64)
+    n = env.size
+    if n == 0:
+        return np.zeros(1, dtype=float)
+    n_fft = 1 << int(np.ceil(np.log2(max(2 * n - 1, 2))))
+    spec = np.fft.rfft(env, n_fft)
+    return np.fft.irfft(spec * np.conj(spec), n_fft)[:n]
+
+
+def _padded_envelope(y: np.ndarray, sr: int, hop_length: int) -> np.ndarray:
+    """Envelope over the bucket-padded signal, trimmed to valid frames.
+
+    Padding to the same geometric bucket the fused substrate uses makes
+    this path (a) bit-identical to the fused graph's envelope — the beat
+    regression makes discrete decisions, so even 1e-7 shape-dependent
+    float noise forks the two paths' BPM — and (b) retrace-free across
+    track lengths (every distinct length would otherwise compile its own
+    executable).
+    """
+
+    from .substrate import bucket_length
+
+    y = np.asarray(y, dtype=np.float32)
+    n = y.size
+    padded = np.zeros(bucket_length(n, hop=hop_length), dtype=np.float32)
+    padded[:n] = y
+    env, _ac_dev = _envelope_graph(
+        jnp.asarray(padded), sr=sr, hop_length=hop_length
+    )
+    f_valid = 1 + n // hop_length
+    return np.asarray(env, dtype=np.float64)[:f_valid]
+
+
 def onset_envelope(y: np.ndarray, sr: int, hop_length: int = DEFAULT_HOP_LENGTH) -> np.ndarray:
     """Onset strength envelope (host view of the device result)."""
 
-    env, _ = _envelope_graph(jnp.asarray(y, dtype=jnp.float32), sr=sr, hop_length=hop_length)
-    env = np.asarray(env, dtype=np.float64)
+    env = _padded_envelope(y, sr, hop_length)
     if env.size == 0:
         return np.zeros(1, dtype=float)
     return env
 
 
 def _envelope_and_autocorr(y: np.ndarray, sr: int, hop_length: int) -> Tuple[np.ndarray, np.ndarray]:
-    env, ac = _envelope_graph(jnp.asarray(y, dtype=jnp.float32), sr=sr, hop_length=hop_length)
-    env = np.asarray(env, dtype=np.float64)
-    ac = np.asarray(ac, dtype=np.float64)
+    env = _padded_envelope(y, sr, hop_length)
     if env.size == 0:
         return np.zeros(1, dtype=float), np.zeros(1, dtype=float)
-    return env, ac
+    return env, autocorrelate_host(env)
 
 
 def _bpm_from_autocorr(
@@ -159,19 +200,23 @@ def _initial_beat_time(onset_env: np.ndarray, sr: int, hop_length: int) -> Tuple
 
 def grid_and_bpm_from_env(
     env: np.ndarray,
-    ac: np.ndarray,
+    ac: "Optional[np.ndarray]",
     duration: float,
     sr: int,
     *,
     hop_length: int = DEFAULT_HOP_LENGTH,
     beats_per_bar: int = BEATS_PER_BAR,
 ) -> Tuple[pd.DataFrame, float]:
-    """Host finisher: beat grid + BPM from a precomputed envelope pair.
+    """Host finisher: beat grid + BPM from a precomputed envelope.
 
     Shared by the single-track pipeline and the batched library path, so
-    the envelope is only ever computed once per track.
+    the envelope is only ever computed once per track. Pass ``ac=None``
+    (the normal case) to use the shared float64 host autocorrelation —
+    see :func:`autocorrelate_host` for why.
     """
 
+    if ac is None:
+        ac = autocorrelate_host(env)
     bpm = _bpm_from_autocorr(ac, sr, hop_length, DEFAULT_CONFIG.bpm_min, DEFAULT_CONFIG.bpm_max)
     regression = _fit_onset_regression(env, sr, hop_length, 60.0 / bpm)
     if regression is not None:
