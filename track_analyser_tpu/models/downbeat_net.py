@@ -195,9 +195,12 @@ def save_checkpoint(params: Dict[str, jnp.ndarray], path) -> None:
     np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
 
 
-def load_checkpoint(path) -> Dict[str, jnp.ndarray]:
+def load_checkpoint(path) -> Dict[str, np.ndarray]:
+    # numpy on purpose: checkpoints get baked into jitted graphs as
+    # constants, and a first load that happens INSIDE a trace would cache
+    # trace-bound jnp tracers (UnexpectedTracerError on the next call).
     with np.load(path) as data:
-        return {k: jnp.asarray(data[k]) for k in data.files}
+        return {k: np.asarray(data[k]) for k in data.files}
 
 
 def train_downbeat(

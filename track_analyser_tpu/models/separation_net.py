@@ -162,9 +162,11 @@ def save_checkpoint(params: Dict[str, jnp.ndarray], path: "str | Path") -> None:
     np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
 
 
-def load_checkpoint(path: "str | Path") -> Dict[str, jnp.ndarray]:
+def load_checkpoint(path: "str | Path") -> Dict[str, np.ndarray]:
+    # numpy on purpose — safe to bake into jitted graphs as constants even
+    # when the first load happens inside a trace (see downbeat_net).
     with np.load(path) as data:
-        return {k: jnp.asarray(data[k]) for k in data.files}
+        return {k: np.asarray(data[k]) for k in data.files}
 
 
 def run_from_checkpoint(
