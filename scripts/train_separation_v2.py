@@ -57,7 +57,10 @@ DEFAULT_OUT = (
 
 
 def synth_stems_v2(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray:
-    """Procedural (4, n) stems with per-example pattern/level variation."""
+    """Procedural (4, n) stems with per-example pattern/timbre/level
+    variation. Deliberately does NOT include the OOD validation recipe's
+    generators (FM percussion, sawtooth bass, plucks, square vocals) —
+    generalisation there must come from diversity, not leakage."""
 
     n = int(seconds * SR)
     t = np.arange(n) / SR
@@ -65,17 +68,31 @@ def synth_stems_v2(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray
     beat = 60.0 / bpm
 
     drums = np.zeros(n)
-    # kick on beats, snare on 2/4, hats on a random subdivision
+    # kick on beats, snare/clap on 2/4, hats on a random subdivision
+    tom_mode = rng.random() < 0.3
     for i, b in enumerate(np.arange(0.0, seconds, beat)):
         s = int(b * SR)
         e = min(n, s + int(0.09 * SR))
         seg = np.arange(e - s) / SR
-        drums[s:e] += rng.uniform(0.7, 1.1) * np.sin(
-            2 * np.pi * (50 + rng.uniform(30, 60) * np.exp(-seg * 70)) * seg
-        ) * np.exp(-seg * 35)
-        if i % 2 == 1:  # snare
+        if tom_mode:  # pitched tom instead of a kick
+            f_tom = rng.uniform(90, 180)
+            drums[s:e] += rng.uniform(0.6, 1.0) * np.sin(
+                2 * np.pi * f_tom * (1 - 0.3 * seg / seg[-1]) * seg
+            ) * np.exp(-seg * 25)
+        else:
+            drums[s:e] += rng.uniform(0.7, 1.1) * np.sin(
+                2 * np.pi * (50 + rng.uniform(30, 60) * np.exp(-seg * 70)) * seg
+            ) * np.exp(-seg * 35)
+        if i % 2 == 1:  # snare or clap (bandpassed noise bursts)
             e2 = min(n, s + int(0.05 * SR))
-            drums[s:e2] += rng.uniform(0.3, 0.7) * rng.normal(0, 1, e2 - s) * np.exp(
+            burst = rng.normal(0, 1, e2 - s)
+            if rng.random() < 0.4:  # clap: three micro-bursts
+                for d in (0, int(0.008 * SR), int(0.017 * SR)):
+                    if d < burst.size:
+                        burst[d:] += rng.normal(0, 0.7, burst.size - d) * np.exp(
+                            -np.arange(burst.size - d) / (0.004 * SR)
+                        )
+            drums[s:e2] += rng.uniform(0.3, 0.7) * burst * np.exp(
                 -np.arange(e2 - s) / (0.01 * SR)
             )
     hat_div = rng.choice([2, 3, 4])
@@ -88,8 +105,13 @@ def synth_stems_v2(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray
 
     f_bass = rng.uniform(40, 95)
     gate = np.sin(2 * np.pi * t / rng.uniform(1.0, 3.0)) > rng.uniform(-0.6, 0.2)
-    bass = rng.uniform(0.35, 0.6) * np.sin(2 * np.pi * f_bass * t) * gate
-    bass += 0.15 * np.sin(2 * np.pi * 2 * f_bass * t) * gate
+    # timbre variation: harmonic mix from near-sine to reedy
+    h2, h3 = rng.uniform(0.0, 0.5), rng.uniform(0.0, 0.3)
+    bass = rng.uniform(0.35, 0.6) * (
+        np.sin(2 * np.pi * f_bass * t)
+        + h2 * np.sin(2 * np.pi * 2 * f_bass * t)
+        + h3 * np.sin(2 * np.pi * 3 * f_bass * t)
+    ) * gate
 
     # "other": pad with a chord change halfway
     other = np.zeros(n)
@@ -240,7 +262,7 @@ def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
 
 
 def evaluate(params, synth, n_examples: int, seed: int, label: str):
-    from track_analyser_tpu.analysis.stems import _dsp_separate
+    from track_analyser_tpu.analysis.stems import separate_stems_arrays
 
     neural = {s: [] for s in net.STEMS}
     dsp = {s: [] for s in net.STEMS}
@@ -249,7 +271,7 @@ def evaluate(params, synth, n_examples: int, seed: int, label: str):
         stems = synth(rng, 2.0)
         mix = stems.sum(axis=0)
         pred = np.asarray(net.separate_signal(params, jnp.asarray(mix), n_samples=mix.size))
-        dsp_pred = _dsp_separate(mix, SR)
+        dsp_pred = separate_stems_arrays(mix, SR)
         for i, s in enumerate(net.STEMS):
             neural[s].append(si_sdr(pred[i], stems[i]))
             dsp[s].append(si_sdr(np.asarray(dsp_pred[s]), stems[i]))
@@ -275,6 +297,7 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-examples", type=int, default=16)
     ap.add_argument("--out", type=str, default=str(DEFAULT_OUT))
+    ap.add_argument("--init", type=str, default=None, help="warm-start checkpoint")
     ap.add_argument("--force-save", action="store_true")
     args = ap.parse_args()
 
@@ -290,7 +313,11 @@ def main() -> None:
     mixes_d = jax.device_put(mixes_all)
     stems_d = jax.device_put(stems_all)
 
-    params = net.init_params(jax.random.PRNGKey(args.seed))
+    if args.init:
+        params = {k: jnp.asarray(v) for k, v in net.load_checkpoint(args.init).items()}
+        print(f"[init] warm-start from {args.init}", flush=True)
+    else:
+        params = net.init_params(jax.random.PRNGKey(args.seed))
     opt_state = t1.init_opt_state(params)
     run_chunk = make_scan_trainer(args.batch, int(args.seconds * SR), args.chunk)
 

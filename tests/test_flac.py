@@ -76,6 +76,48 @@ def test_noise_forces_high_rice_params_or_verbatim(tmp_path) -> None:
     np.testing.assert_array_equal(_int_samples(decoded[0], 16), _int_samples(noise, 16))
 
 
+def test_lpc_subframes_round_trip_losslessly(tmp_path) -> None:
+    """Strongly tonal material makes the encoder pick quantised-LPC
+    subframes — exercising the decoder's LPC restore path."""
+
+    from track_analyser_tpu.io.flac import _lpc_candidate
+
+    sr = 44_100
+    t = np.arange(int(0.6 * sr)) / sr
+    tone = (0.6 * np.sin(2 * np.pi * 220.0 * t) + 0.2 * np.sin(2 * np.pi * 331.0 * t)).astype(
+        np.float32
+    )
+    ints = _int_samples(tone, 16)
+    # the LPC candidate must exist and beat fixed orders on this signal
+    assert _lpc_candidate(ints[:4096], 8) is not None
+
+    path = encode_flac(tmp_path / "lpc.flac", tone, sr)
+    decoded, _, _ = decode_flac(path)
+    np.testing.assert_array_equal(_int_samples(decoded[0], 16), ints)
+
+
+def test_mid_side_stereo_round_trips_losslessly(tmp_path) -> None:
+    """Channel-assignment-10 streams exercise the mid/side reconstruction
+    (including the odd-sum low bit carried by the side channel)."""
+
+    sr = 44_100
+    stereo = _musical(0.5, sr, 2)
+    # force odd L+R sums so the (mid<<1)|(side&1) carry path matters
+    ints = _int_samples(stereo, 16)
+    ints[0, ::3] += 1
+    as_float = (ints / 32768.0).astype(np.float32)
+
+    path = encode_flac(tmp_path / "ms.flac", ints, sr, stereo_mode="mid-side")
+    decoded, _, meta = decode_flac(path)
+    assert meta["channels"] == 2
+    np.testing.assert_array_equal(_int_samples(decoded, 16), ints)
+
+    # and the same content via independent channels decodes identically
+    path2 = encode_flac(tmp_path / "ind.flac", as_float, sr)
+    decoded2, _, _ = decode_flac(path2)
+    np.testing.assert_array_equal(_int_samples(decoded2, 16), ints)
+
+
 def test_non_streaminfo_rates_use_explicit_field(tmp_path) -> None:
     sr = 11_025  # not in the frame-header rate table -> 16-bit field
     tone = _musical(0.3, sr, 1)

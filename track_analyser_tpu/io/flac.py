@@ -519,6 +519,56 @@ def _write_rice(writer: _BitWriter, zz: np.ndarray, param: int) -> None:
             writer.write(int(v) & ((1 << param) - 1), param)
 
 
+_LPC_PRECISION = 12  # quantised coefficient bits (the common encoder choice)
+
+
+def _lpc_candidate(samples: np.ndarray, order: int):
+    """Quantised-LPC candidate: (coefs, shift, residual) or None.
+
+    Standard recipe: windowed autocorrelation -> Levinson-Durbin ->
+    coefficient quantisation to _LPC_PRECISION bits with a shared shift.
+    The residual uses the decoder's exact integer arithmetic (dot then
+    arithmetic >> shift), so round-trips are lossless by construction.
+    """
+
+    n = samples.size
+    if n <= order * 2:
+        return None
+    x = samples.astype(np.float64) * np.hanning(n)
+    ac = np.correlate(x, x, mode="full")[n - 1 : n + order]
+    if ac[0] <= 0:
+        return None
+    # Levinson-Durbin
+    err = ac[0]
+    coefs = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - coefs[:i] @ ac[i:0:-1]
+        k = acc / err
+        coefs[: i + 1] = np.append(coefs[:i] - k * coefs[:i][::-1], 0)[: i + 1]
+        coefs[i] = k
+        err *= 1.0 - k * k
+        if err <= 0:
+            return None
+
+    cmax = np.max(np.abs(coefs))
+    if cmax <= 0:
+        return None
+    shift = min(14, max(1, _LPC_PRECISION - 1 - int(np.ceil(np.log2(cmax + 1e-9))) - 1))
+    q = np.clip(
+        np.round(coefs * (1 << shift)),
+        -(1 << (_LPC_PRECISION - 1)),
+        (1 << (_LPC_PRECISION - 1)) - 1,
+    ).astype(np.int64)
+    if not np.any(q):
+        return None
+
+    # Integer residual with decoder-exact arithmetic.
+    windows = np.lib.stride_tricks.sliding_window_view(samples, order)[:-1]
+    pred = (windows @ q[::-1]) >> shift
+    residual = samples[order:] - pred
+    return q, shift, residual
+
+
 def _encode_subframe(writer: _BitWriter, samples: np.ndarray, bps: int) -> None:
     samples = np.asarray(samples, dtype=np.int64)
     n = samples.size
@@ -530,7 +580,7 @@ def _encode_subframe(writer: _BitWriter, samples: np.ndarray, bps: int) -> None:
         writer.write_signed(int(samples[0]), bps)
         return
 
-    # Fixed-order search (orders 0-2 cover the fixture space well).
+    # Candidates: fixed orders 0-2 and one quantised LPC (order 8).
     best = None
     for order in range(0, 3):
         if n <= order:
@@ -540,7 +590,17 @@ def _encode_subframe(writer: _BitWriter, samples: np.ndarray, bps: int) -> None:
         param, cost = _best_rice_param(zz)
         total = cost + order * bps
         if best is None or total < best[0]:
-            best = (total, order, residual, zz, param)
+            best = (total, "fixed", order, None, 0, zz, param)
+
+    lpc_order = 8
+    lpc = _lpc_candidate(samples, lpc_order)
+    if lpc is not None:
+        coefs, shift, residual = lpc
+        zz = _zigzag(residual)
+        param, cost = _best_rice_param(zz)
+        total = cost + lpc_order * bps + 4 + 5 + lpc_order * _LPC_PRECISION
+        if best is None or total < best[0]:
+            best = (total, "lpc", lpc_order, coefs, shift, zz, param)
 
     verbatim_cost = n * bps
     if best is None or best[0] >= verbatim_cost:
@@ -551,12 +611,17 @@ def _encode_subframe(writer: _BitWriter, samples: np.ndarray, bps: int) -> None:
             writer.write_signed(int(v), bps)
         return
 
-    _, order, residual, zz, param = best
+    _, kind, order, coefs, shift, zz, param = best
     writer.write(0, 1)
-    writer.write(8 + order, 6)  # FIXED
+    writer.write((8 + order) if kind == "fixed" else (31 + order), 6)
     writer.write(0, 1)  # no wasted bits
     for v in samples[:order]:
         writer.write_signed(int(v), bps)
+    if kind == "lpc":
+        writer.write(_LPC_PRECISION - 1, 4)
+        writer.write_signed(shift, 5)
+        for c in coefs:
+            writer.write_signed(int(c), _LPC_PRECISION)
     writer.write(0, 2)  # residual method 0 (4-bit Rice)
     writer.write(0, 4)  # partition order 0
     writer.write(param, 4)
@@ -570,12 +635,15 @@ def encode_flac(
     *,
     bits_per_sample: int = 16,
     block_size: int = 4096,
+    stereo_mode: str = "independent",
 ) -> Path:
     """Encode float [-1, 1] (or integer) samples as a spec-valid FLAC file.
 
     ``data``: (frames,), (channels, frames) or (frames, channels). Float
     input is quantised to ``bits_per_sample``; integer input is taken
-    as-is (caller guarantees range).
+    as-is (caller guarantees range). ``stereo_mode``: "independent" or
+    "mid-side" (2-channel input only; mid=(L+R)>>1 at bps, side=L-R at
+    bps+1 — channel assignment 10).
     """
 
     arr = np.asarray(data)
@@ -608,6 +676,10 @@ def encode_flac(
 
     ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits_per_sample]
     sr_code = {v: k for k, v in _SAMPLE_RATES.items()}.get(sample_rate)
+    mid_side = stereo_mode == "mid-side"
+    if mid_side and channels != 2:
+        raise ValueError("mid-side needs exactly 2 channels")
+    ch_code = 10 if mid_side else channels - 1
 
     for frame_idx, start in enumerate(range(0, n, block_size)):
         chunk = ints[:, start : start + block_size]
@@ -619,7 +691,7 @@ def encode_flac(
         w.write(0, 1)  # fixed block-size strategy
         w.write(7, 4)  # block size: 16-bit field follows
         w.write(sr_code if sr_code else 13, 4)  # known code or 16-bit Hz
-        w.write(channels - 1, 4)  # independent channels
+        w.write(ch_code, 4)
         w.write(ss_code, 3)
         w.write(0, 1)  # reserved
         for byte in _utf8_coded(frame_idx):
@@ -632,8 +704,13 @@ def encode_flac(
         header = bytes(w.buf)
         w.write(_crc8(header), 8)
 
-        for ch in range(channels):
-            _encode_subframe(w, chunk[ch], bits_per_sample)
+        if mid_side:
+            left, right = chunk[0], chunk[1]
+            _encode_subframe(w, (left + right) >> 1, bits_per_sample)
+            _encode_subframe(w, left - right, bits_per_sample + 1)
+        else:
+            for ch in range(channels):
+                _encode_subframe(w, chunk[ch], bits_per_sample)
         w.align()
         frame_bytes = bytes(w.buf)
         w.write(_crc16(frame_bytes), 16)

@@ -20,9 +20,12 @@ from typing import Dict, Optional
 
 import numpy as np
 
-MODEL_NAME = "bandsplit-masknet-v1"
+MODEL_NAME = "bandsplit-masknet-v2"
 _CKPT_ENV = "TRACK_ANALYSER_TPU_SEPARATION_CKPT"
-_BUNDLED = Path(__file__).parent / "checkpoints" / "separation_v1.npz"
+_CKPT_DIR = Path(__file__).parent / "checkpoints"
+# Newest bundled checkpoint wins: v2 (transient-weighted loss, beats the
+# DSP separator on every stem held-out) over the round-1 v1.
+_BUNDLED = (_CKPT_DIR / "separation_v2.npz", _CKPT_DIR / "separation_v1.npz")
 
 __all__ = ["available", "separate", "MODEL_NAME"]
 
@@ -31,9 +34,7 @@ def _checkpoint_path() -> Optional[Path]:
     path = os.environ.get(_CKPT_ENV)
     if path and Path(path).exists():
         return Path(path)
-    if _BUNDLED.exists():
-        return _BUNDLED
-    return None
+    return next((p for p in _BUNDLED if p.exists()), None)
 
 
 def available() -> bool:
