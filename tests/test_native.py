@@ -47,3 +47,43 @@ def test_native_declines_garbage(tmp_path, native_lib):
     bogus = tmp_path / "bogus.wav"
     bogus.write_bytes(b"not a wav at all")
     assert native_lib.decode(str(bogus)) is None
+
+
+def test_native_quantisers_match_numpy_bitwise(native_lib) -> None:
+    """The transport quantisers must be drop-in: bit-identical payloads
+    to the numpy path in parallel/batch.py (same truncation, same
+    blockwise scales, same padding)."""
+
+    if not binding.has_transport():
+        if not build(verbose=False):
+            pytest.skip("no C++ toolchain available")
+        binding._lib = None
+    if not binding.has_transport():
+        pytest.skip("native transport kernels unavailable")
+
+    from track_analyser_tpu.parallel import batch as B
+    from track_analyser_tpu.utils import AudioInput
+
+    rng = np.random.default_rng(11)
+    n, n_bucket = 200_000, 262_144
+    stereo = rng.normal(0, 0.4, (2, n)).astype(np.float32)
+    audio = AudioInput(samples=stereo.mean(0), sample_rate=44_100, stereo_samples=stereo)
+
+    padded, _ = B._pad_track(audio, n_bucket)
+    ref_vals, ref_scales = B._quantise_i8(padded.copy())
+    nat_vals, nat_scales = binding.quantise_i8(stereo, n_bucket, B._I8_BLOCK)
+    np.testing.assert_array_equal(nat_vals, ref_vals)
+    np.testing.assert_array_equal(nat_scales, ref_scales)
+
+    padded, _ = B._pad_track(audio, n_bucket)
+    ref16 = B._quantise_i16(padded.copy())
+    np.testing.assert_array_equal(binding.quantise_i16_stereo(stereo, n_bucket), ref16)
+
+    # mono duplication path
+    mono = stereo[0]
+    mono_audio = AudioInput(samples=mono, sample_rate=44_100)
+    padded, _ = B._pad_track(mono_audio, n_bucket)
+    ref_vals, ref_scales = B._quantise_i8(padded.copy())
+    nat_vals, nat_scales = binding.quantise_i8(mono, n_bucket, B._I8_BLOCK)
+    np.testing.assert_array_equal(nat_vals, ref_vals)
+    np.testing.assert_array_equal(nat_scales, ref_scales)

@@ -37,6 +37,30 @@ def _load() -> "ctypes.CDLL | None":
             ]
             lib.ta_free.restype = None
             lib.ta_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+            # Transport quantisers are present in libraries built after
+            # round 2; older builds simply don't expose them.
+            try:
+                lib.ta_quantise_i8.restype = None
+                lib.ta_quantise_i8.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.POINTER(ctypes.c_float),
+                ]
+                lib.ta_quantise_i16_stereo.restype = None
+                lib.ta_quantise_i16_stereo.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.POINTER(ctypes.c_int16),
+                ]
+                lib.ta_has_transport = True
+            except AttributeError:
+                lib.ta_has_transport = False
             _lib = lib
         except OSError:
             _lib = False
@@ -85,3 +109,64 @@ def decode(path: str) -> Optional[Tuple[np.ndarray, int, Dict[str, object]]]:
         "subtype": _SUBTYPES.get(subtype.value, "UNKNOWN"),
     }
     return data, sr.value, meta
+
+
+def has_transport() -> bool:
+    lib = _load()
+    return bool(lib is not None and getattr(lib, "ta_has_transport", False))
+
+
+def _as_c_float(x: np.ndarray):
+    return x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def quantise_i8(
+    channels: np.ndarray, n_bucket: int, block: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Fused pad+blockwise-int8 quantise of a (1|2, n) float32 signal.
+
+    Returns (vals (2, n_bucket) int8, scales (2, n_bucket/block) f32), or
+    None when the native library lacks the transport kernels. Output
+    matches the numpy path in parallel/batch.py.
+    """
+
+    lib = _load()
+    if lib is None or not getattr(lib, "ta_has_transport", False):
+        return None
+    channels = np.ascontiguousarray(channels, dtype=np.float32)
+    if channels.ndim == 1:
+        channels = channels[None, :]
+    n_ch, n_in = channels.shape
+    vals = np.empty((2, n_bucket), dtype=np.int8)
+    scales = np.empty((2, n_bucket // block), dtype=np.float32)
+    lib.ta_quantise_i8(
+        _as_c_float(channels),
+        ctypes.c_longlong(n_ch),
+        ctypes.c_longlong(n_in),
+        ctypes.c_longlong(n_bucket),
+        ctypes.c_longlong(block),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return vals, scales
+
+
+def quantise_i16_stereo(channels: np.ndarray, n_bucket: int) -> Optional[np.ndarray]:
+    """Fused pad+int16 quantise of a (1|2, n) float32 signal -> (2, n_bucket)."""
+
+    lib = _load()
+    if lib is None or not getattr(lib, "ta_has_transport", False):
+        return None
+    channels = np.ascontiguousarray(channels, dtype=np.float32)
+    if channels.ndim == 1:
+        channels = channels[None, :]
+    n_ch, n_in = channels.shape
+    out = np.empty((2, n_bucket), dtype=np.int16)
+    lib.ta_quantise_i16_stereo(
+        _as_c_float(channels),
+        ctypes.c_longlong(n_ch),
+        ctypes.c_longlong(n_in),
+        ctypes.c_longlong(n_bucket),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    return out

@@ -13,7 +13,7 @@ import sys
 from pathlib import Path
 
 HERE = Path(__file__).parent
-SRC = HERE / "src" / "decoder.cpp"
+SRCS = [HERE / "src" / "decoder.cpp", HERE / "src" / "transport.cpp"]
 OUT = HERE / "libta_native.so"
 
 
@@ -30,7 +30,7 @@ def build(verbose: bool = True) -> bool:
         "-shared",
         "-fPIC",
         "-std=c++17",
-        str(SRC),
+        *[str(s) for s in SRCS],
         "-o",
         str(OUT),
     ]

@@ -368,6 +368,48 @@ def _quantise_i16(x: np.ndarray) -> np.ndarray:
 _I8_BLOCK = 8_192  # samples per scaling block (bucket quantum divides it)
 
 
+def _source_channels(audio: AudioInput) -> np.ndarray:
+    """(1|2, n) float32 view of the raw signal for the quantisers."""
+
+    if audio.stereo_samples is not None and audio.stereo_samples.ndim == 2:
+        return np.asarray(audio.stereo_samples[:2], dtype=np.float32)
+    return np.asarray(audio.samples, dtype=np.float32)
+
+
+def _stage_payload_i8(audio: AudioInput, n_bucket: int) -> tuple[tuple, int]:
+    """(vals, scales) int8 payload + n_valid. Uses the native fused
+    pad+quantise kernel when libta_native is built (one pass, GIL
+    released — it overlaps the upload streams); numpy otherwise."""
+
+    n = len(audio.samples)
+    try:
+        from ..native import binding as native_binding
+
+        native = native_binding.quantise_i8(_source_channels(audio), n_bucket, _I8_BLOCK)
+    except Exception:
+        native = None
+    if native is not None:
+        return native, n
+    st, nv = _pad_track(audio, n_bucket)
+    return _quantise_i8(st), nv
+
+
+def _stage_payload_i16(audio: AudioInput, n_bucket: int) -> tuple[np.ndarray, int]:
+    """(2, n_bucket) int16 payload + n_valid (native fast path as above)."""
+
+    n = len(audio.samples)
+    try:
+        from ..native import binding as native_binding
+
+        native = native_binding.quantise_i16_stereo(_source_channels(audio), n_bucket)
+    except Exception:
+        native = None
+    if native is not None:
+        return native, n
+    st, nv = _pad_track(audio, n_bucket)
+    return _quantise_i16(st), nv
+
+
 def _quantise_i8(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Blockwise-scaled int8: (values (C, n) int8, scales (C, n/B) f32).
 
@@ -443,8 +485,7 @@ def analyse_track_fused(
     n = len(audio.samples)
     n_bucket = bucket_length(n) if bucket else n
     if transport == "int8":
-        stereo, n_valid = _pad_track(audio, n_bucket)
-        vals, scales = _quantise_i8(stereo)
+        (vals, scales), n_valid = _stage_payload_i8(audio, n_bucket)
         half = vals.shape[-1] // 2
         pool = _upload_pool()
         fut_a = pool.submit(jax.device_put, vals[:, :half])
@@ -461,9 +502,9 @@ def analyse_track_fused(
             jnp.asarray(mono_i16), jnp.asarray(n), sr=audio.sample_rate
         )
     elif transport == "int16":
-        stereo, n_valid = _pad_track(audio, n_bucket)
+        payload, n_valid = _stage_payload_i16(audio, n_bucket)
         out = _single_graph_i16(
-            jnp.asarray(_quantise_i16(stereo)), jnp.asarray(n_valid), sr=audio.sample_rate
+            jnp.asarray(payload), jnp.asarray(n_valid), sr=audio.sample_rate
         )
     else:
         stereo, n_valid = _pad_track(audio, n_bucket)
@@ -540,8 +581,11 @@ def analyse_library(
         # no-op when the rate already matches).
         audio = coerce_audio(src, target_sr=target_sr)
         n_bucket = bucket_length(len(audio.samples))
-        st, nv = _pad_track(audio, n_bucket)
-        payload = _quantise_i8(st) if transport == "int8" else (_quantise_i16(st),)
+        if transport == "int8":
+            payload, nv = _stage_payload_i8(audio, n_bucket)
+        else:
+            p16, nv = _stage_payload_i16(audio, n_bucket)
+            payload = (p16,)
         return idx, src, audio, n_bucket, payload, nv
 
     def _stage(chunk):
