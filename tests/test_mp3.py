@@ -89,3 +89,26 @@ def test_full_pipeline_on_mp3(mp3_fixture, tmp_path):
     result = analyse_track(str(path), output_dir=tmp_path)
     assert result.audio.sample_rate == 44_100
     assert (tmp_path / "report.json").exists()
+
+
+def test_golden_mp3_decode(tmp_path) -> None:
+    """A committed byte-exact MP3 stream must decode to its committed
+    waveform — guards against system-decoder behaviour drift (the
+    reference embeds an MP3 fixture for the same reason)."""
+
+    import json
+    import zlib
+
+    if not mpg123.available():
+        pytest.skip("libmpg123 not present")
+    golden = Path(__file__).parent / "golden" / "mp3_tiny.json"
+    blob = json.loads(golden.read_text())
+    f = tmp_path / "golden.mp3"
+    f.write_bytes(zlib.decompress(bytes.fromhex(blob["mp3_hex_zlib"])))
+
+    data, sr, meta = mpg123.decode_mp3(f)
+    assert sr == blob["sample_rate"]
+    assert meta["file_type"] == "MP3"
+    expected = np.frombuffer(bytes.fromhex(blob["decoded_ch0_f32_hex"]), dtype=np.float32)
+    got = data[0][:: blob["decoded_stride"]][: expected.size]
+    np.testing.assert_allclose(got, expected, atol=1e-4)
