@@ -66,7 +66,7 @@ def test_separate_stems_writes_files(tmp_path):
         assert rate == sr
         assert data.shape[-1] == mix.size
     # Neural path when the bundled checkpoint is present, DSP otherwise.
-    assert bundle.model_name in ("bandsplit-masknet-v1", "hpss-dsp-v1")
+    assert bundle.model_name in ("bandsplit-masknet-v2", "bandsplit-masknet-v1", "hpss-dsp-v1")
 
 
 def test_separate_stems_none_without_path(tmp_path):

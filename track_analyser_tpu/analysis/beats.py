@@ -18,7 +18,6 @@ import numpy as np
 import pandas as pd
 
 from ..utils import AudioInput, seed_everything
-from ..tempo import beat_grid as compute_beat_grid, estimate_bpm
 
 __all__ = [
     "BeatAnalysis",
@@ -50,14 +49,16 @@ class DownbeatAnalysis:
 
 
 def _compute_confidence(beat_times: np.ndarray) -> float:
-    if len(beat_times) < 2:
+    """Grid-regularity score: 1 - std/mean of inter-beat intervals,
+    clipped to [0, 1] (the reference's formula, beats.py:46-54)."""
+
+    intervals = np.diff(np.asarray(beat_times, dtype=float))
+    if intervals.size == 0:
         return 0.0
-    intervals = np.diff(beat_times)
     if np.allclose(intervals, intervals[0]):
         return 1.0
-    return float(
-        np.clip(1.0 - np.std(intervals) / (np.mean(intervals) + 1e-9), 0.0, 1.0)
-    )
+    spread = np.std(intervals) / (np.mean(intervals) + 1e-9)
+    return float(np.clip(1.0 - spread, 0.0, 1.0))
 
 
 def analyse_beats(
@@ -72,14 +73,20 @@ def analyse_beats(
     if not isinstance(audio, AudioInput):
         raise TypeError("analyse_beats expects an AudioInput instance")
 
-    grid = compute_beat_grid(audio.samples, audio.sample_rate, hop_length=hop_length)
-    bpm = estimate_bpm(audio.samples, audio.sample_rate, hop_length=hop_length)
+    # One envelope pass feeds both the grid and the BPM refinement (the
+    # reference computes the envelope separately per call, tempo.py:16-24).
+    from .. import tempo
+
+    env, ac = tempo._envelope_and_autocorr(
+        np.asarray(audio.samples, dtype=np.float32), audio.sample_rate, hop_length
+    )
+    grid, bpm = tempo.grid_and_bpm_from_env(
+        env, ac, len(audio.samples) / float(audio.sample_rate),
+        audio.sample_rate, hop_length=hop_length,
+    )
     beat_result = build_beat_analysis(
-        bpm,
-        grid["time"].to_numpy(),
-        audio.sample_rate,
-        hop_length=hop_length,
-        grid=grid,
+        bpm, grid["time"].to_numpy(), audio.sample_rate,
+        hop_length=hop_length, grid=grid,
     )
     downbeat_result = analyse_downbeats(
         audio, beat_result, hop_length=hop_length, seed=seed
@@ -141,16 +148,13 @@ def analyse_downbeats(
 
 
 def _fallback_downbeats(beat_result: BeatAnalysis) -> DownbeatAnalysis:
-    beat_positions: List[int] = []
-    downbeat_times: List[float] = []
-    for idx, beat_time in enumerate(beat_result.beat_times):
-        if idx % 4 == 0:
-            downbeat_times.append(float(beat_time))
-            beat_positions.append(1)
-        else:
-            beat_positions.append((idx % 4) + 1)
+    """Every-4th-beat assumption — the ladder's last rung (reference
+    beats.py:144-155)."""
+
+    times = np.asarray(beat_result.beat_times, dtype=float)
+    positions = np.arange(times.size) % 4 + 1
     return DownbeatAnalysis(
-        downbeat_times=downbeat_times,
-        beat_positions=beat_positions,
+        downbeat_times=times[positions == 1].tolist(),
+        beat_positions=positions.tolist(),
         source="heuristic",
     )

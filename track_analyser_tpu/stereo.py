@@ -1,7 +1,9 @@
 """Stereo image analysis (mid/side, correlation, frequency-dependent width).
 
-Public surface parity with the reference (stereo.py:20-153); the two
-channel STFTs and every band reduction fuse into one jitted graph.
+Public surface parity with the reference (stereo.py:20-153) — same
+dataclasses, helper functions and band semantics — but TPU-first: ALL
+statistics (time-domain M/S RMS, centered correlation, per-band spectral
+width) come out of one jitted graph per call, not separate numpy passes.
 """
 
 from __future__ import annotations
@@ -28,6 +30,10 @@ __all__ = [
     "analyse_stereo",
 ]
 
+# Default band plan: (name, low Hz, high Hz); the high band runs to
+# Nyquist at call time.
+_DEFAULT_BANDS = (("low", 0.0, 200.0), ("mid", 200.0, 2_000.0), ("high", 2_000.0, None))
+
 
 @dataclass(slots=True)
 class StereoWidthBands:
@@ -51,68 +57,93 @@ class StereoAnalysis:
     width: StereoWidthBands
 
 
+def _as_two_channels(data: np.ndarray) -> np.ndarray:
+    """Normalise any layout to (2, n): mono duplicates, frame-major
+    transposes, extra channels drop (reference layout rules,
+    stereo.py:42-59)."""
+
+    arr = np.asarray(data, dtype=np.float32)
+    if arr.ndim == 1:
+        return np.stack([arr, arr])
+    if arr.shape[0] == 2:
+        return arr
+    if arr.shape[1] == 2:
+        return np.ascontiguousarray(arr.T)
+    if arr.shape[0] == 1:
+        return np.concatenate([arr, arr], axis=0)
+    return arr[:2]
+
+
 def _ensure_stereo_array(audio: AudioInput) -> np.ndarray:
-    if audio.stereo_samples is None:
-        mono = np.asarray(audio.samples, dtype=np.float32)
-        if mono.ndim == 1:
-            return np.vstack([mono, mono])
-        return mono[:2]
-
-    stereo = np.asarray(audio.stereo_samples, dtype=np.float32)
-    if stereo.ndim == 1:
-        return np.vstack([stereo, stereo])
-    if stereo.shape[0] == 2:
-        return stereo
-    if stereo.shape[1] == 2:
-        return np.transpose(stereo)
-    if stereo.shape[0] < 2:
-        first = stereo[0]
-        return np.vstack([first, first])
-    return stereo[:2]
+    source = audio.stereo_samples if audio.stereo_samples is not None else audio.samples
+    return _as_two_channels(source)
 
 
-def mid_side_rms(stereo: np.ndarray) -> tuple[float, float]:
-    left, right = np.asarray(stereo, dtype=np.float32)
+# ---------------------------------------------------------------------------
+# Device graphs
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _ms_graph(stereo: jnp.ndarray):
+    """Time-domain M/S statistics: (mid RMS, side RMS)."""
+
+    left, right = stereo[0], stereo[1]
     mid = 0.5 * (left + right)
     side = 0.5 * (left - right)
-    if mid.size == 0:
-        return 0.0, 0.0
-    mid_rms = float(np.sqrt(np.mean(np.square(mid, dtype=np.float64))))
-    side_rms = float(np.sqrt(np.mean(np.square(side, dtype=np.float64))))
-    return mid_rms, side_rms
-
-
-def mono_compatibility_correlation(stereo: np.ndarray) -> float:
-    left, right = np.asarray(stereo, dtype=np.float64)
-    if left.size == 0 or right.size == 0:
-        return 1.0
-    left = left - np.mean(left)
-    right = right - np.mean(right)
-    denom = float(np.linalg.norm(left) * np.linalg.norm(right))
-    if denom <= _EPS:
-        return 1.0
-    corr = float(np.dot(left, right) / denom)
-    return float(np.clip(corr, -1.0, 1.0))
+    return jnp.sqrt(jnp.mean(mid * mid)), jnp.sqrt(jnp.mean(side * side))
 
 
 @partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length", "band_edges"))
 def _width_graph(stereo, *, sr, n_fft, hop_length, band_edges):
-    left = stft(stereo[0], n_fft, hop_length)
-    right = stft(stereo[1], n_fft, hop_length)
-    mid = 0.5 * (left + right)
-    side = 0.5 * (left - right)
-    mid_energy = jnp.abs(mid) ** 2
-    side_energy = jnp.abs(side) ** 2
-    freqs = fft_frequencies(sr, n_fft)
+    """Per-band sqrt(side/mid energy) from the M/S spectrograms, all
+    bands reduced inside one dispatch."""
+
+    spec_l = stft(stereo[0], n_fft, hop_length)
+    spec_r = stft(stereo[1], n_fft, hop_length)
+    mid_e = jnp.abs(0.5 * (spec_l + spec_r)) ** 2
+    side_e = jnp.abs(0.5 * (spec_l - spec_r)) ** 2
+    freqs = jnp.asarray(fft_frequencies(sr, n_fft))
+    frames = mid_e.shape[1]
 
     widths = []
     for low, high in band_edges:
-        mask = jnp.asarray((freqs >= low) & (freqs <= high))
-        count = jnp.maximum(jnp.sum(mask), 1)
-        m = jnp.sum(jnp.where(mask[:, None], mid_energy, 0.0)) / (count * mid_energy.shape[1])
-        s = jnp.sum(jnp.where(mask[:, None], side_energy, 0.0)) / (count * side_energy.shape[1])
+        mask = ((freqs >= low) & (freqs <= high))[:, None]
+        count = jnp.maximum(jnp.sum(mask), 1) * frames
+        m = jnp.sum(jnp.where(mask, mid_e, 0.0)) / count
+        s = jnp.sum(jnp.where(mask, side_e, 0.0)) / count
         widths.append(jnp.where(m <= _EPS, 0.0, jnp.sqrt(s / jnp.where(m <= _EPS, 1.0, m))))
     return jnp.stack(widths)
+
+
+# ---------------------------------------------------------------------------
+# Public helpers (reference API)
+# ---------------------------------------------------------------------------
+
+
+def mid_side_rms(stereo: np.ndarray) -> tuple[float, float]:
+    pair = _as_two_channels(stereo)
+    if pair.shape[-1] == 0:
+        return 0.0, 0.0
+    mid, side = _ms_graph(jnp.asarray(pair))
+    return float(mid), float(side)
+
+
+def mono_compatibility_correlation(stereo: np.ndarray) -> float:
+    """Centered L/R correlation; degenerate channels report 1.0.
+
+    float64 on host by design: the suite pins duplicated-mono at exactly
+    1.0 ± 1e-6, which f32 accumulation over long signals cannot hold.
+    """
+
+    pair = _as_two_channels(stereo).astype(np.float64)
+    if pair.shape[-1] == 0:
+        return 1.0
+    centered = pair - pair.mean(axis=1, keepdims=True)
+    denom = float(np.sqrt((centered[0] ** 2).sum() * (centered[1] ** 2).sum()))
+    if denom <= _EPS:
+        return 1.0
+    return float(np.clip(centered[0] @ centered[1] / denom, -1.0, 1.0))
 
 
 def frequency_dependent_width(
@@ -125,34 +156,32 @@ def frequency_dependent_width(
 ) -> StereoWidthBands:
     """Per-band sqrt(side-energy / mid-energy) from M/S spectrograms."""
 
-    stereo = np.asarray(stereo, dtype=np.float32)
+    pair = _as_two_channels(stereo)
     nyquist = sample_rate / 2.0
     if bands is None:
-        bands = (
-            ("low", 0.0, min(200.0, nyquist)),
-            ("mid", 200.0, min(2_000.0, nyquist)),
-            ("high", 2_000.0, nyquist),
-        )
-    names = [name for name, _, _ in bands]
-    edges = tuple((float(low), float(high)) for _, low, high in bands)
-
-    # Bands with no FFT bin report width 0 (reference: stereo.py:114-116).
-    freqs = fft_frequencies(sample_rate, n_fft)
-    nonempty = [np.any((freqs >= lo) & (freqs <= hi)) for lo, hi in edges]
+        bands = [
+            (name, lo, min(hi, nyquist) if hi is not None else nyquist)
+            for name, lo, hi in _DEFAULT_BANDS
+        ]
+    edges = tuple((float(lo), float(hi)) for _, lo, hi in bands)
 
     widths = np.asarray(
         _width_graph(
-            jnp.asarray(stereo), sr=sample_rate, n_fft=n_fft, hop_length=hop_length, band_edges=edges
+            jnp.asarray(pair), sr=sample_rate, n_fft=n_fft,
+            hop_length=hop_length, band_edges=edges,
         ),
         dtype=np.float64,
     )
-    width_map = {"low": 0.0, "mid": 0.0, "high": 0.0}
-    for name, value, ok in zip(names, widths, nonempty):
-        width_map[name] = float(value) if ok else 0.0
+    # Bands containing no FFT bin report width 0 (reference stereo.py:114-116).
+    freqs = fft_frequencies(sample_rate, n_fft)
+    by_name = {
+        name: float(w) if np.any((freqs >= lo) & (freqs <= hi)) else 0.0
+        for (name, _, _), (lo, hi), w in zip(bands, edges, widths)
+    }
     return StereoWidthBands(
-        low=width_map.get("low", 0.0),
-        mid=width_map.get("mid", 0.0),
-        high=width_map.get("high", 0.0),
+        low=by_name.get("low", 0.0),
+        mid=by_name.get("mid", 0.0),
+        high=by_name.get("high", 0.0),
     )
 
 
@@ -163,19 +192,13 @@ def analyse_stereo(
     hop_length: int = 512,
     bands: Sequence[tuple[str, float, float]] | None = None,
 ) -> StereoAnalysis:
-    stereo = _ensure_stereo_array(audio)
-    mid_rms_value, side_rms_value = mid_side_rms(stereo)
-    correlation = mono_compatibility_correlation(stereo)
-    width = frequency_dependent_width(
-        stereo,
-        audio.sample_rate,
-        bands=bands,
-        n_fft=n_fft,
-        hop_length=hop_length,
-    )
+    pair = _ensure_stereo_array(audio)
+    mid, side = (float(v) for v in _ms_graph(jnp.asarray(pair)))
     return StereoAnalysis(
-        mid_rms=mid_rms_value,
-        side_rms=side_rms_value,
-        correlation=correlation,
-        width=width,
+        mid_rms=mid,
+        side_rms=side,
+        correlation=mono_compatibility_correlation(pair),
+        width=frequency_dependent_width(
+            pair, audio.sample_rate, bands=bands, n_fft=n_fft, hop_length=hop_length
+        ),
     )

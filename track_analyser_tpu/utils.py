@@ -91,6 +91,52 @@ def _resample(samples: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     return resample_poly_host(samples, orig_sr, target_sr)
 
 
+def _unpack_source(
+    source, mono: bool
+) -> tuple[np.ndarray, Optional[np.ndarray], Optional[int], Optional[str]]:
+    """Normalise any accepted source into (mono, stereo|None, sr|None, path).
+
+    ``sr=None`` means "already at the caller's nominal rate" (raw arrays
+    carry no rate of their own — reference semantics, utils.py:117-141).
+    """
+
+    if isinstance(source, AudioInput):
+        stereo = (
+            np.asarray(source.stereo_samples, dtype=np.float32)
+            if source.stereo_samples is not None
+            else None
+        )
+        return (
+            np.asarray(source.samples, dtype=np.float32),
+            stereo,
+            source.sample_rate,
+            source.path,
+        )
+
+    if isinstance(source, (str, Path)):
+        path = str(source)
+        data, sr, _meta = load_audio(path, mono=False)
+        data = np.asarray(data, dtype=np.float32)
+        if data.ndim > 1:
+            return data.mean(axis=0), data, sr, path
+        return data, None, sr, path
+
+    if isinstance(source, np.ndarray) or (isinstance(source, tuple) and len(source) == 2):
+        if isinstance(source, tuple):
+            data, sr = source
+            arr = np.asarray(list(data), dtype=np.float32)
+            rate: Optional[int] = int(sr)
+        else:
+            arr, rate = np.asarray(source, dtype=np.float32), None
+        if arr.ndim > 1:
+            # mono=False keeps the raw layout in .samples (reference
+            # behaviour for array sources, utils.py:117-124)
+            return (arr.mean(axis=0) if mono else arr, arr, rate, None)
+        return arr, None, rate, None
+
+    raise TypeError(f"Unsupported audio source type: {type(source)!r}")
+
+
 def coerce_audio(
     source: "str | Path | Sequence[float] | np.ndarray | AudioInput | tuple[Iterable[float], int]",
     *,
@@ -103,64 +149,16 @@ def coerce_audio(
     existing :class:`AudioInput` (reference behaviour: utils.py:73-146).
     """
 
-    if isinstance(source, AudioInput):
-        samples = np.asarray(source.samples, dtype=np.float32)
-        if source.sample_rate != target_sr:
-            samples = _resample(samples, source.sample_rate, target_sr)
-        stereo = None
-        if source.stereo_samples is not None:
-            stereo = np.asarray(source.stereo_samples, dtype=np.float32)
-            if source.sample_rate != target_sr:
-                stereo = _resample(stereo, source.sample_rate, target_sr)
-        return AudioInput(
-            samples=np.asarray(samples, dtype=np.float32),
-            sample_rate=target_sr,
-            path=source.path,
-            stereo_samples=stereo,
-        )
-
-    if isinstance(source, (str, Path)):
-        path = str(source)
-        samples, sr, _meta = load_audio(path, mono=False)
-        stereo: Optional[np.ndarray]
-        if samples.ndim > 1:
-            stereo = np.asarray(samples, dtype=np.float32)
-            mono_samples = np.mean(stereo, axis=0)
-        else:
-            stereo = None
-            mono_samples = np.asarray(samples, dtype=np.float32)
-        mono_samples = _resample(mono_samples, sr, target_sr)
+    mono_samples, stereo, sr, path = _unpack_source(source, mono)
+    if sr is not None and sr != target_sr:
         if stereo is not None:
             stereo = _resample(stereo, sr, target_sr)
-            if mono:
-                mono_samples = np.mean(stereo, axis=0)
-        return AudioInput(
-            samples=np.asarray(mono_samples, dtype=np.float32),
-            sample_rate=target_sr,
-            path=path,
-            stereo_samples=stereo,
-        )
-
-    if isinstance(source, np.ndarray):
-        samples = np.asarray(source, dtype=np.float32)
-        stereo = None
-        if samples.ndim > 1:
-            stereo = samples
-            if mono:
-                samples = np.mean(samples, axis=0)
-        return AudioInput(samples=samples, sample_rate=target_sr, stereo_samples=stereo)
-
-    if isinstance(source, tuple) and len(source) == 2:
-        data, sr = source
-        samples = np.asarray(list(data), dtype=np.float32)
-        stereo = None
-        if samples.ndim > 1:
-            stereo = samples
-            if mono:
-                samples = np.mean(samples, axis=0)
-        samples = _resample(samples, int(sr), target_sr)
-        if stereo is not None:
-            stereo = _resample(stereo, int(sr), target_sr)
-        return AudioInput(samples=samples, sample_rate=target_sr, stereo_samples=stereo)
-
-    raise TypeError(f"Unsupported audio source type: {type(source)!r}")
+            mono_samples = stereo.mean(axis=0) if mono else _resample(mono_samples, sr, target_sr)
+        else:
+            mono_samples = _resample(mono_samples, sr, target_sr)
+    return AudioInput(
+        samples=np.asarray(mono_samples, dtype=np.float32),
+        sample_rate=target_sr,
+        path=path,
+        stereo_samples=stereo,
+    )
