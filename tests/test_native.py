@@ -87,3 +87,39 @@ def test_native_quantisers_match_numpy_bitwise(native_lib) -> None:
     nat_vals, nat_scales = binding.quantise_i8(mono, n_bucket, B._I8_BLOCK)
     np.testing.assert_array_equal(nat_vals, ref_vals)
     np.testing.assert_array_equal(nat_scales, ref_scales)
+
+
+def test_native_flac_matches_python_bitwise(native_lib, tmp_path) -> None:
+    """The native FLAC fast path must decode byte-identically to the
+    numpy reference decoder across subframe types and stereo modes."""
+
+    if not getattr(binding._load(), "ta_has_flac", False):
+        if not build(verbose=False):
+            pytest.skip("no C++ toolchain available")
+        binding._lib = None
+    if not getattr(binding._load(), "ta_has_flac", False):
+        pytest.skip("native FLAC unavailable")
+
+    from track_analyser_tpu.io.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(3)
+    sr = 44_100
+    t = np.arange(int(0.8 * sr)) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 220.0 * t) + 0.04 * rng.normal(size=t.size)
+    stereo = np.stack([tone, 0.8 * tone + 0.02 * rng.normal(size=t.size)]).astype(np.float32)
+
+    for name, data, kwargs in (
+        ("mono16", tone.astype(np.float32), {}),
+        ("stereo16", stereo, {}),
+        ("stereo_ms", stereo, {"stereo_mode": "mid-side"}),
+        ("mono24", tone.astype(np.float32), {"bits_per_sample": 24}),
+    ):
+        path = encode_flac(tmp_path / f"{name}.flac", data, sr, **kwargs)
+        py_data, py_sr, py_meta = decode_flac(path)
+        nat = binding.decode_flac(str(path))
+        assert nat is not None, name
+        nat_data, nat_sr, nat_meta = nat
+        assert nat_sr == py_sr
+        assert nat_meta["channels"] == py_meta["channels"]
+        assert nat_meta["subtype"] == py_meta["subtype"]
+        np.testing.assert_array_equal(nat_data, py_data, err_msg=name)

@@ -214,6 +214,14 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
         if head[0:4] == b"FORM":
             return _decode_aiff(file_path)
         if head[0:4] == b"fLaC":
+            try:
+                from ..native import binding as native_binding
+
+                native = native_binding.decode_flac(file_path)
+                if native is not None:
+                    return native
+            except Exception:
+                pass  # numpy decoder below is authoritative
             from . import flac
 
             return flac.decode_flac(file_path)

@@ -37,6 +37,19 @@ def _load() -> "ctypes.CDLL | None":
             ]
             lib.ta_free.restype = None
             lib.ta_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+            try:
+                lib.ta_decode_flac.restype = ctypes.c_int
+                lib.ta_decode_flac.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.POINTER(ctypes.c_longlong),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int),
+                ]
+                lib.ta_has_flac = True
+            except AttributeError:
+                lib.ta_has_flac = False
             # Transport quantisers are present in libraries built after
             # round 2; older builds simply don't expose them.
             try:
@@ -170,3 +183,41 @@ def quantise_i16_stereo(channels: np.ndarray, n_bucket: int) -> Optional[np.ndar
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
     )
     return out
+
+
+def decode_flac(path: str) -> Optional[Tuple[np.ndarray, int, Dict[str, object]]]:
+    """Decode FLAC via the native library; None if unavailable/declined.
+
+    Bit-parity with io/flac.py's decoder is pinned by the test suite.
+    """
+
+    lib = _load()
+    if lib is None or not getattr(lib, "ta_has_flac", False):
+        return None
+    buf = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_longlong(0)
+    channels = ctypes.c_int(0)
+    sr = ctypes.c_int(0)
+    bps = ctypes.c_int(0)
+    rc = lib.ta_decode_flac(
+        path.encode(),
+        ctypes.byref(buf),
+        ctypes.byref(frames),
+        ctypes.byref(channels),
+        ctypes.byref(sr),
+        ctypes.byref(bps),
+    )
+    if rc != 0:
+        return None
+    try:
+        flat = np.ctypeslib.as_array(buf, shape=(frames.value * channels.value,)).copy()
+    finally:
+        lib.ta_free(buf)
+    data = flat.reshape(frames.value, channels.value).T.copy()
+    meta: Dict[str, object] = {
+        "channels": channels.value,
+        "duration": frames.value / float(sr.value) if sr.value else 0.0,
+        "file_type": "FLAC",
+        "subtype": f"PCM_{bps.value}",
+    }
+    return data, sr.value, meta

@@ -13,7 +13,11 @@ import sys
 from pathlib import Path
 
 HERE = Path(__file__).parent
-SRCS = [HERE / "src" / "decoder.cpp", HERE / "src" / "transport.cpp"]
+SRCS = [
+    HERE / "src" / "decoder.cpp",
+    HERE / "src" / "transport.cpp",
+    HERE / "src" / "flac.cpp",
+]
 OUT = HERE / "libta_native.so"
 
 
