@@ -71,3 +71,32 @@ def test_separate_stems_writes_files(tmp_path):
 
 def test_separate_stems_none_without_path(tmp_path):
     assert separate_stems(None, tmp_path) is None
+
+
+def test_blend_weights_combine_neural_and_dsp():
+    """Percussive stems blend neural+DSP by the grid-searched weights;
+    other/vocals pass through untouched."""
+
+    import numpy as np
+
+    from track_analyser_tpu.analysis.stems import (
+        _BLEND_NEURAL_WEIGHT,
+        _blend_with_dsp,
+        separate_stems_arrays,
+    )
+
+    sr = 22_050
+    t = np.arange(sr) / sr
+    mix = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    neural = {name: np.full(mix.size, i + 1.0, dtype=np.float32)
+              for i, name in enumerate(("drums", "bass", "other", "vocals"))}
+    dsp = separate_stems_arrays(mix, sr)
+
+    blended = _blend_with_dsp(dict(neural), mix, sr)
+    for name in ("other", "vocals"):
+        np.testing.assert_array_equal(blended[name], neural[name])
+    for name in ("drums", "bass"):
+        w = _BLEND_NEURAL_WEIGHT[name]
+        np.testing.assert_allclose(
+            blended[name], w * neural[name] + (1 - w) * dsp[name], atol=1e-6
+        )
