@@ -265,22 +265,35 @@ def _label_segments(count: int) -> List[str]:
 def _refine_boundaries(
     peaks: np.ndarray, energy_novelty: np.ndarray, search_radius: int
 ) -> np.ndarray:
-    """Snap each peak to the strongest energy-novelty frame within +-radius."""
+    """Snap each peak to the strongest energy-novelty frame within ±radius
+    — one (peaks, window) gather + argmax instead of a per-peak loop
+    (reference recipe: structure.py:289-308)."""
 
-    if peaks.size == 0:
-        return peaks
-    refined: List[int] = []
-    total = energy_novelty.shape[0]
-    radius = max(1, search_radius)
-    for idx in peaks:
-        start = max(0, int(idx) - radius)
-        end = min(total, int(idx) + radius + 1)
-        window = energy_novelty[start:end]
-        if window.size == 0:
-            refined.append(int(idx))
-            continue
-        refined.append(start + int(np.argmax(window)))
-    return np.asarray(refined, dtype=int)
+    if peaks.size == 0 or energy_novelty.size == 0:
+        return np.asarray(peaks, dtype=int)
+    radius = max(1, int(search_radius))
+    windows = np.clip(
+        np.asarray(peaks, dtype=int)[:, None] + np.arange(-radius, radius + 1)[None, :],
+        0,
+        energy_novelty.shape[0] - 1,
+    )
+    best = np.argmax(energy_novelty[windows], axis=1)
+    return windows[np.arange(peaks.size), best].astype(int)
+
+
+def _resolve_conflicts(candidates, too_close, stronger) -> List[int]:
+    """Shared greedy sweep for both spacing passes: walk the ordered
+    candidates; a candidate too close to the last keep either replaces it
+    (when stronger) or drops."""
+
+    kept: List[int] = []
+    for cand in candidates:
+        if kept and too_close(kept[-1], cand):
+            if stronger(kept[-1], cand):
+                kept[-1] = cand
+        else:
+            kept.append(cand)
+    return kept
 
 
 def _enforce_min_frame_spacing(
@@ -288,17 +301,12 @@ def _enforce_min_frame_spacing(
 ) -> np.ndarray:
     if peaks.size == 0:
         return peaks
-    selected: List[int] = []
-    for idx in np.sort(peaks):
-        if not selected:
-            selected.append(int(idx))
-            continue
-        if idx - selected[-1] < min_spacing:
-            if novelty[idx] > novelty[selected[-1]]:
-                selected[-1] = int(idx)
-        else:
-            selected.append(int(idx))
-    return np.asarray(selected, dtype=int)
+    kept = _resolve_conflicts(
+        [int(p) for p in np.sort(peaks)],
+        too_close=lambda prev, cur: cur - prev < min_spacing,
+        stronger=lambda prev, cur: novelty[cur] > novelty[prev],
+    )
+    return np.asarray(kept, dtype=int)
 
 
 def _enforce_min_time_spacing(
@@ -307,6 +315,9 @@ def _enforce_min_time_spacing(
     novelty: np.ndarray,
     min_spacing_seconds: float,
 ) -> np.ndarray:
+    """Keep-mask over boundary times; both track ends always survive, and
+    a boundary crowding the track START drops rather than replacing it."""
+
     times = np.asarray(times, dtype=float)
     frames = np.asarray(frames, dtype=int)
     if times.size == 0:
@@ -314,21 +325,27 @@ def _enforce_min_time_spacing(
     if times.size <= 2:
         return np.ones(times.shape, dtype=bool)
 
-    kept_indices: List[int] = [0]
-    for idx in range(1, len(times) - 1):
-        previous_idx = kept_indices[-1]
-        if times[idx] - times[previous_idx] < min_spacing_seconds:
-            if previous_idx == 0:
-                continue
-            if novelty[frames[idx]] > novelty[frames[previous_idx]]:
-                kept_indices[-1] = idx
-        else:
-            kept_indices.append(idx)
-
-    kept_indices.append(len(times) - 1)
+    interior = _resolve_conflicts(
+        [0, *range(1, times.size - 1)],
+        too_close=lambda prev, cur: times[cur] - times[prev] < min_spacing_seconds,
+        stronger=lambda prev, cur: prev != 0 and novelty[frames[cur]] > novelty[frames[prev]],
+    )
     mask = np.zeros(times.shape, dtype=bool)
-    mask[kept_indices] = True
+    mask[interior] = True
+    mask[0] = mask[-1] = True
     return mask
+
+
+# (condition, category) rules for interior segments, first match wins;
+# thresholds are the reference's (structure.py:311-342). e = energy
+# relative to the median, r = percussive ratio.
+_CATEGORY_RULES = (
+    (lambda r, e: e < 0.5 and r < 0.35, "breakdown"),
+    (lambda r, e: r > 0.65 and e >= 0.75, "drop"),
+    (lambda r, e: r > 0.45, "groove"),
+    (lambda r, e: r < 0.35, "breakdown"),
+    (lambda r, e: True, "bridge"),
+)
 
 
 def _classify_segments(
@@ -339,28 +356,18 @@ def _classify_segments(
     """Rule-based intro/outro/drop/groove/breakdown/bridge classifier."""
 
     ratios = np.asarray(percussive_ratios, dtype=float)
-    perc_energy = np.asarray(percussive_energy, dtype=float)
-    harm_energy = np.asarray(harmonic_energy, dtype=float)
-    total_energy = perc_energy + harm_energy
-    if total_energy.size == 0:
+    total = np.asarray(percussive_energy, dtype=float) + np.asarray(
+        harmonic_energy, dtype=float
+    )
+    if total.size == 0:
         return []
-    median_energy = float(np.median(total_energy))
-    categories: List[str] = []
-    for idx, (ratio, energy) in enumerate(zip(ratios, total_energy)):
-        if idx == 0:
-            categories.append("intro")
-            continue
-        if idx == len(ratios) - 1:
-            categories.append("outro")
-            continue
-        if energy < 0.5 * median_energy and ratio < 0.35:
-            categories.append("breakdown")
-        elif ratio > 0.65 and energy >= 0.75 * median_energy:
-            categories.append("drop")
-        elif ratio > 0.45:
-            categories.append("groove")
-        elif ratio < 0.35:
-            categories.append("breakdown")
-        else:
-            categories.append("bridge")
-    return categories
+    rel_energy = total / (float(np.median(total)) or 1.0)
+
+    def interior(r: float, e: float) -> str:
+        return next(cat for rule, cat in _CATEGORY_RULES if rule(r, e))
+
+    last = ratios.size - 1
+    return [
+        "intro" if i == 0 else "outro" if i == last else interior(r, e)
+        for i, (r, e) in enumerate(zip(ratios, rel_energy))
+    ]

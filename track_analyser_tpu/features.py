@@ -52,15 +52,11 @@ class FeatureSeries:
 
     @property
     def mean(self) -> float:
-        if self.values.size == 0:
-            return 0.0
-        return float(np.mean(self.values))
+        return float(np.mean(self.values)) if self.values.size else 0.0
 
     @property
     def median(self) -> float:
-        if self.values.size == 0:
-            return 0.0
-        return float(np.median(self.values))
+        return float(np.median(self.values)) if self.values.size else 0.0
 
     @property
     def as_list(self) -> list[float]:
@@ -94,6 +90,16 @@ def _features_graph(y, *, sr, n_fft, hop_length, roll_percent):
     )
 
 
+def _run(samples, sr: int, n_fft: int, hop_length: int, roll_percent: float = 0.85):
+    """One device pass -> (ltas, centroid, rolloff) as float64 numpy."""
+
+    outs = _features_graph(
+        jnp.asarray(_to_mono(samples)),
+        sr=sr, n_fft=n_fft, hop_length=hop_length, roll_percent=float(roll_percent),
+    )
+    return tuple(np.asarray(o, dtype=np.float64) for o in outs)
+
+
 def compute_ltas(
     samples: np.ndarray,
     sample_rate: int,
@@ -105,13 +111,9 @@ def compute_ltas(
     """Compute the long-term average spectrum for ``samples``."""
 
     del window  # hann is the only window; kept for signature parity
-    mono = _to_mono(samples)
-    out, _, _ = _features_graph(
-        jnp.asarray(mono), sr=sample_rate, n_fft=n_fft, hop_length=hop_length, roll_percent=0.85
-    )
+    ltas_mag, _, _ = _run(samples, sample_rate, n_fft, hop_length)
     return LongTermAverageSpectrum(
-        frequencies=fft_frequencies(sample_rate, n_fft),
-        magnitude=np.asarray(out, dtype=np.float64),
+        frequencies=fft_frequencies(sample_rate, n_fft), magnitude=ltas_mag
     )
 
 
@@ -124,11 +126,7 @@ def spectral_centroid_series(
 ) -> FeatureSeries:
     """Return the spectral centroid trajectory for ``samples``."""
 
-    mono = _to_mono(samples)
-    _, centroid, _ = _features_graph(
-        jnp.asarray(mono), sr=sample_rate, n_fft=n_fft, hop_length=hop_length, roll_percent=0.85
-    )
-    return FeatureSeries(values=np.asarray(centroid, dtype=np.float64))
+    return FeatureSeries(values=_run(samples, sample_rate, n_fft, hop_length)[1])
 
 
 def spectral_rolloff_series(
@@ -141,15 +139,9 @@ def spectral_rolloff_series(
 ) -> FeatureSeries:
     """Return the spectral roll-off trajectory for ``samples``."""
 
-    mono = _to_mono(samples)
-    _, _, rolloff = _features_graph(
-        jnp.asarray(mono),
-        sr=sample_rate,
-        n_fft=n_fft,
-        hop_length=hop_length,
-        roll_percent=float(roll_percent),
+    return FeatureSeries(
+        values=_run(samples, sample_rate, n_fft, hop_length, roll_percent)[2]
     )
-    return FeatureSeries(values=np.asarray(rolloff, dtype=np.float64))
 
 
 def analyse_features(
@@ -161,19 +153,13 @@ def analyse_features(
 ) -> FeatureAnalysis:
     """Derive spectral summary features for ``audio`` in one device pass."""
 
-    mono = _to_mono(audio.samples)
-    ltas_mag, centroid, rolloff = _features_graph(
-        jnp.asarray(mono),
-        sr=audio.sample_rate,
-        n_fft=n_fft,
-        hop_length=hop_length,
-        roll_percent=float(roll_percent),
+    ltas_mag, centroid, rolloff = _run(
+        audio.samples, audio.sample_rate, n_fft, hop_length, roll_percent
     )
     return FeatureAnalysis(
         ltas=LongTermAverageSpectrum(
-            frequencies=fft_frequencies(audio.sample_rate, n_fft),
-            magnitude=np.asarray(ltas_mag, dtype=np.float64),
+            frequencies=fft_frequencies(audio.sample_rate, n_fft), magnitude=ltas_mag
         ),
-        spectral_centroid=FeatureSeries(values=np.asarray(centroid, dtype=np.float64)),
-        spectral_rolloff=FeatureSeries(values=np.asarray(rolloff, dtype=np.float64)),
+        spectral_centroid=FeatureSeries(values=centroid),
+        spectral_rolloff=FeatureSeries(values=rolloff),
     )
