@@ -319,8 +319,8 @@ def _plot_waveform_beats(result: TrackAnalysisResult, output_dir: Path) -> Path:
                     ymin=float(lo.min()),
                     ymax=float(hi.max()),
                     colors=_EVENT,
-                    alpha=0.35,
-                    linewidth=0.7,
+                    alpha=0.75,
+                    linewidth=1.1,
                     label="beats",
                 )
         else:
@@ -353,8 +353,10 @@ def _plot_tempogram(result: TrackAnalysisResult, output_dir: Path) -> Path:
         tgram = np.zeros((2, 1))
     with _panel(path, title="Tempogram", xlabel="Time (s)", ylabel="Tempo (BPM)") as ax:
         # Rows are autocorrelation lags; draw in lag space (row 1 up — lag 0
-        # is the trivial peak) and label the y axis at musically useful BPMs
-        # mapped back to their lag rows.
+        # is the trivial peak), label the y axis at musically useful BPMs
+        # mapped back to their lag rows, and window the view to the
+        # 40-250 BPM band (longer lags are sub-musical and would squash
+        # the useful range into a sliver).
         body = tgram[1:]
         dur = tgram.shape[1] * hop / sr
         im = ax.imshow(
@@ -364,10 +366,15 @@ def _plot_tempogram(result: TrackAnalysisResult, output_dir: Path) -> Path:
             extent=(0.0, dur, 1.0, float(tgram.shape[0])),
             cmap=_SEQ_CMAP,
         )
+        lag_of = lambda bpm: 60.0 * sr / (hop * bpm)  # noqa: E731
+        lo_lag = max(1.0, lag_of(250.0))
+        hi_lag = min(float(tgram.shape[0]), lag_of(40.0))
+        if hi_lag > lo_lag:
+            ax.set_ylim(hi_lag, lo_lag)  # inverted: faster tempo at the top
         ticks, labels = [], []
-        for bpm in (240, 180, 150, 120, 90, 60):
-            lag = 60.0 * sr / (hop * bpm)
-            if 1.0 <= lag <= tgram.shape[0]:
+        for bpm in (240, 200, 160, 120, 90, 60, 40):
+            lag = lag_of(bpm)
+            if lo_lag <= lag <= hi_lag:
                 ticks.append(lag)
                 labels.append(str(bpm))
         if ticks:
@@ -453,9 +460,11 @@ def _plot_stereo_width(result: TrackAnalysisResult, output_dir: Path) -> Path:
         ypos = np.arange(len(bands))
         ax.barh(ypos, values, height=0.55, color=_DATA)
         ax.set_yticks(ypos, bands)
+        ax.set_ylim(-0.6, len(bands) - 0.1)
         ax.axvline(1.0, color=_AXIS, linewidth=1.0, linestyle="--")
         ax.annotate(
-            "equal M/S", (1.0, len(bands) - 0.35), fontsize=7, color=_MUTED, ha="center"
+            "equal M/S", (1.0, len(bands) - 0.28), fontsize=7, color=_MUTED,
+            ha="center", va="top",
         )
         ax.set_xlim(0.0, max(1.1, max(values) * 1.15))
         for y, v in zip(ypos, values):
