@@ -156,8 +156,27 @@ def _balance_graph(y: jnp.ndarray, *, sr: int, n_fft: int, hop_length: int):
 
 
 def _compute_chromas(y: np.ndarray, sr: int, hop_length: int = 512) -> Tuple[np.ndarray, np.ndarray]:
-    cq, st = _chroma_graph(jnp.asarray(y, dtype=jnp.float32), sr=sr, hop_length=hop_length)
-    return np.asarray(cq, dtype=np.float64), np.asarray(st, dtype=np.float64)
+    """Both chroma matrices, trimmed to the true frame count.
+
+    The signal is zero-padded to the same geometric bucket the fused
+    substrate uses, so repeated per-module calls share one compiled
+    executable per bucket instead of retracing per track length (an axon
+    compile costs minutes); chroma columns are per-frame, so trimming
+    the padded tail reproduces the exact-shape result.
+    """
+
+    from .substrate import bucket_length
+
+    y = np.asarray(y, dtype=np.float32)
+    n = y.size
+    padded = np.zeros(bucket_length(n, hop=hop_length), dtype=np.float32)
+    padded[:n] = y
+    cq, st = _chroma_graph(jnp.asarray(padded), sr=sr, hop_length=hop_length)
+    f_valid = 1 + n // hop_length
+    return (
+        np.asarray(cq, dtype=np.float64)[:, :f_valid],
+        np.asarray(st, dtype=np.float64)[:, :f_valid],
+    )
 
 
 # ---------------------------------------------------------------------------
