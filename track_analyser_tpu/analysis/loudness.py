@@ -44,6 +44,19 @@ def _window_params(sample_rate: int, meter_block_size: float) -> Tuple[int, int]
     return frame_length, hop_length
 
 
+def _bucket_pad(samples: np.ndarray) -> tuple[np.ndarray, int]:
+    """Zero-pad to the substrate's geometric buckets so repeated calls
+    share one compiled executable per bucket (axon compiles cost minutes
+    per distinct shape); every graph below masks or trims the padding."""
+
+    from ..substrate import bucket_length
+
+    n = samples.size
+    padded = np.zeros(bucket_length(n), dtype=np.float32)
+    padded[:n] = samples
+    return padded, n
+
+
 @partial(jax.jit, static_argnames=("sample_rate", "frame_length", "hop_length"))
 def _rms_curve_graph(y, *, sample_rate, frame_length, hop_length):
     return rms_db_curve(y, frame_length, hop_length)
@@ -55,23 +68,25 @@ def _windowed_loudness(
     """Sliding-window RMS loudness in dB (reference: loudness.py:30-42)."""
 
     frame_length, hop_length = _window_params(sample_rate, meter_block_size)
+    padded, n = _bucket_pad(samples)
     out = _rms_curve_graph(
-        jnp.asarray(samples, dtype=jnp.float32),
+        jnp.asarray(padded),
         sample_rate=sample_rate,
         frame_length=frame_length,
         hop_length=hop_length,
     )
-    return np.asarray(out, dtype=np.float64)
+    return np.asarray(out, dtype=np.float64)[: 1 + n // hop_length]
 
 
 @partial(jax.jit, static_argnames=("sample_rate", "block"))
-def _integrated_graph(y, *, sample_rate, block):
+def _integrated_graph(y, n_valid, *, sample_rate, block):
     return integrated_lufs(
         y,
         sample_rate,
         block_seconds=block,
         absolute_gate=DEFAULT_CONFIG.gate_absolute_lufs,
         relative_gate_lu=DEFAULT_CONFIG.gate_relative_lu,
+        n_valid=n_valid,
     )
 
 
@@ -89,9 +104,11 @@ def measure_loudness(
     short_term = _windowed_loudness(samples, sample_rate, meter_block_size=3.0)
     momentary = _windowed_loudness(samples, sample_rate, meter_block_size=meter_block_size)
 
+    padded, n = _bucket_pad(samples)
     integrated = float(
         _integrated_graph(
-            jnp.asarray(samples), sample_rate=sample_rate, block=float(meter_block_size)
+            jnp.asarray(padded), jnp.asarray(n),
+            sample_rate=sample_rate, block=float(meter_block_size),
         )
     )
     # Loudness range via the momentary distribution spread — the behaviour
@@ -125,7 +142,9 @@ def true_peak_dbtp(
     if oversample == 1:
         peak = float(np.max(np.abs(samples))) if samples.size else 0.0
     else:
-        peak = float(_true_peak_graph(jnp.asarray(samples), oversample=oversample))
+        # bucket padding is transparent here: zeros cannot raise the peak
+        padded, _n = _bucket_pad(samples)
+        peak = float(_true_peak_graph(jnp.asarray(padded), oversample=oversample))
     return float(20.0 * np.log10(peak + 1e-12))
 
 

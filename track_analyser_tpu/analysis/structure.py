@@ -63,16 +63,30 @@ class StructureAnalysis:
     novelty_curve: List[float]
 
 
-def _normalise_curve(curve: jnp.ndarray) -> jnp.ndarray:
-    min_val = jnp.min(curve)
-    max_val = jnp.max(curve)
+def _normalise_curve(curve: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Min-max normalise over the valid frames only (bucket padding must
+    not enter the min/max — same contract as the fused substrate)."""
+
+    big = jnp.float32(3.4e38)
+    min_val = jnp.min(jnp.where(mask, curve, big))
+    max_val = jnp.max(jnp.where(mask, curve, -big))
     span = max_val - min_val
-    return jnp.where(span < 1e-9, jnp.zeros_like(curve), (curve - min_val) / jnp.where(span < 1e-9, 1.0, span))
+    out = jnp.where(
+        span < 1e-9, jnp.zeros_like(curve), (curve - min_val) / jnp.where(span < 1e-9, 1.0, span)
+    )
+    return jnp.where(mask, out, 0.0)
 
 
 @partial(jax.jit, static_argnames=("sr", "frame_length", "hop_length"))
-def _structure_graph(y: jnp.ndarray, *, sr: int, frame_length: int, hop_length: int):
-    """Device portion: novelty curves + per-frame HPSS energy columns."""
+def _structure_graph(
+    y: jnp.ndarray, n_valid: jnp.ndarray, *, sr: int, frame_length: int, hop_length: int
+):
+    """Device portion: novelty curves + per-frame HPSS energy columns.
+
+    ``y`` arrives bucket-padded with ``n_valid`` true samples, so one
+    executable serves every track that shares a bucket; all global
+    statistics are masked to the valid frames.
+    """
 
     mag = magnitude(y, frame_length, hop_length, power=1.0)
     harmonic, percussive = hpss(
@@ -80,21 +94,25 @@ def _structure_graph(y: jnp.ndarray, *, sr: int, frame_length: int, hop_length: 
     )
     fb = mel_filterbank(sr, frame_length, DEFAULT_CONFIG.n_mels)
     mel_power = melspectrogram_from_power(mag * mag, fb)
+    frames = mel_power.shape[1]
+    idx = jnp.arange(frames)
+    f_valid = 1 + n_valid // hop_length
+    fmask = idx < f_valid
 
     # --- spectral flux -------------------------------------------------
-    spectral_flux = onset_strength_from_mel(
-        mel_power, n_fft=frame_length, hop_length=hop_length
+    spectral_flux = jnp.where(
+        fmask,
+        onset_strength_from_mel(mel_power, n_fft=frame_length, hop_length=hop_length),
+        0.0,
     )
 
     # --- MFCC self-similarity ------------------------------------------
     log_mel = power_to_db(mel_power + 1e-9)
     mfcc = mfcc_from_log_mel(log_mel, DEFAULT_CONFIG.n_mfcc)
     mfcc = gaussian_filter1d(mfcc, sigma=1.0, axis=1)
-    frames = mfcc.shape[1]
     context = max(2, int(round(DEFAULT_CONFIG.novelty_context_seconds * sr / float(hop_length))))
     # Moving window means via cumulative sums: left = [f-c, f), right = [f, f+c)
     cs = jnp.concatenate([jnp.zeros((mfcc.shape[0], 1)), jnp.cumsum(mfcc, axis=1)], axis=1)
-    idx = jnp.arange(frames)
     lo = jnp.clip(idx - context, 0, frames)
     hi = jnp.clip(idx + context, 0, frames)
     left_mean = (cs[:, idx] - cs[:, lo]) / jnp.maximum(idx - lo, 1)
@@ -102,12 +120,12 @@ def _structure_graph(y: jnp.ndarray, *, sr: int, frame_length: int, hop_length: 
     ln = left_mean / (jnp.linalg.norm(left_mean, axis=0) + 1e-9)
     rn = right_mean / (jnp.linalg.norm(right_mean, axis=0) + 1e-9)
     sim = 1.0 - jnp.sum(ln * rn, axis=0)
-    valid = (idx >= context) & (idx < frames - context)
+    valid = (idx >= context) & (idx < f_valid - context)
     self_similarity = jnp.where(valid, sim, 0.0)
 
     # --- percussive-ratio energy novelty --------------------------------
-    perc_curve = jnp.sum(percussive, axis=0)
-    harm_curve = jnp.sum(harmonic, axis=0)
+    perc_curve = jnp.where(fmask, jnp.sum(percussive, axis=0), 0.0)
+    harm_curve = jnp.where(fmask, jnp.sum(harmonic, axis=0), 0.0)
     ratio_curve = perc_curve / (perc_curve + harm_curve + 1e-9)
     ratio_sigma = max(1.0, 0.5 * sr / float(hop_length))
     ratio_smooth = gaussian_filter1d(ratio_curve, sigma=ratio_sigma)
@@ -115,12 +133,14 @@ def _structure_graph(y: jnp.ndarray, *, sr: int, frame_length: int, hop_length: 
 
     w_flux, w_sim, w_energy = DEFAULT_CONFIG.novelty_weights
     combined = (
-        w_flux * _normalise_curve(spectral_flux)
-        + w_sim * _normalise_curve(self_similarity)
-        + w_energy * _normalise_curve(energy_novelty)
+        w_flux * _normalise_curve(spectral_flux, fmask)
+        + w_sim * _normalise_curve(self_similarity, fmask)
+        + w_energy * _normalise_curve(energy_novelty, fmask)
     )
-    novelty = gaussian_filter1d(combined, sigma=DEFAULT_CONFIG.novelty_smooth_sigma)
-    return novelty, _normalise_curve(energy_novelty), perc_curve, harm_curve
+    novelty = jnp.where(
+        fmask, gaussian_filter1d(combined, sigma=DEFAULT_CONFIG.novelty_smooth_sigma), 0.0
+    )
+    return novelty, _normalise_curve(energy_novelty, fmask), perc_curve, harm_curve
 
 
 def analyse_structure(
@@ -137,12 +157,21 @@ def analyse_structure(
         raise TypeError("analyse_structure expects an AudioInput instance")
     seed_everything(seed)
 
-    novelty_j, energy_novelty_j, perc_col_j, harm_col_j = _structure_graph(
-        jnp.asarray(audio.samples, dtype=jnp.float32),
+    from ..substrate import bucket_length
+
+    y = np.asarray(audio.samples, dtype=np.float32)
+    n = y.size
+    padded = np.zeros(bucket_length(n, hop=hop_length), dtype=np.float32)
+    padded[:n] = y
+    f_valid = 1 + n // hop_length
+    outs = _structure_graph(
+        jnp.asarray(padded),
+        jnp.asarray(n),
         sr=audio.sample_rate,
         frame_length=frame_length,
         hop_length=hop_length,
     )
+    novelty_j, energy_novelty_j, perc_col_j, harm_col_j = (o[:f_valid] for o in outs)
     return segments_from_curves(
         np.asarray(novelty_j, dtype=np.float64),
         np.asarray(energy_novelty_j, dtype=np.float64),

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .ops.spectral import ltas as _ltas_op, spectral_centroid, spectral_rolloff
+from .ops.spectral import spectral_centroid, spectral_rolloff
 from .ops.stft import fft_frequencies, magnitude
 from .utils import AudioInput
 
@@ -80,24 +80,47 @@ def _to_mono(samples: np.ndarray) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length", "roll_percent"))
-def _features_graph(y, *, sr, n_fft, hop_length, roll_percent):
+def _features_graph(y, n_valid, *, sr, n_fft, hop_length, roll_percent):
+    """Bucket-padded features: the LTAS mean is masked to the valid
+    frames; centroid/rolloff are per-frame and trimmed on host."""
+
     mag = magnitude(y, n_fft, hop_length, power=1.0)
     freqs = fft_frequencies(sr, n_fft)
+    fmask = jnp.arange(mag.shape[1]) < 1 + n_valid // hop_length
+    ltas_masked = jnp.sum(jnp.where(fmask[None, :], mag, 0.0), axis=1) / jnp.maximum(
+        jnp.sum(fmask), 1
+    )
     return (
-        _ltas_op(mag),
+        ltas_masked,
         spectral_centroid(mag, freqs),
         spectral_rolloff(mag, freqs, roll_percent),
     )
 
 
 def _run(samples, sr: int, n_fft: int, hop_length: int, roll_percent: float = 0.85):
-    """One device pass -> (ltas, centroid, rolloff) as float64 numpy."""
+    """One device pass -> (ltas, centroid, rolloff) as float64 numpy.
 
-    outs = _features_graph(
-        jnp.asarray(_to_mono(samples)),
+    The signal bucket-pads to the substrate's geometric lengths so
+    repeated calls share one executable per bucket (an axon compile costs
+    minutes per distinct shape); per-frame curves trim back exactly.
+    """
+
+    from .substrate import bucket_length
+
+    mono = _to_mono(samples)
+    n = mono.size
+    padded = np.zeros(bucket_length(n, hop=hop_length), dtype=np.float32)
+    padded[:n] = mono
+    ltas_mag, centroid, rolloff = _features_graph(
+        jnp.asarray(padded), jnp.asarray(n),
         sr=sr, n_fft=n_fft, hop_length=hop_length, roll_percent=float(roll_percent),
     )
-    return tuple(np.asarray(o, dtype=np.float64) for o in outs)
+    f_valid = 1 + n // hop_length
+    return (
+        np.asarray(ltas_mag, dtype=np.float64),
+        np.asarray(centroid, dtype=np.float64)[:f_valid],
+        np.asarray(rolloff, dtype=np.float64)[:f_valid],
+    )
 
 
 def compute_ltas(

@@ -115,8 +115,19 @@ def track_downbeats(
     if beat_times.size < 4:
         return None
 
-    energy_j, low_j, flux_j = _accent_graph(
-        jnp.asarray(np.asarray(samples, dtype=np.float32)), sr=sample_rate
+    # Bucket-pad so repeated calls share one executable per bucket; the
+    # accent curves are per-frame and trim back exactly (the dB floor in
+    # the flux is relative to the global max, which quiet padding cannot
+    # raise).
+    from ..substrate import bucket_length
+
+    y = np.asarray(samples, dtype=np.float32)
+    n = y.size
+    padded = np.zeros(bucket_length(n, hop=_HOP), dtype=np.float32)
+    padded[:n] = y
+    f_valid = 1 + n // _HOP
+    energy_j, low_j, flux_j = (
+        o[:f_valid] for o in _accent_graph(jnp.asarray(padded), sr=sample_rate)
     )
     net_prob = None
     params = _net_params()

@@ -101,8 +101,15 @@ def integrated_lufs(
     overlap: float = 0.75,
     absolute_gate: float = -70.0,
     relative_gate_lu: float = -10.0,
+    n_valid: "jnp.ndarray | None" = None,
 ) -> jnp.ndarray:
-    """Gated integrated loudness of a mono signal (BS.1770-4)."""
+    """Gated integrated loudness of a mono signal (BS.1770-4).
+
+    ``n_valid`` marks the true sample count of a bucket-padded signal:
+    blocks that extend past it are excluded, which reproduces the
+    exact-shape result (ungated padding blocks would otherwise join the
+    absolute-gate population).
+    """
 
     yk = k_weighted(y, fs)
     frame_len = int(round(block_seconds * fs))
@@ -110,14 +117,20 @@ def integrated_lufs(
     if yk.shape[-1] < frame_len:
         # Too short to gate: fall back to whole-signal energy.
         z = jnp.mean(yk * yk, axis=-1, keepdims=True)
+        block_ok = jnp.ones(1, dtype=bool)
     else:
         frames = frame_signal(yk, frame_len, hop, center=False)
         z = jnp.mean(frames * frames, axis=-1)
+        if n_valid is not None:
+            starts = jnp.arange(z.shape[0]) * hop
+            block_ok = (starts + frame_len) <= n_valid
+        else:
+            block_ok = jnp.ones(z.shape[0], dtype=bool)
 
     eps = 1e-20
     loud = -0.691 + 10.0 * jnp.log10(z + eps)
 
-    abs_mask = loud > absolute_gate
+    abs_mask = block_ok & (loud > absolute_gate)
     abs_count = jnp.maximum(jnp.sum(abs_mask), 1)
     z_abs = jnp.sum(jnp.where(abs_mask, z, 0.0)) / abs_count
     gamma_r = -0.691 + 10.0 * jnp.log10(z_abs + eps) + relative_gate_lu

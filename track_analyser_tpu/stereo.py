@@ -85,31 +85,37 @@ def _ensure_stereo_array(audio: AudioInput) -> np.ndarray:
 
 
 @jax.jit
-def _ms_graph(stereo: jnp.ndarray):
-    """Time-domain M/S statistics: (mid RMS, side RMS)."""
+def _ms_graph(stereo: jnp.ndarray, n_valid: jnp.ndarray):
+    """Time-domain M/S statistics over the valid samples: (mid RMS, side
+    RMS). The input is bucket-padded; masked means keep results exact."""
 
     left, right = stereo[0], stereo[1]
     mid = 0.5 * (left + right)
     side = 0.5 * (left - right)
-    return jnp.sqrt(jnp.mean(mid * mid)), jnp.sqrt(jnp.mean(side * side))
+    smask = jnp.arange(left.shape[-1]) < n_valid
+    count = jnp.maximum(n_valid, 1)
+    mid_rms = jnp.sqrt(jnp.sum(jnp.where(smask, mid * mid, 0.0)) / count)
+    side_rms = jnp.sqrt(jnp.sum(jnp.where(smask, side * side, 0.0)) / count)
+    return mid_rms, side_rms
 
 
 @partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length", "band_edges"))
-def _width_graph(stereo, *, sr, n_fft, hop_length, band_edges):
+def _width_graph(stereo, n_valid, *, sr, n_fft, hop_length, band_edges):
     """Per-band sqrt(side/mid energy) from the M/S spectrograms, all
-    bands reduced inside one dispatch."""
+    bands reduced inside one dispatch; bucket padding is masked out."""
 
     spec_l = stft(stereo[0], n_fft, hop_length)
     spec_r = stft(stereo[1], n_fft, hop_length)
-    mid_e = jnp.abs(0.5 * (spec_l + spec_r)) ** 2
-    side_e = jnp.abs(0.5 * (spec_l - spec_r)) ** 2
+    fmask = (jnp.arange(spec_l.shape[1]) < 1 + n_valid // hop_length)[None, :]
+    mid_e = jnp.where(fmask, jnp.abs(0.5 * (spec_l + spec_r)) ** 2, 0.0)
+    side_e = jnp.where(fmask, jnp.abs(0.5 * (spec_l - spec_r)) ** 2, 0.0)
     freqs = jnp.asarray(fft_frequencies(sr, n_fft))
-    frames = mid_e.shape[1]
+    f_valid = jnp.maximum(1 + n_valid // hop_length, 1)
 
     widths = []
     for low, high in band_edges:
         mask = ((freqs >= low) & (freqs <= high))[:, None]
-        count = jnp.maximum(jnp.sum(mask), 1) * frames
+        count = jnp.maximum(jnp.sum(mask), 1) * f_valid
         m = jnp.sum(jnp.where(mask, mid_e, 0.0)) / count
         s = jnp.sum(jnp.where(mask, side_e, 0.0)) / count
         widths.append(jnp.where(m <= _EPS, 0.0, jnp.sqrt(s / jnp.where(m <= _EPS, 1.0, m))))
@@ -121,11 +127,24 @@ def _width_graph(stereo, *, sr, n_fft, hop_length, band_edges):
 # ---------------------------------------------------------------------------
 
 
+def _bucket_pad_pair(pair: np.ndarray) -> tuple[np.ndarray, int]:
+    """Zero-pad (2, n) to the substrate's geometric buckets so repeated
+    calls share one compiled executable per bucket."""
+
+    from .substrate import bucket_length
+
+    n = pair.shape[-1]
+    padded = np.zeros((2, bucket_length(n)), dtype=np.float32)
+    padded[:, :n] = pair
+    return padded, n
+
+
 def mid_side_rms(stereo: np.ndarray) -> tuple[float, float]:
     pair = _as_two_channels(stereo)
     if pair.shape[-1] == 0:
         return 0.0, 0.0
-    mid, side = _ms_graph(jnp.asarray(pair))
+    padded, n = _bucket_pad_pair(pair)
+    mid, side = _ms_graph(jnp.asarray(padded), jnp.asarray(n))
     return float(mid), float(side)
 
 
@@ -165,9 +184,10 @@ def frequency_dependent_width(
         ]
     edges = tuple((float(lo), float(hi)) for _, lo, hi in bands)
 
+    padded, n = _bucket_pad_pair(pair)
     widths = np.asarray(
         _width_graph(
-            jnp.asarray(pair), sr=sample_rate, n_fft=n_fft,
+            jnp.asarray(padded), jnp.asarray(n), sr=sample_rate, n_fft=n_fft,
             hop_length=hop_length, band_edges=edges,
         ),
         dtype=np.float64,
@@ -193,7 +213,8 @@ def analyse_stereo(
     bands: Sequence[tuple[str, float, float]] | None = None,
 ) -> StereoAnalysis:
     pair = _ensure_stereo_array(audio)
-    mid, side = (float(v) for v in _ms_graph(jnp.asarray(pair)))
+    padded, n = _bucket_pad_pair(pair)
+    mid, side = (float(v) for v in _ms_graph(jnp.asarray(padded), jnp.asarray(n)))
     return StereoAnalysis(
         mid_rms=mid,
         side_rms=side,
