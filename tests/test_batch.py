@@ -158,3 +158,39 @@ def test_stage_timer_wraps_progress_callback(tmp_path) -> None:
     assert set(timer.durations) >= {"audio", "beats", "structure", "loudness"}
     assert timer.total > 0
     assert "total" in timer.report()
+
+
+def test_library_sweep_isolates_undecodable_tracks(tmp_path) -> None:
+    """A corrupt file must not abort a library sweep: it is recorded in
+    the manifest with an error (and retried on rerun), while every other
+    track completes. on_error="raise" restores fail-fast behaviour."""
+
+    import json
+
+    from synth import sine, write_pcm16_wav
+    from track_analyser_tpu.parallel.batch import analyse_library
+
+    good1 = write_pcm16_wav(tmp_path / "good1.wav", 0.3 * sine(220.0, 1.0, 22_050), 22_050)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFnope")
+    good2 = write_pcm16_wav(tmp_path / "good2.wav", 0.3 * sine(330.0, 1.0, 22_050), 22_050)
+
+    manifest = tmp_path / "sweep.jsonl"
+    results = analyse_library(
+        [str(good1), str(bad), str(good2)], manifest_path=manifest
+    )
+    assert len(results) == 2
+
+    records = [json.loads(line) for line in manifest.read_text().splitlines()]
+    errors = [r for r in records if "error" in r]
+    assert len(errors) == 1 and errors[0]["source"] == str(bad)
+    assert sum(1 for r in records if "error" not in r) == 2
+
+    # rerun: completed tracks skip, the broken one retries (and fails again)
+    results2 = analyse_library(
+        [str(good1), str(bad), str(good2)], manifest_path=manifest
+    )
+    assert len(results2) == 0  # both good tracks already in the manifest
+
+    with pytest.raises(RuntimeError):
+        analyse_library([str(bad)], on_error="raise")

@@ -546,6 +546,7 @@ def analyse_library(
     progress_callback: Optional[Callable[[str, int, int], None]] = None,
     manifest_path: "Optional[str | Path]" = None,
     transport: str = "int8",
+    on_error: str = "skip",
 ) -> List[TrackAnalysisResult]:
     """Analyse a library of tracks through a bounded streaming pipeline.
 
@@ -567,6 +568,11 @@ def analyse_library(
 
     ``transport``: "int8" (default, blockwise-scaled, ~45 dB SNR, least
     host->device bandwidth) or "int16" (~96 dB SNR).
+
+    ``on_error``: "skip" (default) isolates per-track decode/coerce
+    failures — the sweep continues, the failure is recorded in the
+    manifest with an "error" field (and NOT counted as done, so a rerun
+    retries it) — or "raise" to abort on the first failure.
     """
 
     mesh = mesh or make_mesh()
@@ -577,7 +583,9 @@ def analyse_library(
     if manifest and manifest.exists():
         for line in manifest.read_text().splitlines():
             try:
-                done.add(json.loads(line)["source"])
+                record = json.loads(line)
+                if "error" not in record:  # failed tracks retry on rerun
+                    done.add(record["source"])
             except (json.JSONDecodeError, KeyError):
                 continue
 
@@ -589,16 +597,21 @@ def analyse_library(
 
     def _load(item):
         idx, src = item
-        # Always coerce: the batched graph is compiled with sr=target_sr, so
-        # an AudioInput at any other rate must be resampled here (near-free
-        # no-op when the rate already matches).
-        audio = coerce_audio(src, target_sr=target_sr)
-        n_bucket = bucket_length(len(audio.samples))
-        if transport == "int8":
-            payload, nv = _stage_payload_i8(audio, n_bucket)
-        else:
-            p16, nv = _stage_payload_i16(audio, n_bucket)
-            payload = (p16,)
+        try:
+            # Always coerce: the batched graph is compiled with
+            # sr=target_sr, so an AudioInput at any other rate must be
+            # resampled here (near-free no-op when the rate matches).
+            audio = coerce_audio(src, target_sr=target_sr)
+            n_bucket = bucket_length(len(audio.samples))
+            if transport == "int8":
+                payload, nv = _stage_payload_i8(audio, n_bucket)
+            else:
+                p16, nv = _stage_payload_i16(audio, n_bucket)
+                payload = (p16,)
+        except Exception as exc:
+            if on_error == "raise":
+                raise
+            return idx, src, exc, None, None, None
         return idx, src, audio, n_bucket, payload, nv
 
     def _stage(chunk):
@@ -695,7 +708,17 @@ def analyse_library(
             decode_q.append(decode_pool.submit(_load, item))
 
     def _absorb(loaded) -> None:
+        nonlocal n_done
         idx, src, audio, n_bucket, payload, nv = loaded
+        if isinstance(audio, Exception):
+            # decode/coerce failure: isolate the track, keep the sweep
+            if manifest:
+                with manifest.open("a") as fh:
+                    fh.write(json.dumps({"source": str(src), "error": str(audio)}) + "\n")
+            n_done += 1
+            if progress_callback:
+                progress_callback(str(src), n_done, total)
+            return
         buckets.setdefault(n_bucket, []).append((idx, src, audio, payload, nv))
 
     def _form_chunks(flush: bool) -> None:
