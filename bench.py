@@ -92,8 +92,9 @@ def main() -> None:
     analyse_library(tracks)  # warms every bucket's batched executable
     print(f"[bench] sweep warmup {time.perf_counter()-t0:.1f} s", file=sys.stderr)
 
-    # Single-track latency, both transports (includes host quantise+upload).
-    for transport in ("int16", "int8"):
+    # Single-track latency per transport (includes host quantise+upload);
+    # "ms" (mid int8 + side int4) is the default for stereo sources.
+    for transport in ("int8", "ms"):
         lat = []
         for _ in range(3):
             t0 = time.perf_counter()

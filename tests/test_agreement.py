@@ -174,7 +174,7 @@ def test_features_fields_agree(both_paths) -> None:
 
 @pytest.mark.parametrize(
     "transport,loud_tol,peak_tol",
-    [("int16", 0.01, 0.01), ("int8", 0.03, 0.05)],
+    [("int16", 0.01, 0.01), ("int8", 0.03, 0.05), ("ms", 0.05, 0.08)],
 )
 def test_quantised_transport_stays_inside_decision_margins(
     transport, loud_tol, peak_tol
@@ -205,6 +205,30 @@ def test_quantised_transport_stays_inside_decision_margins(
     assert quantised.harmonic.primary_key.key == exact.harmonic.primary_key.key
     assert quantised.downbeat.source == exact.downbeat.source
     assert len(quantised.structure.segments) == len(exact.structure.segments)
+
+
+def test_ms_transport_stereo_fields_match_float32() -> None:
+    """The mid/side transport carries the side channel at 4 bits. The
+    time-domain stereo scalars must be EXACT (host-computed from f64
+    sums of the source), and the device-side width band ratios must stay
+    within a few percent of the float32 truth after the quantisation-
+    noise debias."""
+
+    audio = _rich_track()
+    exact = analyse_track_fused(audio, transport="float32")
+    ms = analyse_track_fused(audio, transport="ms")
+
+    # host-exact scalars: tolerance is f32->f64 accumulation, not int4
+    assert ms.stereo.correlation == pytest.approx(exact.stereo.correlation, abs=1e-4)
+    assert ms.stereo.mid_rms == pytest.approx(exact.stereo.mid_rms, abs=1e-5)
+    assert ms.stereo.side_rms == pytest.approx(exact.stereo.side_rms, abs=1e-5)
+    assert ms.harmonic.stereo_image.balance == pytest.approx(
+        exact.harmonic.stereo_image.balance, abs=1e-5
+    )
+    for band in ("low", "mid", "high"):
+        e = getattr(exact.stereo.width, band)
+        m = getattr(ms.stereo.width, band)
+        assert m == pytest.approx(e, rel=0.05, abs=5e-3), band
 
 
 def test_stereo_fields_agree(both_paths) -> None:

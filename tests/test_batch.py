@@ -140,6 +140,40 @@ def test_int8_transport_holds_tempo_contract() -> None:
     assert float(np.max(np.abs(actual - expected[: actual.size]))) <= 0.005
 
 
+def test_ms_transport_holds_tempo_contract() -> None:
+    """The mid channel of the mid/side transport is the evidence for every
+    gated mono analysis; the +-0.1 BPM / 5 ms gates must survive its
+    blockwise int8 quantisation (side coarseness never touches them —
+    the device reconstructs mid exactly as (L+S + L-S)/2 = mid)."""
+
+    import jax.numpy as jnp
+
+    from synth import click_grid
+    from track_analyser_tpu.parallel.batch import _I8_BLOCK, _dequantise_ms, _quantise_ms
+    from track_analyser_tpu.tempo import beat_grid, estimate_bpm
+
+    sr = 48_000
+    y, expected = click_grid(120.0, 32 * 4, sr, noise_db=-34.0, seed=1234)
+    n_pad = -(-y.size // _I8_BLOCK) * _I8_BLOCK
+    # a stereo spread around the mono click grid: mid == y exactly
+    padded = np.zeros((2, n_pad), dtype=np.float32)
+    padded[0, : y.size] = y * 1.3
+    padded[1, : y.size] = y * 0.7
+    mid_i8, mscales, side_u4, sscales, _noise, _stats = _quantise_ms(padded, y.size)
+    stereo_hat = np.asarray(
+        _dequantise_ms(
+            jnp.asarray(mid_i8), jnp.asarray(mscales),
+            jnp.asarray(side_u4), jnp.asarray(sscales),
+        )
+    )
+    yq = 0.5 * (stereo_hat[0] + stereo_hat[1])[: y.size]
+
+    assert abs(estimate_bpm(yq, sr) - 120.0) <= 0.1
+    grid = beat_grid(yq, sr)
+    actual = grid["time"].to_numpy()[: expected.size]
+    assert float(np.max(np.abs(actual - expected[: actual.size]))) <= 0.005
+
+
 def test_stage_timer_wraps_progress_callback(tmp_path) -> None:
     from track_analyser_tpu.pipeline import analyse_track
     from track_analyser_tpu.profiling import StageTimer

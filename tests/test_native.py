@@ -89,6 +89,46 @@ def test_native_quantisers_match_numpy_bitwise(native_lib) -> None:
     np.testing.assert_array_equal(nat_scales, ref_scales)
 
 
+def test_native_ms_quantiser_matches_numpy(native_lib) -> None:
+    """The fused mid/side kernel must be a drop-in for the numpy path:
+    same int8 mid, same packed int4 side codes, same scales, same noise
+    estimate, and exact (f64) stereo statistics.
+
+    Codes may differ by 1 where a scaled sample lands exactly on a .5
+    step (rint order-of-operations wobble); anything more is a real
+    divergence."""
+
+    if not binding.has_transport() or not getattr(binding._load(), "ta_has_ms", False):
+        if not build(verbose=False):
+            pytest.skip("no C++ toolchain available")
+        binding._lib = None
+    if not getattr(binding._load(), "ta_has_ms", False):
+        pytest.skip("native ms kernel unavailable")
+
+    from track_analyser_tpu.parallel import batch as B
+
+    rng = np.random.default_rng(5)
+    block = B._I8_BLOCK
+    for n_ch, n in [(2, 3 * block + 12_345), (1, block // 2)]:
+        n_bucket = ((n + block - 1) // block) * block
+        x = (rng.normal(0, 0.2, (n_ch, n)) * np.linspace(0.2, 1.0, n)).astype(np.float32)
+        padded = np.zeros((2, n_bucket), dtype=np.float32)
+        padded[0, :n] = x[0]
+        padded[1, :n] = x[-1]
+        ref = B._quantise_ms(padded, n)
+        nat = binding.quantise_ms(x, n_bucket, block)
+        assert nat is not None
+        for name, a, b in zip(
+            ("mid", "mid_scales", "side", "side_scales", "noise", "stats"), nat, ref
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype in (np.int8, np.uint8):
+                deltas = np.abs(a.astype(np.int32) - b.astype(np.int32))
+                assert deltas.max() <= 1 and np.mean(a != b) < 1e-3, name
+            else:
+                np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12, err_msg=name)
+
+
 def test_native_flac_matches_python_bitwise(native_lib, tmp_path) -> None:
     """The native FLAC fast path must decode byte-identically to the
     numpy reference decoder across subframe types and stereo modes."""

@@ -74,6 +74,24 @@ def _load() -> "ctypes.CDLL | None":
                 lib.ta_has_transport = True
             except AttributeError:
                 lib.ta_has_transport = False
+            try:
+                lib.ta_quantise_ms.restype = None
+                lib.ta_quantise_ms.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_double),
+                ]
+                lib.ta_has_ms = True
+            except AttributeError:
+                lib.ta_has_ms = False
             _lib = lib
         except OSError:
             _lib = False
@@ -183,6 +201,46 @@ def quantise_i16_stereo(channels: np.ndarray, n_bucket: int) -> Optional[np.ndar
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
     )
     return out
+
+
+def quantise_ms(
+    channels: np.ndarray, n_bucket: int, block: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.float32, np.ndarray]]:
+    """Fused pad + mid/side quantise + exact stereo stats in ONE pass.
+
+    Returns (mid_i8 (n_bucket,), mid_scales (n_bucket/block,) f32,
+    side_u4 (n_bucket/2,) uint8, side_scales f32, noise_power f32,
+    stats (8,) f64), or None when the library lacks the kernel. Output
+    matches the numpy path (_quantise_ms) in parallel/batch.py.
+    """
+
+    lib = _load()
+    if lib is None or not getattr(lib, "ta_has_ms", False):
+        return None
+    channels = np.ascontiguousarray(channels, dtype=np.float32)
+    if channels.ndim == 1:
+        channels = channels[None, :]
+    n_ch, n_in = channels.shape
+    mid = np.empty(n_bucket, dtype=np.int8)
+    mid_scales = np.empty(n_bucket // block, dtype=np.float32)
+    side = np.empty(n_bucket // 2, dtype=np.uint8)
+    side_scales = np.empty(n_bucket // block, dtype=np.float32)
+    noise = np.empty(1, dtype=np.float32)
+    stats = np.empty(8, dtype=np.float64)
+    lib.ta_quantise_ms(
+        _as_c_float(channels),
+        ctypes.c_longlong(n_ch),
+        ctypes.c_longlong(n_in),
+        ctypes.c_longlong(n_bucket),
+        ctypes.c_longlong(block),
+        mid.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        mid_scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        side.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        side_scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        noise.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return mid, mid_scales, side, side_scales, np.float32(noise[0]), stats
 
 
 def decode_flac(path: str) -> Optional[Tuple[np.ndarray, int, Dict[str, object]]]:

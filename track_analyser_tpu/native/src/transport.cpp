@@ -86,4 +86,113 @@ void ta_quantise_i16_stereo(const float* in, int64_t n_ch_in, int64_t n_in,
   }
 }
 
+// Fused mid/side transport quantiser + exact stereo statistics.
+//
+// One pass over the source produces everything parallel/batch.py's
+// mid/side transport needs:
+//   - mid  = (l+r)/2 quantised to blockwise int8 (scale = block peak)
+//   - side = (l-r)/2 quantised to blockwise int4, two codes per byte
+//     (code = q+8, low nibble = even sample), padded region = 0x88
+//   - out_noise_power: mean over valid blocks of (side_scale/7)^2 / 12
+//     (uniform quantisation-noise model; the device width computation
+//     subtracts its expected spectrum)
+//   - out_stats[8]: n, sum l, sum r, sum l^2, sum r^2, sum l*r,
+//     sum |l|, sum |r| over the valid samples (f64) — the host computes
+//     correlation/balance/mid_rms/side_rms exactly from these, so int4
+//     coarseness never touches the time-domain stereo scalars.
+//
+// Semantics mirror the numpy path (_quantise_ms) exactly.
+void ta_quantise_ms(const float* in, int64_t n_ch_in, int64_t n_in,
+                    int64_t n_bucket, int64_t block, int8_t* out_mid,
+                    float* out_mid_scales, uint8_t* out_side,
+                    float* out_side_scales, float* out_noise_power,
+                    double* out_stats) {
+  const int64_t n_blocks = n_bucket / block;
+  const int64_t valid_blocks =
+      n_in > 0 ? (n_in + block - 1) / block : 1;
+  const float* lsrc = in;
+  const float* rsrc = n_ch_in == 2 ? in + n_in : in;
+
+  double sl = 0.0, sr = 0.0, sll = 0.0, srr = 0.0, slr = 0.0, sal = 0.0,
+         sar = 0.0;
+  double noise_acc = 0.0;
+
+  float* mid_buf = new float[2 * block];
+  float* side_buf = mid_buf + block;
+
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int64_t start = b * block;
+    const int64_t valid =
+        n_in > start ? (n_in - start < block ? n_in - start : block) : 0;
+
+    float mid_peak = 0.0f, side_peak = 0.0f;
+    for (int64_t i = 0; i < valid; ++i) {
+      const float l = lsrc[start + i];
+      const float r = rsrc[start + i];
+      const float m = 0.5f * (l + r);
+      const float s = 0.5f * (l - r);
+      mid_buf[i] = m;
+      side_buf[i] = s;
+      const float am = std::fabs(m), as = std::fabs(s);
+      if (am > mid_peak) mid_peak = am;
+      if (as > side_peak) side_peak = as;
+      sl += l;
+      sr += r;
+      sll += static_cast<double>(l) * l;
+      srr += static_cast<double>(r) * r;
+      slr += static_cast<double>(l) * r;
+      sal += std::fabs(l);
+      sar += std::fabs(r);
+    }
+
+    out_mid_scales[b] = mid_peak;
+    out_side_scales[b] = side_peak;
+    if (b < valid_blocks) {
+      const double step = side_peak / 7.0;
+      noise_acc += step * step;
+    }
+
+    const float mid_inv = 127.0f / (mid_peak > 0.0f ? mid_peak : 1.0f);
+    const float side_inv = 7.0f / (side_peak > 0.0f ? side_peak : 1.0f);
+    int8_t* mid_out = out_mid + start;
+    uint8_t* side_out = out_side + start / 2;
+    for (int64_t i = 0; i < valid; ++i)
+      mid_out[i] = quantise_one_i8(mid_buf[i], mid_inv);
+    if (valid < block) std::memset(mid_out + valid, 0, block - valid);
+    int64_t i = 0;
+    for (; i + 1 < valid; i += 2) {
+      float v0 = side_buf[i] * side_inv;
+      float v1 = side_buf[i + 1] * side_inv;
+      if (v0 > 7.0f) v0 = 7.0f;
+      if (v0 < -7.0f) v0 = -7.0f;
+      if (v1 > 7.0f) v1 = 7.0f;
+      if (v1 < -7.0f) v1 = -7.0f;
+      const uint8_t c0 = static_cast<uint8_t>(nearbyintf(v0) + 8.0f);
+      const uint8_t c1 = static_cast<uint8_t>(nearbyintf(v1) + 8.0f);
+      side_out[i / 2] = static_cast<uint8_t>(c0 | (c1 << 4));
+    }
+    if (i < valid) {  // odd tail sample pairs with a padded zero (code 8)
+      float v0 = side_buf[i] * side_inv;
+      if (v0 > 7.0f) v0 = 7.0f;
+      if (v0 < -7.0f) v0 = -7.0f;
+      const uint8_t c0 = static_cast<uint8_t>(nearbyintf(v0) + 8.0f);
+      side_out[i / 2] = static_cast<uint8_t>(c0 | (8u << 4));
+      i += 2;
+    }
+    if (i < block) std::memset(side_out + i / 2, 0x88, (block - i) / 2);
+  }
+  delete[] mid_buf;
+
+  out_stats[0] = static_cast<double>(n_in);
+  out_stats[1] = sl;
+  out_stats[2] = sr;
+  out_stats[3] = sll;
+  out_stats[4] = srr;
+  out_stats[5] = slr;
+  out_stats[6] = sal;
+  out_stats[7] = sar;
+  *out_noise_power =
+      static_cast<float>(noise_acc / static_cast<double>(valid_blocks) / 12.0);
+}
+
 }  // extern "C"

@@ -304,11 +304,13 @@ def _bundled_net_params():
     return params
 
 
-def _core_graph(stereo, n_valid, *, sr):
+def _core_graph(stereo, n_valid, *, sr, side_noise_power=None):
     """Fused graph + packed outputs (+ net downbeat activations when the
     bundled checkpoint exists)."""
 
-    packed = pack_outputs(full_track_graph(stereo, n_valid, sr=sr))
+    packed = pack_outputs(
+        full_track_graph(stereo, n_valid, sr=sr, side_noise_power=side_noise_power)
+    )
     params = _bundled_net_params()
     if params is not None:
         net = _net_downbeat_prob(jnp.mean(stereo, axis=0), n_valid, params, sr=sr)
@@ -452,6 +454,145 @@ def _batched_graph_i8(vals, scales, n_valid, *, sr):
     return jax.vmap(one)(vals, scales, n_valid)
 
 
+# ---------------------------------------------------------------------------
+# Mid/side transport: mid ships blockwise int8 (the proven precision floor
+# for the gated mono analyses), side ships blockwise int4 (two codes per
+# byte). 1.5 bytes per stereo sample pair instead of 2 — 25% off the
+# host->device wall, which is THE bottleneck on relay-tunnelled chips
+# (RUNBOOK.md stage profile). The side channel only feeds the stereo-width
+# band ratios on device (its expected quantisation-noise spectrum is
+# subtracted there — see substrate.full_track_graph); the four time-domain
+# stereo scalars (correlation, balance, mid/side RMS) are computed EXACTLY
+# on host from running sums taken during the same quantise pass, so int4
+# coarseness never touches them.
+# ---------------------------------------------------------------------------
+
+
+def _stereo_stats(l: np.ndarray, r: np.ndarray, n_valid: int) -> np.ndarray:
+    """[n, sum_l, sum_r, sum_ll, sum_rr, sum_lr, sum_abs_l, sum_abs_r] in
+    f64 over the valid samples (padded zeros contribute nothing)."""
+
+    lv = l[:n_valid].astype(np.float64, copy=False)
+    rv = r[:n_valid].astype(np.float64, copy=False)
+    return np.array(
+        [
+            float(n_valid),
+            float(lv.sum()),
+            float(rv.sum()),
+            float(np.dot(lv, lv)),
+            float(np.dot(rv, rv)),
+            float(np.dot(lv, rv)),
+            float(np.abs(lv).sum()),
+            float(np.abs(rv).sum()),
+        ]
+    )
+
+
+def _quantise_ms(
+    stereo_padded: np.ndarray, n_valid: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """numpy mid/side quantiser over a (2, n_bucket) padded f32 buffer.
+
+    Returns (mid_i8 (n,), mid_scales (n/B,), side_u4 (n/2,) packed
+    low-nibble-first, side_scales (n/B,), noise_power scalar f32,
+    stats (8,) f64)."""
+
+    l, r = stereo_padded[0], stereo_padded[1]
+    stats = _stereo_stats(l, r, n_valid)
+    mid = (0.5 * (l + r)).astype(np.float32)
+    side = (0.5 * (l - r)).astype(np.float32)
+
+    mid_i8, mid_scales = _quantise_i8(mid[None, :])
+    mid_i8, mid_scales = mid_i8[0], mid_scales[0]
+
+    n = side.shape[0]
+    blocks = side.reshape(n // _I8_BLOCK, _I8_BLOCK)
+    side_scales = np.abs(blocks).max(axis=-1).astype(np.float32)
+    inv = np.float32(7.0) / np.where(side_scales > 0, side_scales, np.float32(1.0))
+    q = np.rint(np.clip(blocks * inv[:, None], -7.0, 7.0)).astype(np.int8)
+    codes = (q.reshape(n) + 8).astype(np.uint8)
+    side_u4 = (codes[0::2] | (codes[1::2] << 4)).astype(np.uint8)
+
+    # Expected variance of the side quantisation error (uniform model,
+    # step = scale/7), averaged over the valid region for the width debias.
+    valid_blocks = max(1, -(-n_valid // _I8_BLOCK))
+    step = side_scales[:valid_blocks].astype(np.float64) / 7.0
+    noise_power = np.float32(np.mean(step * step) / 12.0)
+    return mid_i8, mid_scales, side_u4, side_scales, noise_power, stats
+
+
+def _stage_payload_ms(audio: AudioInput, n_bucket: int) -> tuple[tuple, np.ndarray, int]:
+    """(device_parts, stats, n_valid) for the mid/side transport. Uses the
+    fused native kernel (one pass, GIL released) when built."""
+
+    n = len(audio.samples)
+    try:
+        from ..native import binding as native_binding
+
+        native = native_binding.quantise_ms(_source_channels(audio), n_bucket, _I8_BLOCK)
+    except Exception:
+        native = None
+    if native is not None:
+        mid_i8, mid_scales, side_u4, side_scales, noise_power, stats = native
+    else:
+        st, n = _pad_track(audio, n_bucket)
+        mid_i8, mid_scales, side_u4, side_scales, noise_power, stats = _quantise_ms(st, n)
+    return (mid_i8, mid_scales, side_u4, side_scales, np.float32(noise_power)), stats, n
+
+
+def _dequantise_ms(mid_i8, mid_scales, side_u4, side_scales):
+    n = mid_i8.shape[-1]
+    mid = (
+        mid_i8.astype(jnp.float32).reshape(n // _I8_BLOCK, _I8_BLOCK)
+        * (mid_scales[:, None] / 127.0)
+    ).reshape(n)
+    lo = jnp.bitwise_and(side_u4, jnp.uint8(0x0F)).astype(jnp.int32) - 8
+    hi = jnp.right_shift(side_u4, jnp.uint8(4)).astype(jnp.int32) - 8
+    codes = jnp.stack([lo, hi], axis=-1).reshape(n)
+    side = (
+        codes.astype(jnp.float32).reshape(n // _I8_BLOCK, _I8_BLOCK)
+        * (side_scales[:, None] / 7.0)
+    ).reshape(n)
+    return jnp.stack([mid + side, mid - side])
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def _batched_graph_ms(mid, mscales, side, sscales, noise, n_valid, *, sr):
+    def one(m, ms, s, ss, nz, nv):
+        return _core_graph(_dequantise_ms(m, ms, s, ss), nv, sr=sr, side_noise_power=nz)
+
+    return jax.vmap(one)(mid, mscales, side, sscales, noise, n_valid)
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def _single_graph_ms_split(mid_a, mid_b, side_a, side_b, mscales, sscales, noise, n_valid, *, sr):
+    """Mid/side single-track graph with each buffer in two time-halves so
+    the upload rides two concurrent relay streams (as the int8 path does)."""
+
+    mid = jnp.concatenate([mid_a, mid_b])
+    side = jnp.concatenate([side_a, side_b])
+    return _core_graph(
+        _dequantise_ms(mid, mscales, side, sscales), n_valid, sr=sr, side_noise_power=noise
+    )
+
+
+def _apply_host_stereo_stats(out: Dict[str, np.ndarray], stats: np.ndarray) -> None:
+    """Overwrite the four time-domain stereo scalars with the host-exact
+    values carried alongside the mid/side payload."""
+
+    n, sl, sr_, sll, srr, slr, sal, sar = [float(v) for v in stats]
+    n = max(n, 1.0)
+    lc2 = max(sll - sl * sl / n, 0.0)
+    rc2 = max(srr - sr_ * sr_ / n, 0.0)
+    dot = slr - sl * sr_ / n
+    denom = np.sqrt(lc2) * np.sqrt(rc2)
+    corr = 1.0 if denom <= 1e-12 else float(np.clip(dot / denom, -1.0, 1.0))
+    out["stereo_corr_centered"] = np.float64(corr)
+    out["stereo_balance"] = np.float64(sal / n - sar / n)
+    out["mid_rms"] = np.float64(np.sqrt(max(sll + 2 * slr + srr, 0.0) / (4.0 * n)))
+    out["side_rms"] = np.float64(np.sqrt(max(sll - 2 * slr + srr, 0.0) / (4.0 * n)))
+
+
 @partial(jax.jit, static_argnames=("sr",))
 def _single_graph_i8_split(vals_a, vals_b, scales, n_valid, *, sr):
     """int8 single-track graph taking the payload in two time-halves:
@@ -483,12 +624,14 @@ def analyse_track_fused(
     """Single-track analysis through the fused one-dispatch graph.
 
     ``transport`` picks the host->device representation:
-      - "auto" (default): stereo ships blockwise int8 on two concurrent
-        relay streams (least bytes; ~45 dB SNR rides far below every
-        analysis tolerance); mono ships a single int16 channel (same
-        bytes as duplicated int8, better SNR).
+      - "auto" (default): stereo ships mid/side — mid blockwise int8,
+        side blockwise int4 (1.5 B per sample pair, the least bytes; the
+        time-domain stereo scalars are computed exactly on host and the
+        width band energies are noise-debiased on device); mono ships a
+        single int16 channel (same bytes, better SNR).
+      - "ms": the mid/side representation regardless of channel count.
       - "int16": -96 dBFS quantisation, lossless for PCM16 sources.
-      - "int8": blockwise-scaled int8 regardless of channel count.
+      - "int8": blockwise-scaled per-channel int8 on two relay streams.
       - "float32": the exact samples.
     """
 
@@ -496,8 +639,31 @@ def analyse_track_fused(
     n = len(audio.samples)
     n_bucket = bucket_length(n) if bucket else n
     if transport == "auto":
-        transport = "int8" if audio.stereo_samples is not None else "int16"
-    if transport == "int8":
+        transport = "ms" if audio.stereo_samples is not None else "int16"
+    stats = None
+    if transport == "ms":
+        (mid_i8, mscales, side_u4, sscales, noise), stats, n_valid = _stage_payload_ms(
+            audio, n_bucket
+        )
+        half = mid_i8.shape[-1] // 2
+        pool = _upload_pool()
+        # two balanced streams: (mid_a + side_a) and (mid_b + side_b)
+        fut_ma = pool.submit(jax.device_put, mid_i8[:half])
+        fut_sa = pool.submit(jax.device_put, side_u4[: half // 2])
+        fut_mb = pool.submit(jax.device_put, mid_i8[half:])
+        fut_sb = pool.submit(jax.device_put, side_u4[half // 2 :])
+        out = _single_graph_ms_split(
+            fut_ma.result(),
+            fut_mb.result(),
+            fut_sa.result(),
+            fut_sb.result(),
+            jax.device_put(mscales),
+            jax.device_put(sscales),
+            jnp.asarray(noise),
+            jnp.asarray(n_valid),
+            sr=audio.sample_rate,
+        )
+    elif transport == "int8":
         (vals, scales), n_valid = _stage_payload_i8(audio, n_bucket)
         half = vals.shape[-1] // 2
         pool = _upload_pool()
@@ -530,6 +696,8 @@ def analyse_track_fused(
     out_dict = unpack_outputs(*fetched[:3])
     if len(fetched) > 3:
         out_dict["net_prob"] = np.asarray(fetched[3])
+    if stats is not None:
+        _apply_host_stereo_stats(out_dict, stats)
     return result_from_graph_outputs(audio, out_dict, seed=seed)
 
 
@@ -545,7 +713,7 @@ def analyse_library(
     output_dir: "Optional[str | Path]" = None,
     progress_callback: Optional[Callable[[str, int, int], None]] = None,
     manifest_path: "Optional[str | Path]" = None,
-    transport: str = "int8",
+    transport: str = "ms",
     on_error: str = "skip",
 ) -> List[TrackAnalysisResult]:
     """Analyse a library of tracks through a bounded streaming pipeline.
@@ -566,8 +734,10 @@ def analyse_library(
     compiled executable. A JSONL manifest makes sweeps resumable:
     already-listed sources are skipped.
 
-    ``transport``: "int8" (default, blockwise-scaled, ~45 dB SNR, least
-    host->device bandwidth) or "int16" (~96 dB SNR).
+    ``transport``: "ms" (default — mid blockwise int8 + side blockwise
+    int4, 1.5 B per stereo sample pair, the least host->device bandwidth;
+    host-exact stereo scalars, noise-debiased widths), "int8" (per-channel
+    blockwise int8, ~45 dB SNR) or "int16" (~96 dB SNR).
 
     ``on_error``: "skip" (default) isolates per-track decode/coerce
     failures — the sweep continues, the failure is recorded in the
@@ -603,7 +773,10 @@ def analyse_library(
             # resampled here (near-free no-op when the rate matches).
             audio = coerce_audio(src, target_sr=target_sr)
             n_bucket = bucket_length(len(audio.samples))
-            if transport == "int8":
+            stats = None
+            if transport == "ms":
+                payload, stats, nv = _stage_payload_ms(audio, n_bucket)
+            elif transport == "int8":
                 payload, nv = _stage_payload_i8(audio, n_bucket)
             else:
                 p16, nv = _stage_payload_i16(audio, n_bucket)
@@ -611,36 +784,47 @@ def analyse_library(
         except Exception as exc:
             if on_error == "raise":
                 raise
-            return idx, src, exc, None, None, None
-        return idx, src, audio, n_bucket, payload, nv
+            return idx, src, exc, None, None, None, None
+        return idx, src, audio, n_bucket, payload, nv, stats
+
+    def _zero_payload(n_bucket: int) -> tuple:
+        """Template payload for padding a partial chunk to the device count."""
+
+        if transport == "ms":
+            return (
+                np.zeros(n_bucket, dtype=np.int8),
+                np.zeros(n_bucket // _I8_BLOCK, dtype=np.float32),
+                np.zeros(n_bucket // 2, dtype=np.uint8),
+                np.zeros(n_bucket // _I8_BLOCK, dtype=np.float32),
+                np.float32(0.0),
+            )
+        if transport == "int8":
+            return (
+                np.zeros((2, n_bucket), dtype=np.int8),
+                np.zeros((2, n_bucket // _I8_BLOCK), dtype=np.float32),
+            )
+        return (np.zeros((2, n_bucket), dtype=np.int16),)
 
     def _stage(chunk):
         """Upload one chunk's payload parts (runs on the upload pool)."""
 
         n_bucket = bucket_length(len(chunk[0][2].samples))
-        payloads = [payload for _, _, _, payload, _ in chunk]
-        valids = [nv for _, _, _, _, nv in chunk]
+        payloads = [payload for _, _, _, payload, _, _ in chunk]
+        valids = [nv for _, _, _, _, nv, _ in chunk]
         n_pad = n_dev - len(payloads)
         if n_pad > 0:  # pad batch to the device count
-            if transport == "int8":
-                zero = (
-                    np.zeros((2, n_bucket), dtype=np.int8),
-                    np.zeros((2, n_bucket // _I8_BLOCK), dtype=np.float32),
-                )
-            else:
-                zero = (np.zeros((2, n_bucket), dtype=np.int16),)
-            payloads.extend([zero] * n_pad)
+            payloads.extend([_zero_payload(n_bucket)] * n_pad)
             valids.extend([n_bucket] * n_pad)
-        staged = [
-            jax.device_put(
-                np.stack([p[part] for p in payloads]), data_sharding(mesh, rank=3)
-            )
-            for part in range(len(payloads[0]))
-        ]
+        staged = []
+        for part in range(len(payloads[0])):
+            stacked = np.stack([p[part] for p in payloads])
+            staged.append(jax.device_put(stacked, data_sharding(mesh, rank=stacked.ndim)))
         vb = jax.device_put(np.asarray(valids), data_sharding(mesh))
         return staged, vb
 
-    if transport == "int8":
+    if transport == "ms":
+        batched = partial(_batched_graph_ms, sr=target_sr)
+    elif transport == "int8":
         batched = partial(_batched_graph_i8, sr=target_sr)
     else:
         batched = partial(_batched_graph_i16, sr=target_sr)
@@ -654,10 +838,12 @@ def analyse_library(
         fetched = jax.device_get(out_handle)
         curves, chroma, vec = fetched[:3]
         net = fetched[3] if len(fetched) > 3 else None
-        for k, (idx, src, audio, _payload, _nv) in enumerate(chunk):
+        for k, (idx, src, audio, _payload, _nv, stats) in enumerate(chunk):
             track_out = unpack_outputs(curves[k], chroma[k], vec[k])
             if net is not None:
                 track_out["net_prob"] = np.asarray(net[k])
+            if stats is not None:
+                _apply_host_stereo_stats(track_out, stats)
             result = result_from_graph_outputs(audio, track_out, seed=seed)
             results[idx] = result
             if output_dir is not None:
@@ -709,7 +895,7 @@ def analyse_library(
 
     def _absorb(loaded) -> None:
         nonlocal n_done
-        idx, src, audio, n_bucket, payload, nv = loaded
+        idx, src, audio, n_bucket, payload, nv, stats = loaded
         if isinstance(audio, Exception):
             # decode/coerce failure: isolate the track, keep the sweep
             if manifest:
@@ -719,7 +905,7 @@ def analyse_library(
             if progress_callback:
                 progress_callback(str(src), n_done, total)
             return
-        buckets.setdefault(n_bucket, []).append((idx, src, audio, payload, nv))
+        buckets.setdefault(n_bucket, []).append((idx, src, audio, payload, nv, stats))
 
     def _form_chunks(flush: bool) -> None:
         for n_bucket in sorted(buckets):

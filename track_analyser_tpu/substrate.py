@@ -37,7 +37,7 @@ from .ops.mel import (
 from .ops.onset import autocorrelate, onset_strength_from_mel
 from .ops.resample import oversampled_peak
 from .ops.spectral import ltas as ltas_op, spectral_centroid, spectral_rolloff
-from .ops.stft import fft_frequencies, magnitude, n_frames, stft
+from .ops.stft import fft_frequencies, magnitude, n_frames
 
 __all__ = ["full_track_graph", "jitted_full_track_graph", "bucket_length"]
 
@@ -73,6 +73,7 @@ def full_track_graph(
     n_valid: jnp.ndarray,
     *,
     sr: int,
+    side_noise_power: "jnp.ndarray | None" = None,
 ) -> Dict[str, jnp.ndarray]:
     """Complete device-side analysis of one (padded) track.
 
@@ -82,12 +83,17 @@ def full_track_graph(
         uploads a separate mono buffer; the downmix happens on device).
       n_valid: true sample count (traced scalar).
       sr: sample rate (static).
+      side_noise_power: optional traced scalar — the known variance of
+        white quantisation noise riding the SIDE channel (mid/side int4
+        transport). The stereo-width band energies subtract its expected
+        spectral contribution so coarse side transport stays unbiased.
 
     Returns a dict of compact device arrays; see the host finishers in
     pipeline.py / parallel/batch.py for how each is consumed.
     """
 
-    y = jnp.mean(stereo, axis=0)
+    y = 0.5 * (stereo[0] + stereo[1])  # mid == mono downmix
+    side = 0.5 * (stereo[0] - stereo[1])
     cfg = DEFAULT_CONFIG
     hop = cfg.hop_length
     n_fft = cfg.n_fft
@@ -99,7 +105,11 @@ def full_track_graph(
     out: Dict[str, jnp.ndarray] = {"f_valid": f_valid}
 
     # ---- shared 2048 STFT family -------------------------------------
-    mag = magnitude(y, n_fft, hop, power=1.0)
+    # One batched STFT covers the mono family AND the stereo M/S spectra:
+    # STFT is linear, so STFT(mid) == 0.5*(STFT(L)+STFT(R)) exactly — three
+    # per-channel transforms collapse into a (2, bins, frames) pair.
+    ms_mag = magnitude(jnp.stack([y, side]), n_fft, hop, power=1.0)
+    mag = ms_mag[0]
     power = mag * mag
     mel_fb = mel_filterbank(sr, n_fft, cfg.n_mels)
     mel_power = melspectrogram_from_power(power, mel_fb)
@@ -252,25 +262,27 @@ def full_track_graph(
     out["stereo_balance"] = _masked_mean(jnp.abs(left), smask) - _masked_mean(
         jnp.abs(right), smask
     )
-    mid_t = 0.5 * (left + right)
-    side_t = 0.5 * (left - right)
-    out["mid_rms"] = jnp.sqrt(_masked_mean(mid_t * mid_t, smask))
-    out["side_rms"] = jnp.sqrt(_masked_mean(side_t * side_t, smask))
+    out["mid_rms"] = jnp.sqrt(_masked_mean(y * y, smask))
+    out["side_rms"] = jnp.sqrt(_masked_mean(side * side, smask))
 
-    sl = stft(left, n_fft, hop)
-    sr_ = stft(right, n_fft, hop)
-    mid_spec = 0.5 * (sl + sr_)
-    side_spec = 0.5 * (sl - sr_)
-    mid_e = jnp.where(fmask[None, :], jnp.abs(mid_spec) ** 2, 0.0)
-    side_e = jnp.where(fmask[None, :], jnp.abs(side_spec) ** 2, 0.0)
+    mid_e = jnp.where(fmask[None, :], power, 0.0)
+    side_e = jnp.where(fmask[None, :], ms_mag[1] * ms_mag[1], 0.0)
     freqs_j = jnp.asarray(freqs, dtype=jnp.float32)
     nyq = sr / 2.0
+    # Expected per-bin |STFT|^2 of white noise with variance sigma^2 is
+    # sigma^2 * sum(window^2); subtracting it debiases the side band
+    # means under coarse (int4) side transport.
+    from .ops.stft import hann_window
+
+    win_sq = float(np.sum(hann_window(n_fft).astype(np.float64) ** 2))
+    noise_bin = 0.0 if side_noise_power is None else side_noise_power * win_sq
     widths = []
     for lo_f, hi_f in ((0.0, min(200.0, nyq)), (200.0, min(2000.0, nyq)), (2000.0, nyq)):
         bmask = (freqs_j >= lo_f) & (freqs_j <= hi_f)
         nb = jnp.maximum(jnp.sum(bmask), 1) * jnp.maximum(f_valid, 1)
         m = jnp.sum(jnp.where(bmask[:, None], mid_e, 0.0)) / nb
         s = jnp.sum(jnp.where(bmask[:, None], side_e, 0.0)) / nb
+        s = jnp.maximum(s - noise_bin, 0.0)
         widths.append(jnp.where(m <= 1e-12, 0.0, jnp.sqrt(s / jnp.where(m <= 1e-12, 1.0, m))))
     out["stereo_widths"] = jnp.stack(widths)
 
