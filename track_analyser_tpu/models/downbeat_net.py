@@ -367,10 +367,44 @@ def synthetic_audio_batch(
     return feats, labels
 
 
-def downbeat_activation(params, samples: np.ndarray, sr: int) -> np.ndarray:
-    """Per-frame P(downbeat) curve (T,) on real audio."""
+@partial(jax.jit, static_argnames=("sr",))
+def _activation_graph(params, y: jnp.ndarray, n_valid, *, sr: int) -> jnp.ndarray:
+    """Per-frame P(downbeat) over a bucket-padded signal — ONE dispatch.
 
-    feats = logmel_features(samples, sr)
-    logits = forward(params, jnp.asarray(feats))
-    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
-    return probs[:, 2]
+    Matches the fused serving path's computation exactly (masked log-mel
+    standardisation over the valid frames, forward over the padded frame
+    axis) so both execution paths produce identical net evidence; padded
+    frames are zeroed in the output."""
+
+    from ..ops.mel import mel_filterbank, melspectrogram_from_power, power_to_db
+    from ..ops.stft import magnitude, n_frames
+
+    power = magnitude(y, 2048, _HOP, power=2.0)
+    mel_db = power_to_db(melspectrogram_from_power(power, mel_filterbank(sr, 2048, 128)))
+    feats = mel_db.T  # (T, 128)
+    total = n_frames(y.shape[-1], _HOP)
+    fmask = jnp.arange(total) < 1 + n_valid // _HOP
+    count = jnp.maximum(jnp.sum(fmask), 1)
+    mu = jnp.sum(jnp.where(fmask[:, None], feats, 0.0)) / (count * feats.shape[1])
+    var = jnp.sum(jnp.where(fmask[:, None], (feats - mu) ** 2, 0.0)) / (
+        count * feats.shape[1]
+    )
+    feats = (feats - mu) / (jnp.sqrt(var) + 1e-6)
+    logits = forward(params, feats)
+    return jnp.where(fmask, jax.nn.softmax(logits, axis=-1)[:, 2], 0.0)
+
+
+def downbeat_activation(params, samples: np.ndarray, sr: int) -> np.ndarray:
+    """Per-frame P(downbeat) curve (T,) on real audio.
+
+    Bucket-pads the signal so the jitted graph never retraces on track
+    length (arbitrary lengths would each cost a fresh compile)."""
+
+    from ..substrate import bucket_length
+
+    n = len(samples)
+    n_bucket = bucket_length(n)
+    y = np.zeros(n_bucket, dtype=np.float32)
+    y[:n] = samples
+    probs = _activation_graph(params, jnp.asarray(y), jnp.asarray(n), sr=sr)
+    return np.asarray(probs)[: 1 + n // _HOP]

@@ -255,25 +255,13 @@ def _pad_track(audio: AudioInput, n_bucket: int) -> tuple[np.ndarray, int]:
 
 def _net_downbeat_prob(y: jnp.ndarray, n_valid, params, *, sr: int) -> jnp.ndarray:
     """Per-frame P(downbeat) from the bundled activation net, computed on
-    device inside the fused dispatch (params are baked in as constants)."""
+    device inside the fused dispatch (params are baked in as constants).
+    Same body as the per-module path's jitted activation graph, so both
+    execution paths produce identical net evidence."""
 
     from ..models import downbeat_net
-    from ..ops.mel import mel_filterbank, melspectrogram_from_power, power_to_db
-    from ..ops.stft import magnitude, n_frames
 
-    power = magnitude(y, 2048, DEFAULT_CONFIG.hop_length, power=2.0)
-    mel_db = power_to_db(melspectrogram_from_power(power, mel_filterbank(sr, 2048, 128)))
-    feats = mel_db.T  # (T, 128)
-    total = n_frames(y.shape[-1], DEFAULT_CONFIG.hop_length)
-    fmask = jnp.arange(total) < 1 + n_valid // DEFAULT_CONFIG.hop_length
-    count = jnp.maximum(jnp.sum(fmask), 1)
-    mu = jnp.sum(jnp.where(fmask[:, None], feats, 0.0)) / (count * feats.shape[1])
-    var = jnp.sum(jnp.where(fmask[:, None], (feats - mu) ** 2, 0.0)) / (
-        count * feats.shape[1]
-    )
-    feats = (feats - mu) / (jnp.sqrt(var) + 1e-6)
-    logits = downbeat_net.forward(params, feats)
-    return jnp.where(fmask, jax.nn.softmax(logits, axis=-1)[:, 2], 0.0)
+    return downbeat_net._activation_graph.__wrapped__(params, y, n_valid, sr=sr)
 
 
 def _bundled_net_params():
