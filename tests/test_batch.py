@@ -140,6 +140,39 @@ def test_int8_transport_holds_tempo_contract() -> None:
     assert float(np.max(np.abs(actual - expected[: actual.size]))) <= 0.005
 
 
+def test_library_mixes_mono_and_stereo_under_ms_transport() -> None:
+    """Under the default "ms" transport, mono tracks ship mid-only int8
+    payloads and group into their own chunks; order and per-track results
+    must survive the split."""
+
+    from track_analyser_tpu.parallel.batch import analyse_library
+    from track_analyser_tpu.utils import AudioInput
+
+    sr = 44_100
+    n = int(1.5 * sr)
+    t = np.arange(n) / sr
+    mono = AudioInput(
+        samples=(0.4 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32), sample_rate=sr
+    )
+    l = (0.4 * np.sin(2 * np.pi * 330.0 * t)).astype(np.float32)
+    r = (0.25 * np.sin(2 * np.pi * 330.0 * t)).astype(np.float32)
+    stereo = AudioInput(
+        samples=0.5 * (l + r), sample_rate=sr, stereo_samples=np.stack([l, r])
+    )
+
+    results = analyse_library([mono, stereo, mono])
+    assert len(results) == 3
+    for k, freq in ((0, 220.0), (1, 330.0), (2, 220.0)):
+        ltas = results[k].features.ltas
+        peak = float(ltas.frequencies[np.argmax(ltas.magnitude)])
+        assert peak == pytest.approx(freq, abs=22.0)
+    # mono: perfect correlation, zero side; stereo: imbalanced but correlated
+    assert results[0].stereo.correlation == pytest.approx(1.0, abs=1e-6)
+    assert results[0].stereo.side_rms == pytest.approx(0.0, abs=1e-7)
+    assert results[1].stereo.correlation == pytest.approx(1.0, abs=1e-3)
+    assert results[1].harmonic.stereo_image.balance > 0.01
+
+
 def test_ms_transport_holds_tempo_contract() -> None:
     """The mid channel of the mid/side transport is the evidence for every
     gated mono analysis; the +-0.1 BPM / 5 ms gates must survive its

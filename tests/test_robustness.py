@@ -62,12 +62,15 @@ def test_fused_and_module_paths_agree():
         y[s:e] += np.exp(-np.linspace(0, 6, e - s)).astype(np.float32)
     audio = AudioInput(samples=y, sample_rate=sr)
 
-    fused = analyse_track(audio, fused=True)
+    # float32 transport isolates ALGORITHMIC agreement; the default
+    # quantised transport's noise budget has its own gate tests
+    # (test_agreement.py, test_batch.py)
+    fused = analyse_track(audio, fused=True, transport="float32")
     module = analyse_track(audio, fused=False)
 
     assert fused.beat.bpm == pytest.approx(module.beat.bpm, abs=1e-6)
     assert fused.loudness.integrated_lufs == pytest.approx(
-        module.loudness.integrated_lufs, abs=2e-3  # int16 transport quantisation
+        module.loudness.integrated_lufs, abs=2e-3
     )
     assert fused.harmonic.primary_key.key == module.harmonic.primary_key.key
     assert len(fused.structure.segments) == len(module.structure.segments)

@@ -511,7 +511,11 @@ def _quantise_ms(
 
 def _stage_payload_ms(audio: AudioInput, n_bucket: int) -> tuple[tuple, np.ndarray, int]:
     """(device_parts, stats, n_valid) for the mid/side transport. Uses the
-    fused native kernel (one pass, GIL released) when built."""
+    fused native kernel (one pass, GIL released) when built.
+
+    Mono sources return only (mid_i8, mid_scales): their side channel is
+    identically zero, so shipping it would waste half the payload. The
+    part count selects the device graph (_batched_graph_ms_mono)."""
 
     n = len(audio.samples)
     try:
@@ -525,15 +529,22 @@ def _stage_payload_ms(audio: AudioInput, n_bucket: int) -> tuple[tuple, np.ndarr
     else:
         st, n = _pad_track(audio, n_bucket)
         mid_i8, mid_scales, side_u4, side_scales, noise_power, stats = _quantise_ms(st, n)
+    if audio.stereo_samples is None:
+        return (mid_i8, mid_scales), stats, n
     return (mid_i8, mid_scales, side_u4, side_scales, np.float32(noise_power)), stats, n
+
+
+def _dequantise_mono_i8(vals, scales):
+    n = vals.shape[-1]
+    return (
+        vals.astype(jnp.float32).reshape(n // _I8_BLOCK, _I8_BLOCK)
+        * (scales[:, None] / 127.0)
+    ).reshape(n)
 
 
 def _dequantise_ms(mid_i8, mid_scales, side_u4, side_scales):
     n = mid_i8.shape[-1]
-    mid = (
-        mid_i8.astype(jnp.float32).reshape(n // _I8_BLOCK, _I8_BLOCK)
-        * (mid_scales[:, None] / 127.0)
-    ).reshape(n)
+    mid = _dequantise_mono_i8(mid_i8, mid_scales)
     lo = jnp.bitwise_and(side_u4, jnp.uint8(0x0F)).astype(jnp.int32) - 8
     hi = jnp.right_shift(side_u4, jnp.uint8(4)).astype(jnp.int32) - 8
     codes = jnp.stack([lo, hi], axis=-1).reshape(n)
@@ -542,6 +553,28 @@ def _dequantise_ms(mid_i8, mid_scales, side_u4, side_scales):
         * (side_scales[:, None] / 7.0)
     ).reshape(n)
     return jnp.stack([mid + side, mid - side])
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def _batched_graph_ms_mono(mid, mscales, n_valid, *, sr):
+    """Mono chunks of a library sweep: the side channel is identically
+    zero, so only the mid int8 payload ships — half the bytes of the
+    duplicated-channel transports."""
+
+    def one(m, ms, nv):
+        y = _dequantise_mono_i8(m, ms)
+        return _core_graph(jnp.stack([y, y]), nv, sr=sr)
+
+    return jax.vmap(one)(mid, mscales, n_valid)
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def _single_graph_mono_i8_split(mid_a, mid_b, mscales, n_valid, *, sr):
+    """Mono single-track fast path: bucket-padded blockwise-int8 mono in
+    two time-halves on two concurrent relay streams."""
+
+    y = _dequantise_mono_i8(jnp.concatenate([mid_a, mid_b]), mscales)
+    return _core_graph(jnp.stack([y, y]), n_valid, sr=sr)
 
 
 @partial(jax.jit, static_argnames=("sr",))
@@ -612,12 +645,13 @@ def analyse_track_fused(
     """Single-track analysis through the fused one-dispatch graph.
 
     ``transport`` picks the host->device representation:
-      - "auto" (default): stereo ships mid/side — mid blockwise int8,
-        side blockwise int4 (1.5 B per sample pair, the least bytes; the
-        time-domain stereo scalars are computed exactly on host and the
-        width band energies are noise-debiased on device); mono ships a
-        single int16 channel (same bytes, better SNR).
-      - "ms": the mid/side representation regardless of channel count.
+      - "auto" (default): alias for "ms".
+      - "ms": stereo ships mid/side — mid blockwise int8, side blockwise
+        int4 (1.5 B per sample pair, the least bytes; the time-domain
+        stereo scalars are computed exactly on host and the width band
+        energies are noise-debiased on device). Mono ships the mid int8
+        payload alone (1 B per sample — half of int16; the blockwise-int8
+        gate tests cover it).
       - "int16": -96 dBFS quantisation, lossless for PCM16 sources.
       - "int8": blockwise-scaled per-channel int8 on two relay streams.
       - "float32": the exact samples.
@@ -627,30 +661,41 @@ def analyse_track_fused(
     n = len(audio.samples)
     n_bucket = bucket_length(n) if bucket else n
     if transport == "auto":
-        transport = "ms" if audio.stereo_samples is not None else "int16"
+        transport = "ms"
     stats = None
     if transport == "ms":
-        (mid_i8, mscales, side_u4, sscales, noise), stats, n_valid = _stage_payload_ms(
-            audio, n_bucket
-        )
-        half = mid_i8.shape[-1] // 2
+        parts, stats, n_valid = _stage_payload_ms(audio, n_bucket)
+        half = parts[0].shape[-1] // 2
         pool = _upload_pool()
-        # two balanced streams: (mid_a + side_a) and (mid_b + side_b)
-        fut_ma = pool.submit(jax.device_put, mid_i8[:half])
-        fut_sa = pool.submit(jax.device_put, side_u4[: half // 2])
-        fut_mb = pool.submit(jax.device_put, mid_i8[half:])
-        fut_sb = pool.submit(jax.device_put, side_u4[half // 2 :])
-        out = _single_graph_ms_split(
-            fut_ma.result(),
-            fut_mb.result(),
-            fut_sa.result(),
-            fut_sb.result(),
-            jax.device_put(mscales),
-            jax.device_put(sscales),
-            jnp.asarray(noise),
-            jnp.asarray(n_valid),
-            sr=audio.sample_rate,
-        )
+        if len(parts) == 2:  # mono: mid int8 only, two streams
+            mid_i8, mscales = parts
+            fut_ma = pool.submit(jax.device_put, mid_i8[:half])
+            fut_mb = pool.submit(jax.device_put, mid_i8[half:])
+            out = _single_graph_mono_i8_split(
+                fut_ma.result(),
+                fut_mb.result(),
+                jax.device_put(mscales),
+                jnp.asarray(n_valid),
+                sr=audio.sample_rate,
+            )
+        else:
+            mid_i8, mscales, side_u4, sscales, noise = parts
+            # two balanced streams: (mid_a + side_a) and (mid_b + side_b)
+            fut_ma = pool.submit(jax.device_put, mid_i8[:half])
+            fut_sa = pool.submit(jax.device_put, side_u4[: half // 2])
+            fut_mb = pool.submit(jax.device_put, mid_i8[half:])
+            fut_sb = pool.submit(jax.device_put, side_u4[half // 2 :])
+            out = _single_graph_ms_split(
+                fut_ma.result(),
+                fut_mb.result(),
+                fut_sa.result(),
+                fut_sb.result(),
+                jax.device_put(mscales),
+                jax.device_put(sscales),
+                jnp.asarray(noise),
+                jnp.asarray(n_valid),
+                sr=audio.sample_rate,
+            )
     elif transport == "int8":
         (vals, scales), n_valid = _stage_payload_i8(audio, n_bucket)
         half = vals.shape[-1] // 2
@@ -724,8 +769,10 @@ def analyse_library(
 
     ``transport``: "ms" (default — mid blockwise int8 + side blockwise
     int4, 1.5 B per stereo sample pair, the least host->device bandwidth;
-    host-exact stereo scalars, noise-debiased widths), "int8" (per-channel
-    blockwise int8, ~45 dB SNR) or "int16" (~96 dB SNR).
+    host-exact stereo scalars, noise-debiased widths; mono tracks ship
+    the mid payload alone at 1 B/sample and group into their own chunks),
+    "int8" (per-channel blockwise int8, ~45 dB SNR) or "int16" (~96 dB
+    SNR).
 
     ``on_error``: "skip" (default) isolates per-track decode/coerce
     failures — the sweep continues, the failure is recorded in the
@@ -775,24 +822,6 @@ def analyse_library(
             return idx, src, exc, None, None, None, None
         return idx, src, audio, n_bucket, payload, nv, stats
 
-    def _zero_payload(n_bucket: int) -> tuple:
-        """Template payload for padding a partial chunk to the device count."""
-
-        if transport == "ms":
-            return (
-                np.zeros(n_bucket, dtype=np.int8),
-                np.zeros(n_bucket // _I8_BLOCK, dtype=np.float32),
-                np.zeros(n_bucket // 2, dtype=np.uint8),
-                np.zeros(n_bucket // _I8_BLOCK, dtype=np.float32),
-                np.float32(0.0),
-            )
-        if transport == "int8":
-            return (
-                np.zeros((2, n_bucket), dtype=np.int8),
-                np.zeros((2, n_bucket // _I8_BLOCK), dtype=np.float32),
-            )
-        return (np.zeros((2, n_bucket), dtype=np.int16),)
-
     def _stage(chunk):
         """Upload one chunk's payload parts (runs on the upload pool)."""
 
@@ -800,8 +829,10 @@ def analyse_library(
         payloads = [payload for _, _, _, payload, _, _ in chunk]
         valids = [nv for _, _, _, _, nv, _ in chunk]
         n_pad = n_dev - len(payloads)
-        if n_pad > 0:  # pad batch to the device count
-            payloads.extend([_zero_payload(n_bucket)] * n_pad)
+        if n_pad > 0:  # pad batch to the device count (all-zero payloads
+            # dequantise to silence for every transport: zero scales)
+            zero = tuple(np.zeros_like(p) for p in payloads[0])
+            payloads.extend([zero] * n_pad)
             valids.extend([n_bucket] * n_pad)
         staged = []
         for part in range(len(payloads[0])):
@@ -810,12 +841,18 @@ def analyse_library(
         vb = jax.device_put(np.asarray(valids), data_sharding(mesh))
         return staged, vb
 
-    if transport == "ms":
-        batched = partial(_batched_graph_ms, sr=target_sr)
-    elif transport == "int8":
-        batched = partial(_batched_graph_i8, sr=target_sr)
-    else:
-        batched = partial(_batched_graph_i16, sr=target_sr)
+    def _batched_for(chunk):
+        """Executable for a chunk — chosen by transport and, for "ms",
+        by the chunk's payload arity (stereo mid/side vs mono mid-only;
+        chunks never mix the two, see the bucket key in _absorb)."""
+
+        if transport == "ms":
+            if len(chunk[0][3]) == 2:
+                return partial(_batched_graph_ms_mono, sr=target_sr)
+            return partial(_batched_graph_ms, sr=target_sr)
+        if transport == "int8":
+            return partial(_batched_graph_i8, sr=target_sr)
+        return partial(_batched_graph_i16, sr=target_sr)
 
     results: List[Optional[TrackAnalysisResult]] = [None] * len(sources)
     n_done = 0
@@ -893,14 +930,17 @@ def analyse_library(
             if progress_callback:
                 progress_callback(str(src), n_done, total)
             return
-        buckets.setdefault(n_bucket, []).append((idx, src, audio, payload, nv, stats))
+        # mono and stereo payloads have different shapes under "ms", so
+        # they form separate chunks (one compiled executable each)
+        key = (n_bucket, len(payload))
+        buckets.setdefault(key, []).append((idx, src, audio, payload, nv, stats))
 
     def _form_chunks(flush: bool) -> None:
-        for n_bucket in sorted(buckets):
-            items = buckets[n_bucket]
+        for key in sorted(buckets):
+            items = buckets[key]
             while len(items) >= n_dev or (flush and items):
                 chunk, items = items[:n_dev], items[n_dev:]
-                buckets[n_bucket] = items
+                buckets[key] = items
                 staged_q.append((chunk, upload_pool.submit(_stage, chunk)))
 
     try:
@@ -928,7 +968,7 @@ def analyse_library(
                 # and host finishing of earlier ones continue in parallel.
                 chunk, staged_future = staged_q.popleft()
                 staged, vb = staged_future.result()
-                out_handle = batched(*staged, vb)  # async dispatch
+                out_handle = _batched_for(chunk)(*staged, vb)  # async dispatch
                 dispatched_q.append(finish_pool.submit(_finish, chunk, out_handle))
                 while len(dispatched_q) > stage_depth:
                     dispatched_q.popleft().result()

@@ -67,6 +67,7 @@ def analyse_track(
     seed: int = DEFAULT_SEED,
     progress_callback: Optional[Callable[[str], None]] = None,
     fused: bool = True,
+    transport: str = "auto",
 ) -> TrackAnalysisResult:
     """Run the deterministic analysis pipeline on ``source``.
 
@@ -78,6 +79,10 @@ def analyse_track(
     ``fused=True`` (default) runs all device work as ONE XLA dispatch
     through the shared substrate (substrate.py); ``fused=False`` runs the
     per-module graphs (identical results, more dispatches).
+
+    ``transport`` picks the fused path's host->device representation
+    ("auto" = blockwise mid/side; "int16"/"int8"/"float32" for
+    bit-critical work — see parallel/batch.analyse_track_fused).
     """
 
     audio = source if isinstance(source, AudioInput) else coerce_audio(source)
@@ -91,6 +96,7 @@ def analyse_track(
             use_stems=use_stems,
             seed=seed,
             progress_callback=progress_callback,
+            transport=transport,
         )
 
     beat_result, _bpm = _beat_stage(audio)
@@ -155,6 +161,7 @@ def _analyse_track_fused_path(
     use_stems: bool,
     seed: int,
     progress_callback: Optional[Callable[[str], None]],
+    transport: str = "auto",
 ) -> TrackAnalysisResult:
     """Single-dispatch path: one fused graph, then host finishers.
 
@@ -164,7 +171,7 @@ def _analyse_track_fused_path(
 
     from .parallel import batch  # local import to avoid a circular dep
 
-    result = batch.analyse_track_fused(audio, seed=seed)
+    result = batch.analyse_track_fused(audio, seed=seed, transport=transport)
     if progress_callback:
         for stage in ("beats", "structure", "loudness", "harmonic", "features", "stereo"):
             progress_callback(stage)
