@@ -1,9 +1,13 @@
-"""Separation training v2: device-resident dataset, scanned steps,
-transient-aware multi-resolution loss, and a held-out SI-SDR gate.
+"""Separation training (v2 harness, produces the bundled v3 checkpoint):
+device-resident dataset, scanned steps, transient-aware multi-resolution
+loss, and a held-out SI-SDR gate.
 
 Round-1's v1 checkpoint lost to the DSP separator on drums (SI-SDR 2.2
 vs 5.0 dB) — trained 1200 host-driven steps with a plain L1+spec loss.
-Changes here:
+The v3 checkpoint widened the synthesis to several generator families
+per stem (drum hit timbres, bass voices, struck/arpeggiated "other",
+formant vocals), which lifted every held-out stem and the OOD drums.
+Changes from v1:
 
 * the loss adds a transient-weighted waveform term (onset neighbourhoods
   of the target stem weigh 5x) and a second STFT resolution (512), so
@@ -47,7 +51,7 @@ DEFAULT_OUT = (
     / "track_analyser_tpu"
     / "models"
     / "checkpoints"
-    / "separation_v2.npz"
+    / "separation_v3.npz"
 )
 
 
@@ -56,11 +60,83 @@ DEFAULT_OUT = (
 # ---------------------------------------------------------------------------
 
 
+def _hit_kick(rng, seg):
+    return np.sin(2 * np.pi * (50 + rng.uniform(30, 60) * np.exp(-seg * 70)) * seg) * np.exp(
+        -seg * 35
+    )
+
+
+def _hit_tom(rng, seg):
+    f_tom = rng.uniform(90, 180)
+    return np.sin(2 * np.pi * f_tom * (1 - 0.3 * seg / (seg[-1] + 1e-9)) * seg) * np.exp(
+        -seg * 25
+    )
+
+
+def _hit_noisekick(rng, seg):
+    """Sine-sweep kick layered with a low-passed click attack."""
+
+    body = np.sin(2 * np.pi * (45 + rng.uniform(40, 90) * np.exp(-seg * 90)) * seg)
+    click = rng.normal(0, 1, seg.size)
+    click = np.convolve(click, np.ones(8) / 8.0, mode="same") * np.exp(-seg * 300)
+    return (body + rng.uniform(0.5, 1.5) * click) * np.exp(-seg * 30)
+
+
+def _hit_metal(rng, seg):
+    """Inharmonic partial stack — bell/cymbal-class percussion."""
+
+    f0 = rng.uniform(300, 900)
+    ratios = 1.0 + np.cumsum(rng.uniform(0.3, 1.9, size=5))
+    out = np.zeros_like(seg)
+    for r in ratios:
+        out += rng.uniform(0.2, 1.0) * np.sin(2 * np.pi * f0 * r * seg + rng.uniform(0, 6.28))
+    return out / len(ratios) * np.exp(-seg * rng.uniform(15, 60))
+
+
+def _hit_ringmod(rng, seg):
+    """Amplitude-modulated percussion (distinct from the OOD FM recipe)."""
+
+    fa, fb = rng.uniform(120, 400), rng.uniform(700, 2500)
+    return np.sin(2 * np.pi * fa * seg) * np.sin(2 * np.pi * fb * seg) * np.exp(
+        -seg * rng.uniform(25, 70)
+    )
+
+
+_DRUM_HITS = (_hit_kick, _hit_tom, _hit_noisekick, _hit_metal, _hit_ringmod)
+
+
+def _bass_voice(rng, t, f_bass):
+    """One of several bass timbre families (never the OOD pure sawtooth)."""
+
+    kind = rng.integers(0, 4)
+    if kind == 0:  # near-sine -> reedy harmonic mix
+        h2, h3 = rng.uniform(0.0, 0.5), rng.uniform(0.0, 0.3)
+        return (
+            np.sin(2 * np.pi * f_bass * t)
+            + h2 * np.sin(2 * np.pi * 2 * f_bass * t)
+            + h3 * np.sin(2 * np.pi * 3 * f_bass * t)
+        )
+    if kind == 1:  # odd-harmonic stack with random rolloff (square-ish)
+        roll = rng.uniform(1.0, 2.2)
+        return sum(
+            (1.0 / k**roll) * np.sin(2 * np.pi * k * f_bass * t) for k in (1, 3, 5, 7)
+        )
+    if kind == 2:  # two detuned oscillators (beating)
+        det = rng.uniform(0.2, 1.5)
+        return 0.6 * (
+            np.sin(2 * np.pi * f_bass * t) + np.sin(2 * np.pi * (f_bass + det) * t)
+        )
+    # sub with a pitch-bend attack
+    bend = f_bass * (1 + 0.8 * np.exp(-t * rng.uniform(8, 25)))
+    return np.sin(2 * np.pi * np.cumsum(bend) / SR)
+
+
 def synth_stems_v2(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray:
     """Procedural (4, n) stems with per-example pattern/timbre/level
-    variation. Deliberately does NOT include the OOD validation recipe's
-    generators (FM percussion, sawtooth bass, plucks, square vocals) —
-    generalisation there must come from diversity, not leakage."""
+    variation across several generator families per stem. Deliberately
+    does NOT include the OOD validation recipe's exact generators (FM
+    percussion, pure sawtooth bass, 2.01-inharmonic plucks, square-wave
+    vocals) — generalisation there must come from diversity, not leakage."""
 
     n = int(seconds * SR)
     t = np.arange(n) / SR
@@ -68,21 +144,17 @@ def synth_stems_v2(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray
     beat = 60.0 / bpm
 
     drums = np.zeros(n)
-    # kick on beats, snare/clap on 2/4, hats on a random subdivision
-    tom_mode = rng.random() < 0.3
-    for i, b in enumerate(np.arange(0.0, seconds, beat)):
+    # kick-class hit from a random timbre family; snare/clap on 2/4; hats
+    # on a random subdivision (sometimes swung, sometimes dropped)
+    hit = _DRUM_HITS[rng.integers(0, len(_DRUM_HITS))]
+    hit_div = 1 if rng.random() < 0.7 else 2
+    for i, b in enumerate(np.arange(0.0, seconds, beat / hit_div)):
+        if rng.random() < 0.08:  # occasional dropped hit
+            continue
         s = int(b * SR)
         e = min(n, s + int(0.09 * SR))
         seg = np.arange(e - s) / SR
-        if tom_mode:  # pitched tom instead of a kick
-            f_tom = rng.uniform(90, 180)
-            drums[s:e] += rng.uniform(0.6, 1.0) * np.sin(
-                2 * np.pi * f_tom * (1 - 0.3 * seg / seg[-1]) * seg
-            ) * np.exp(-seg * 25)
-        else:
-            drums[s:e] += rng.uniform(0.7, 1.1) * np.sin(
-                2 * np.pi * (50 + rng.uniform(30, 60) * np.exp(-seg * 70)) * seg
-            ) * np.exp(-seg * 35)
+        drums[s:e] += rng.uniform(0.6, 1.1) * hit(rng, seg)
         if i % 2 == 1:  # snare or clap (bandpassed noise bursts)
             e2 = min(n, s + int(0.05 * SR))
             burst = rng.normal(0, 1, e2 - s)
@@ -96,38 +168,70 @@ def synth_stems_v2(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray
                 -np.arange(e2 - s) / (0.01 * SR)
             )
     hat_div = rng.choice([2, 3, 4])
-    for b in np.arange(0.0, seconds, beat / hat_div):
-        s = int(b * SR)
+    swing = rng.uniform(0.0, 0.12) * beat
+    for j, b in enumerate(np.arange(0.0, seconds, beat / hat_div)):
+        s = int((b + (swing if j % 2 else 0.0)) * SR)
         e = min(n, s + int(0.02 * SR))
+        if e <= s:
+            continue
         drums[s:e] += rng.uniform(0.1, 0.4) * rng.normal(0, 1, e - s) * np.exp(
             -np.arange(e - s) / (0.003 * SR)
         )
 
     f_bass = rng.uniform(40, 95)
     gate = np.sin(2 * np.pi * t / rng.uniform(1.0, 3.0)) > rng.uniform(-0.6, 0.2)
-    # timbre variation: harmonic mix from near-sine to reedy
-    h2, h3 = rng.uniform(0.0, 0.5), rng.uniform(0.0, 0.3)
-    bass = rng.uniform(0.35, 0.6) * (
-        np.sin(2 * np.pi * f_bass * t)
-        + h2 * np.sin(2 * np.pi * 2 * f_bass * t)
-        + h3 * np.sin(2 * np.pi * 3 * f_bass * t)
-    ) * gate
+    bass = rng.uniform(0.35, 0.6) * _bass_voice(rng, t, f_bass) * gate
 
-    # "other": pad with a chord change halfway
+    # "other": sustained pad OR struck/arpeggiated chords, change halfway
     other = np.zeros(n)
+    other_kind = rng.integers(0, 3)
     for half, root in enumerate(rng.uniform(180, 420, size=2)):
         sl = slice(half * n // 2, (half + 1) * n // 2)
-        tt = t[sl]
-        other[sl] = rng.uniform(0.15, 0.3) * sum(
-            np.sin(2 * np.pi * root * r * tt + rng.uniform(0, 6.28)) for r in (1.0, 1.25, 1.5)
-        )
+        tt = t[sl] - t[sl][0]
+        if other_kind == 0:  # pad
+            other[sl] = rng.uniform(0.15, 0.3) * sum(
+                np.sin(2 * np.pi * root * r * tt + rng.uniform(0, 6.28))
+                for r in (1.0, 1.25, 1.5)
+            )
+        elif other_kind == 1:  # struck chord with decaying harmonic stack
+            for b in np.arange(0.0, tt[-1], beat):
+                s2 = int(b * SR)
+                e2 = min(tt.size, s2 + int(0.6 * SR))
+                seg = tt[s2:e2] - tt[s2]
+                stack = sum(
+                    (0.7**k) * np.sin(2 * np.pi * root * (k + 1) * r * seg)
+                    for k in range(3)
+                    for r in (1.0, 1.5)
+                )
+                other[sl.start + s2 : sl.start + e2] += (
+                    rng.uniform(0.1, 0.2) * stack * np.exp(-seg * rng.uniform(3, 8))
+                )
+        else:  # arpeggio of short notes
+            notes = [root * r for r in (1.0, 1.25, 1.5, 2.0)]
+            for j, b in enumerate(np.arange(0.0, tt[-1], beat / 2)):
+                s2 = int(b * SR)
+                e2 = min(tt.size, s2 + int(0.18 * SR))
+                seg = tt[s2:e2] - tt[s2]
+                f = notes[j % len(notes)]
+                other[sl.start + s2 : sl.start + e2] += (
+                    rng.uniform(0.15, 0.25)
+                    * (np.sin(2 * np.pi * f * seg) + 0.4 * np.sin(2 * np.pi * 2 * f * seg))
+                    * np.exp(-seg * 10)
+                )
 
     f0 = rng.uniform(140, 320)
     vib = f0 * (1 + rng.uniform(0.005, 0.02) * np.sin(2 * np.pi * rng.uniform(4, 7) * t))
     phase = 2 * np.pi * np.cumsum(vib) / SR
-    vocals = rng.uniform(0.2, 0.4) * (
-        np.sin(phase) + 0.5 * np.sin(2 * phase) + 0.25 * np.sin(3 * phase)
-    )
+    if rng.random() < 0.5:  # harmonic voice
+        vocals = np.sin(phase) + 0.5 * np.sin(2 * phase) + 0.25 * np.sin(3 * phase)
+    else:  # formant-weighted harmonic stack (breathy voice; not a square)
+        ff = rng.uniform(500, 1100)
+        vocals = sum(
+            np.exp(-((k * f0 - ff) ** 2) / (2 * 300.0**2)) * np.sin(k * phase)
+            for k in range(1, 9)
+        )
+        vocals += 0.05 * rng.normal(0, 1, n)  # breath noise
+    vocals = rng.uniform(0.2, 0.4) * vocals
     vocals *= np.clip(np.sin(2 * np.pi * t / rng.uniform(1.0, 2.0)), 0, 1)
 
     stems = np.stack([drums, bass, other, vocals]).astype(np.float32)

@@ -66,7 +66,12 @@ def test_separate_stems_writes_files(tmp_path):
         assert rate == sr
         assert data.shape[-1] == mix.size
     # Neural path when the bundled checkpoint is present, DSP otherwise.
-    assert bundle.model_name in ("bandsplit-masknet-v2", "bandsplit-masknet-v1", "hpss-dsp-v1")
+    assert bundle.model_name in (
+        "bandsplit-masknet-v3",
+        "bandsplit-masknet-v2",
+        "bandsplit-masknet-v1",
+        "hpss-dsp-v1",
+    )
 
 
 def test_separate_stems_none_without_path(tmp_path):
@@ -74,8 +79,8 @@ def test_separate_stems_none_without_path(tmp_path):
 
 
 def test_blend_weights_combine_neural_and_dsp():
-    """Percussive stems blend neural+DSP by the grid-searched weights;
-    other/vocals pass through untouched."""
+    """Stems blend neural+DSP by the grid-searched per-stem weights;
+    weight-1.0 stems pass through untouched."""
 
     import numpy as np
 
@@ -93,10 +98,10 @@ def test_blend_weights_combine_neural_and_dsp():
     dsp = separate_stems_arrays(mix, sr)
 
     blended = _blend_with_dsp(dict(neural), mix, sr)
-    for name in ("other", "vocals"):
-        np.testing.assert_array_equal(blended[name], neural[name])
-    for name in ("drums", "bass"):
-        w = _BLEND_NEURAL_WEIGHT[name]
-        np.testing.assert_allclose(
-            blended[name], w * neural[name] + (1 - w) * dsp[name], atol=1e-6
-        )
+    for name, w in _BLEND_NEURAL_WEIGHT.items():
+        if w >= 1.0:
+            np.testing.assert_array_equal(blended[name], neural[name])
+        else:
+            np.testing.assert_allclose(
+                blended[name], w * neural[name] + (1 - w) * dsp[name], atol=1e-6
+            )

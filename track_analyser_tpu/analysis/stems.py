@@ -64,14 +64,14 @@ def _dsp_separate_graph(y: jnp.ndarray, *, sr: int, n_samples: int):
     return jnp.stack(stems)
 
 
-# Per-stem neural weight for the neural/DSP blend. Grid-searched on
-# held-out AND out-of-distribution procedural mixtures
-# (scripts/train_separation_v2.py synthesis): the blend beats both pure
-# strategies on drums held-out (4.1 vs 3.1 DSP / 1.1 neural dB SI-SDR)
-# and statistically ties DSP on OOD drums/bass (8.6/5.5 vs 8.6/5.5)
-# where pure neural loses by 3-5 dB; other/vocals stay pure neural
-# (DSP is catastrophically wrong there: -61 / -16 dB).
-_BLEND_NEURAL_WEIGHT = {"drums": 0.25, "bass": 0.5, "other": 1.0, "vocals": 1.0}
+# Per-stem neural weight for the neural/DSP blend. Grid-searched with the
+# bundled v3 checkpoint on held-out (widened multi-family synthesis) AND
+# out-of-distribution mixtures (scripts/train_separation_v2.py): at these
+# weights serving beats the pure DSP separator on EVERY stem on BOTH
+# distributions (SI-SDR dB, blend vs DSP — drums 4.5/9.2 vs 3.2/8.8,
+# bass 10.9/5.9 vs 9.8/5.8, other -0.9/0.4 vs -78/-86, vocals 6.6/-12.8
+# vs 1.9/-15.5), and beats pure neural on drums/bass/vocals as well.
+_BLEND_NEURAL_WEIGHT = {"drums": 0.25, "bass": 0.25, "other": 1.0, "vocals": 0.75}
 
 
 def _blend_with_dsp(

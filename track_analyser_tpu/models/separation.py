@@ -20,12 +20,17 @@ from typing import Dict, Optional
 
 import numpy as np
 
-MODEL_NAME = "bandsplit-masknet-v2"
+MODEL_NAME = "bandsplit-masknet-v3"
 _CKPT_ENV = "TRACK_ANALYSER_TPU_SEPARATION_CKPT"
 _CKPT_DIR = Path(__file__).parent / "checkpoints"
-# Newest bundled checkpoint wins: v2 (transient-weighted loss, beats the
-# DSP separator on every stem held-out) over the round-1 v1.
-_BUNDLED = (_CKPT_DIR / "separation_v2.npz", _CKPT_DIR / "separation_v1.npz")
+# Newest bundled checkpoint wins: v3 (trained on the widened multi-family
+# timbre synthesis; beats the DSP separator on every stem held-out and,
+# blended, on the out-of-distribution recipe too) over v2/v1.
+_BUNDLED = (
+    _CKPT_DIR / "separation_v3.npz",
+    _CKPT_DIR / "separation_v2.npz",
+    _CKPT_DIR / "separation_v1.npz",
+)
 
 __all__ = ["available", "separate", "MODEL_NAME"]
 
