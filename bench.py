@@ -77,20 +77,28 @@ def main() -> None:
     ]
     total_audio_s = sum(durations)
 
-    # Warm up (compile all bucket executables) + correctness spot checks.
+    # Warm up (compile all executables) + correctness spot checks. The
+    # relay compiles concurrently (~2x for 2 in flight), so the fused
+    # single-track executable compiles on a thread WHILE the library
+    # sweep warms its bucket executables (which analyse_library itself
+    # pre-warms in parallel as buckets first appear): total warmup is
+    # ~max of the compile sets, not their sum.
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.perf_counter()
-    result = analyse_track_fused(tracks[0])
+    with ThreadPoolExecutor(max_workers=1) as warm_pool:
+        fused_fut = warm_pool.submit(analyse_track_fused, tracks[0])
+        analyse_library(tracks)  # warms every bucket's batched executable
+        result = fused_fut.result()
     warm = time.perf_counter() - t0
     print(
-        f"[bench] fused warmup {warm*1e3:.0f} ms — bpm={result.beat.bpm:.2f} "
+        f"[bench] warmup (fused + all sweep buckets, concurrent) {warm:.1f} s "
+        f"— bpm={result.beat.bpm:.2f} "
         f"key={result.harmonic.primary_key.key} "
         f"lufs={result.loudness.integrated_lufs:.2f} "
         f"segments={len(result.structure.segments)}",
         file=sys.stderr,
     )
-    t0 = time.perf_counter()
-    analyse_library(tracks)  # warms every bucket's batched executable
-    print(f"[bench] sweep warmup {time.perf_counter()-t0:.1f} s", file=sys.stderr)
 
     # Single-track latency per transport (includes host quantise+upload);
     # "ms" (mid int8 + side int4) is the default for stereo sources.

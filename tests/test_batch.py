@@ -173,6 +173,34 @@ def test_library_mixes_mono_and_stereo_under_ms_transport() -> None:
     assert results[1].harmonic.stereo_image.balance > 0.01
 
 
+def test_library_prewarm_path_is_safe() -> None:
+    """prewarm=True pushes a zero-payload chunk through the dispatch path
+    per bucket (normally only on accelerator backends, where server-side
+    compiles are slow and parallelise); results must be unaffected."""
+
+    from track_analyser_tpu.parallel.batch import analyse_library
+    from track_analyser_tpu.utils import AudioInput
+
+    sr = 44_100
+    tracks = []
+    for freq, secs in ((220.0, 0.7), (330.0, 2.2)):
+        t = np.arange(int(secs * sr)) / sr
+        tracks.append(
+            AudioInput(
+                samples=(0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32),
+                sample_rate=sr,
+            )
+        )
+    warm = analyse_library(tracks, prewarm=True)
+    cold = analyse_library(tracks, prewarm=False)
+    assert len(warm) == len(cold) == 2
+    for w, c in zip(warm, cold):
+        assert w.beat.bpm == pytest.approx(c.beat.bpm, abs=1e-9)
+        assert w.loudness.integrated_lufs == pytest.approx(
+            c.loudness.integrated_lufs, abs=1e-9
+        )
+
+
 def test_ms_transport_holds_tempo_contract() -> None:
     """The mid channel of the mid/side transport is the evidence for every
     gated mono analysis; the +-0.1 BPM / 5 ms gates must survive its
