@@ -53,18 +53,25 @@ def tempogram(env: jnp.ndarray, win_length: int = 384) -> jnp.ndarray:
         dtype=env.dtype,
     )
     frames = frames * w
-    spec = jnp.fft.rfft(frames, n=2 * win_length, axis=-1)
-    ac = jnp.fft.irfft(spec * jnp.conj(spec), n=2 * win_length, axis=-1)[:, :win_length]
+    n_pad = 1 << (2 * win_length - 2).bit_length()  # pow2 >= 2w-1 (fast TPU radix)
+    spec = jnp.fft.rfft(frames, n=n_pad, axis=-1)
+    ac = jnp.fft.irfft(spec * jnp.conj(spec), n=n_pad, axis=-1)[:, :win_length]
     scale = jnp.max(jnp.abs(ac), axis=-1, keepdims=True)
     ac = ac / jnp.where(scale > 0, scale, 1.0)
     return ac.T
 
 
 def autocorrelate(y: jnp.ndarray) -> jnp.ndarray:
-    """Full (non-normalised) autocorrelation via FFT, same length as input."""
+    """Full (non-normalised) autocorrelation via FFT, same length as input.
+
+    The pad target is the next power of two at or above 2n-1 (the linear
+    autocorrelation minimum) — the TPU FFT custom call runs mixed-radix
+    sizes via Bluestein at >10x the cost of a power of two (measured:
+    this one transform dominated the whole fused graph at size 2n=32770).
+    """
 
     n = y.shape[-1]
-    n_pad = 2 * n  # linear (not circular) autocorrelation
+    n_pad = 1 << (2 * n - 2).bit_length()  # pow2 >= 2n-1: linear, fast
     spec = jnp.fft.rfft(y, n=n_pad, axis=-1)
     ac = jnp.fft.irfft(spec * jnp.conj(spec), n=n_pad, axis=-1)
     return ac[..., :n]
