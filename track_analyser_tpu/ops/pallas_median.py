@@ -55,6 +55,30 @@ def _bitonic_pairs(n: int = 32):
     return tuple(pairs)
 
 
+@lru_cache(maxsize=1)
+def _median_ops(n: int = 32, target: int = 15):
+    """Bitonic network pruned to the single sorted output ``target``.
+
+    Backward liveness over the comparator schedule: a comparator whose
+    two outputs are both dead is dropped, and one with a single live
+    output emits one min/max instead of two. For median-of-31 inside a
+    32-network this cuts 480 vector min/max ops to 351 (-27%).
+    Each entry is (a, b, ascending, a_live, b_live).
+    """
+
+    live = {target}
+    ops = []
+    for a, b, ascending in reversed(_bitonic_pairs(n)):
+        a_live, b_live = a in live, b in live
+        if not (a_live or b_live):
+            continue
+        ops.append((a, b, ascending, a_live, b_live))
+        live.add(a)
+        live.add(b)
+    ops.reverse()
+    return tuple(ops)
+
+
 def _median31_kernel(x_hbm, out_ref, slab, sem):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -69,13 +93,16 @@ def _median31_kernel(x_hbm, out_ref, slab, sem):
     vals = [slab[:, k : k + _BT] for k in range(_SIZE)]
     vals.append(jnp.full((_BF, _BT), jnp.inf, dtype=slab.dtype))
 
-    for a, b, ascending in _bitonic_pairs(32):
-        lo = jnp.minimum(vals[a], vals[b])
-        hi = jnp.maximum(vals[a], vals[b])
-        if ascending:
-            vals[a], vals[b] = lo, hi
+    for a, b, ascending, a_live, b_live in _median_ops(32, 15):
+        va, vb = vals[a], vals[b]
+        if a_live and b_live:
+            lo = jnp.minimum(va, vb)
+            hi = jnp.maximum(va, vb)
+            vals[a], vals[b] = (lo, hi) if ascending else (hi, lo)
+        elif a_live:
+            vals[a] = jnp.minimum(va, vb) if ascending else jnp.maximum(va, vb)
         else:
-            vals[a], vals[b] = hi, lo
+            vals[b] = jnp.maximum(va, vb) if ascending else jnp.minimum(va, vb)
 
     # Median of 31 values = ascending-sorted index 15 (the +inf pad sits
     # at index 31 and never reaches 15).
