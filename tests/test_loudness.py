@@ -48,6 +48,25 @@ def test_analyse_loudness_agrees_with_its_helpers() -> None:
     assert result.true_peak_dbfs == pytest.approx(true_peak_dbtp(tone, sr), abs=1e-6)
 
 
+def test_k_weighting_overlap_save_matches_direct_convolution() -> None:
+    """k_weighted switches to overlap-save above 4 blocks (131 072
+    samples); the blocked path must equal the direct FIR convolution to
+    f32 rounding across block boundaries and the ragged tail."""
+
+    import jax.numpy as jnp
+
+    from track_analyser_tpu.ops.loudness import k_weighted, k_weighting_fir
+
+    sr = 44_100
+    rng = np.random.default_rng(7)
+    n = 200_001  # > 4 * 32768, not a block multiple
+    y = rng.normal(0.0, 0.25, n).astype(np.float32)
+    blocked = np.asarray(k_weighted(jnp.asarray(y), sr))
+    h = k_weighting_fir(sr).astype(np.float64)
+    direct = np.convolve(y.astype(np.float64), h)[:n]
+    np.testing.assert_allclose(blocked, direct, atol=2e-4)
+
+
 def test_absolute_gate_ignores_appended_silence() -> None:
     """BS.1770 gating: trailing silence must not drag integrated LUFS down."""
 
