@@ -65,13 +65,15 @@ def _dsp_separate_graph(y: jnp.ndarray, *, sr: int, n_samples: int):
 
 
 # Per-stem neural weight for the neural/DSP blend. Grid-searched with the
-# bundled v3 checkpoint on held-out (widened multi-family synthesis) AND
-# out-of-distribution mixtures (scripts/train_separation_v2.py): at these
+# bundled checkpoint (v3 + 6k-step continuation) over w in {0,.25,.5,.75,1}
+# on held-out (widened multi-family synthesis) AND out-of-distribution
+# mixtures (scripts/train_separation_v2.py synth recipes): at these
 # weights serving beats the pure DSP separator on EVERY stem on BOTH
-# distributions (SI-SDR dB, blend vs DSP — drums 4.5/9.2 vs 3.2/8.8,
-# bass 10.9/5.9 vs 9.8/5.8, other -0.9/0.4 vs -78/-86, vocals 6.6/-12.8
-# vs 1.9/-15.5), and beats pure neural on drums/bass/vocals as well.
-_BLEND_NEURAL_WEIGHT = {"drums": 0.25, "bass": 0.25, "other": 1.0, "vocals": 0.75}
+# distributions (SI-SDR dB held-out/OOD, blend vs DSP — drums 5.96/9.35
+# vs 5.37/9.04, bass 12.36/5.63 vs 11.04/5.48, other -0.68/0.08 vs
+# -81/-87, vocals 3.59/-12.88 vs -3.08/-17.78). Vocals serves pure
+# neural: w=1.0 won on both distributions in the sweep.
+_BLEND_NEURAL_WEIGHT = {"drums": 0.25, "bass": 0.25, "other": 1.0, "vocals": 1.0}
 
 
 def _blend_with_dsp(
