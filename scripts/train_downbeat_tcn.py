@@ -91,29 +91,41 @@ def _downbeat_f1(pred, truth: np.ndarray, tol: float = 0.07) -> float:
 
 
 def evaluate(params, n_examples: int, seed: int):
-    """Held-out decoder comparison: accent evidence vs accent+net."""
+    """Held-out decoder comparison: accent evidence vs accent+net.
 
-    scores_accent, scores_net = [], []
-    for k in range(n_examples):
-        rng = np.random.default_rng(seed + k)
-        sr = int(rng.choice([22_050, 44_100]))
-        y, beat_times, meter = net.synth_percussion(rng, seconds=12.0, sr=sr)
-        truth = beat_times[0::meter]
+    Evaluated per style: "accent" (downbeat loudest — amplitude alone
+    solves it, the net must not regress it) and "backbeat" (loud snare
+    on the off-beats — amplitude points at the WRONG beat; only the
+    kick's low-frequency timbre marks the downbeat, so this style is
+    what the net exists for; accent-only scores ~0.27 F1 on it).
+    """
 
-        e, lo, fx = downbeat_decoder._accent_graph(
-            jnp.asarray(y, dtype=jnp.float32), sr=sr
-        )
-        e, lo, fx = (np.asarray(a, dtype=np.float64) for a in (e, lo, fx))
-        accent_only = downbeat_decoder.decode_from_accent(
-            e, lo, beat_times, sr, flux=fx
-        )
-        prob = net.downbeat_activation(params, y, sr)
-        with_net = downbeat_decoder.decode_from_accent(
-            e, lo, beat_times, sr, flux=fx, net_prob=prob
-        )
-        scores_accent.append(_downbeat_f1(accent_only, truth))
-        scores_net.append(_downbeat_f1(with_net, truth))
-    return float(np.mean(scores_accent)), float(np.mean(scores_net))
+    out = {}
+    for style in ("accent", "backbeat"):
+        scores_accent, scores_net = [], []
+        for k in range(n_examples):
+            rng = np.random.default_rng(seed + k)
+            sr = int(rng.choice([22_050, 44_100]))
+            y, beat_times, meter = net.synth_percussion(
+                rng, seconds=12.0, sr=sr, style=style
+            )
+            truth = beat_times[0::meter]
+
+            e, lo, fx = downbeat_decoder._accent_graph(
+                jnp.asarray(y, dtype=jnp.float32), sr=sr
+            )
+            e, lo, fx = (np.asarray(a, dtype=np.float64) for a in (e, lo, fx))
+            accent_only = downbeat_decoder.decode_from_accent(
+                e, lo, beat_times, sr, flux=fx
+            )
+            prob = net.downbeat_activation(params, y, sr)
+            with_net = downbeat_decoder.decode_from_accent(
+                e, lo, beat_times, sr, flux=fx, net_prob=prob
+            )
+            scores_accent.append(_downbeat_f1(accent_only, truth))
+            scores_net.append(_downbeat_f1(with_net, truth))
+        out[style] = (float(np.mean(scores_accent)), float(np.mean(scores_net)))
+    return out
 
 
 def main() -> None:
@@ -128,17 +140,23 @@ def main() -> None:
     args = ap.parse_args()
 
     params = train(args.steps, args.batch, args.frames, args.channels, args.seed)
-    f1_accent, f1_net = evaluate(params, args.eval_examples, seed=10_000)
-    print(f"[eval] held-out downbeat F1: accent-only {f1_accent:.3f} | "
-          f"accent+TCN {f1_net:.3f}", flush=True)
+    results = evaluate(params, args.eval_examples, seed=10_000)
+    for style, (f1_accent, f1_net) in results.items():
+        print(f"[eval:{style}] held-out downbeat F1: accent-only {f1_accent:.3f} | "
+              f"accent+TCN {f1_net:.3f}", flush=True)
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    if f1_net + 1e-9 >= f1_accent:
+    # Gate: must not regress the amplitude-solvable style, and must
+    # clearly beat the accent decoder where amplitude misleads.
+    acc_a, net_a = results["accent"]
+    acc_b, net_b = results["backbeat"]
+    if net_a + 1e-9 >= acc_a and net_b >= acc_b + 0.1:
         net.save_checkpoint(params, out)
         print(f"[save] checkpoint -> {out}")
     else:
-        print("[save] SKIPPED: net does not beat the accent decoder")
+        print("[save] SKIPPED: net does not beat the accent decoder "
+              "(accent style must hold; backbeat must win by >=0.1 F1)")
         sys.exit(1)
 
 

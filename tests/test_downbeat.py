@@ -91,6 +91,36 @@ def test_net_checkpoint_enables_rnn_source(tmp_path, monkeypatch):
     downbeat._net_params_cache.clear()
 
 
+def test_bundled_net_solves_backbeat_patterns():
+    """Rock backbeat (quiet kick on 1, loud snare on 2/4): amplitude
+    accents point at the wrong beat, so the accent-only decoder misses
+    the phase — the bundled TCN must recover it from the kick's
+    low-frequency timbre (the madmom-class capability the net exists
+    for). Skipped when no checkpoint is bundled."""
+
+    import pytest
+
+    params = downbeat._net_params()
+    if params is None:
+        pytest.skip("no bundled downbeat checkpoint")
+
+    hits = 0
+    for k in range(3):
+        rng = np.random.default_rng(4200 + k)
+        y, beat_times, meter = downbeat_net.synth_percussion(
+            rng, seconds=12.0, sr=22_050, style="backbeat"
+        )
+        result = downbeat.track_downbeats(y.astype(np.float32), 22_050, beat_times)
+        assert result is not None and result.source == "rnn"
+        truth = beat_times[0::meter]
+        pred = np.asarray(result.downbeat_times)
+        if pred.size and np.mean(
+            np.min(np.abs(pred[:, None] - truth[None, :]), axis=1) < 0.07
+        ) > 0.8:
+            hits += 1
+    assert hits >= 2, f"backbeat phase recovered on only {hits}/3 patterns"
+
+
 def test_downbeat_net_train_step_reduces_loss():
     key = jax.random.PRNGKey(0)
     params = downbeat_net.init_params(key, n_mels=128, hidden=64)

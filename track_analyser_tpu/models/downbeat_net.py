@@ -292,18 +292,29 @@ def logmel_features(samples: np.ndarray, sr: int = _SR) -> np.ndarray:
 
 
 def synth_percussion(
-    rng: np.random.Generator, *, seconds: float = 6.0, sr: int = _SR
+    rng: np.random.Generator, *, seconds: float = 6.0, sr: int = _SR, style: "str | None" = None
 ) -> Tuple[np.ndarray, np.ndarray, int]:
     """Synthesise a percussive pattern; return (audio, beat_times, meter).
 
     Shared by training-feature generation and the held-out decoder
     evaluation (scripts/train_downbeat_tcn.py), so both see the same
-    distribution.
+    distribution. Two styles (drawn at random unless pinned):
+
+    - "accent": the downbeat is the loudest hit (amp 0.7-1.0 kick vs
+      0.25-0.55 snare/hat) — solvable from energy accents alone.
+    - "backbeat": rock convention — QUIET kick (0.35-0.55) on the
+      downbeat, LOUD snare (0.8-1.1) on the off-beats. Energy accents
+      point at the WRONG beat; only the kick's low-frequency timbre
+      identifies the downbeat. This is the case that separates a
+      madmom-class net from an amplitude heuristic (the accent-only
+      decoder scores F1 ~0.27 here).
     """
 
     n = int(seconds * sr)
     bpm = rng.uniform(80, 160)
     meter = int(rng.choice([3, 4]))
+    if style is None:
+        style = "backbeat" if rng.random() < 0.4 else "accent"
     beat = 60.0 / bpm
     offset = rng.uniform(0, beat)
     y = rng.normal(0, rng.uniform(0.002, 0.02), n).astype(np.float64)
@@ -314,8 +325,12 @@ def synth_percussion(
         s = int(bt * sr)
         e = min(n, s + t_hit.size)
         is_down = (i % meter) == 0
-        amp = rng.uniform(0.7, 1.0) if is_down else rng.uniform(0.25, 0.55)
-        # kick-ish downbeats, hat/snare-ish other beats
+        if style == "backbeat":
+            amp = rng.uniform(0.35, 0.55) if is_down else rng.uniform(0.8, 1.1)
+        else:
+            amp = rng.uniform(0.7, 1.0) if is_down else rng.uniform(0.25, 0.55)
+        # kick timbre marks the downbeat in BOTH styles; amplitude only
+        # agrees with it in "accent"
         if is_down:
             seg = np.sin(2 * np.pi * (55 + 60 * np.exp(-t_hit * 50)) * t_hit)
         else:
