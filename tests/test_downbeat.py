@@ -104,7 +104,15 @@ def test_bundled_net_solves_backbeat_patterns():
     if params is None:
         pytest.skip("no bundled downbeat checkpoint")
 
-    hits = 0
+    def f1(pred: np.ndarray, truth: np.ndarray, tol: float = 0.07) -> float:
+        if pred.size == 0:
+            return 0.0
+        hits = np.abs(pred[:, None] - truth[None, :]) <= tol
+        tp = min(int(hits.any(axis=0).sum()), int(hits.any(axis=1).sum()))
+        precision, recall = tp / pred.size, tp / truth.size
+        return 2 * precision * recall / (precision + recall) if tp else 0.0
+
+    good = 0
     for k in range(3):
         rng = np.random.default_rng(4200 + k)
         y, beat_times, meter = downbeat_net.synth_percussion(
@@ -113,12 +121,9 @@ def test_bundled_net_solves_backbeat_patterns():
         result = downbeat.track_downbeats(y.astype(np.float32), 22_050, beat_times)
         assert result is not None and result.source == "rnn"
         truth = beat_times[0::meter]
-        pred = np.asarray(result.downbeat_times)
-        if pred.size and np.mean(
-            np.min(np.abs(pred[:, None] - truth[None, :]), axis=1) < 0.07
-        ) > 0.8:
-            hits += 1
-    assert hits >= 2, f"backbeat phase recovered on only {hits}/3 patterns"
+        if f1(np.asarray(result.downbeat_times), truth) > 0.8:
+            good += 1
+    assert good >= 2, f"backbeat phase recovered on only {good}/3 patterns"
 
 
 def test_downbeat_net_train_step_reduces_loss():

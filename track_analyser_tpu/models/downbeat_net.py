@@ -315,6 +315,8 @@ def synth_percussion(
     meter = int(rng.choice([3, 4]))
     if style is None:
         style = "backbeat" if rng.random() < 0.4 else "accent"
+    if style not in ("accent", "backbeat"):
+        raise ValueError(f"unknown percussion style: {style!r}")
     beat = 60.0 / bpm
     offset = rng.uniform(0, beat)
     y = rng.normal(0, rng.uniform(0.002, 0.02), n).astype(np.float64)

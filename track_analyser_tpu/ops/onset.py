@@ -46,8 +46,9 @@ def tempogram(env: jnp.ndarray, win_length: int = 384) -> jnp.ndarray:
     n = env.shape[-1]
     pad = win_length // 2
     envp = jnp.pad(env, (pad, pad), mode="linear_ramp", end_values=0.0)
-    idx = jnp.arange(n)[:, None] + jnp.arange(win_length)[None, :]
-    frames = envp[idx]
+    # frames[t, k] = envp[t + k], assembled from win_length shifted slices
+    # (slice-stack, no gather — XLA gathers are slow on TPU).
+    frames = jnp.stack([envp[k : k + n] for k in range(win_length)], axis=-1)
     w = jnp.asarray(
         (0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(win_length) / win_length)),
         dtype=env.dtype,
