@@ -9,8 +9,9 @@ FFT custom call.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,6 +78,48 @@ def frame_signal(
     return y[..., idx]
 
 
+# On TPU the batched real-input frame DFT runs ~3-10x faster as two MXU
+# matmuls against an on-device cos/sin basis than through the FFT custom
+# call (measured 11.8 -> ~1.2 ms for the 2048-point family over a 181 s
+# track). The basis is built per call from iota + cos/sin — TPU
+# transcendentals are cheap, and an embedded 16+ MB literal would bloat
+# every executable shipped to the relay compile server. CPU keeps rfft:
+# a dense DFT matmul is catastrophically slower there, and tests force
+# the CPU backend.
+_MATMUL_DFT_MAX_NFFT = 4_096
+
+
+def _on_accelerator() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _dft_rfft_matmul(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """rfft(frames, axis=-1) as two real matmuls on the MXU.
+
+    The basis angle is reduced with an exact integer mod (i*j stays well
+    inside int32 for n_fft <= 4096), so cos/sin arguments live in
+    [0, 2*pi) and the f32 basis is accurate to rounding.
+    """
+
+    i = jnp.arange(n_fft, dtype=jnp.int32)
+    j = jnp.arange(1 + n_fft // 2, dtype=jnp.int32)
+    ang = (2.0 * np.pi / n_fft) * ((i[:, None] * j[None, :]) % n_fft).astype(
+        jnp.float32
+    )
+    # Precision.HIGH = 3-pass bf16 on the MXU: ~1e-5 relative error
+    # (vs 2e-3 at DEFAULT single-pass bf16, which shifts gated results)
+    # at ~3x the cost of one pass — still ~3x faster than the FFT call.
+    dot = partial(jnp.matmul, precision=jax.lax.Precision.HIGH)
+    re = dot(frames, jnp.cos(ang))
+    im = dot(frames, jnp.sin(ang))
+    return jax.lax.complex(re, -im)
+
+
 def stft(
     y: jnp.ndarray,
     n_fft: int,
@@ -89,7 +132,10 @@ def stft(
 
     win = jnp.asarray(hann_window(n_fft) if window is None else window)
     frames = frame_signal(y, n_fft, hop_length, center=center) * win
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    if n_fft <= _MATMUL_DFT_MAX_NFFT and _on_accelerator():
+        spec = _dft_rfft_matmul(frames, n_fft)
+    else:
+        spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     return jnp.swapaxes(spec, -1, -2)
 
 
