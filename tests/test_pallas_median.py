@@ -29,3 +29,15 @@ def test_pallas_median_handles_tile_remainders():
     out = np.asarray(median31_last_axis(jnp.asarray(x), interpret=True))
 
     np.testing.assert_allclose(out, ref, atol=0.0)
+
+
+def test_pallas_first_axis_median_matches_xla_reference():
+    from track_analyser_tpu.ops.pallas_median import median31_first_axis
+
+    rng = np.random.default_rng(2)
+    # Includes tile remainders on both axes.
+    for shape in ((40, 700), (33, 513), (100, 512)):
+        x = rng.normal(size=shape).astype(np.float32)
+        ref = np.asarray(median_filter_1d(jnp.asarray(x), 31, axis=-2))
+        out = np.asarray(median31_first_axis(jnp.asarray(x), interpret=True))
+        np.testing.assert_allclose(out, ref, atol=0.0)

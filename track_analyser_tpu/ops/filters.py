@@ -127,11 +127,15 @@ def hpss(s: jnp.ndarray, *, kernel_size: int = 31, power: float = 2.0) -> tuple[
     is the CPU/reference implementation.
     """
 
-    from .pallas_median import median31_last_axis, supported as _pallas_ok
+    from .pallas_median import (
+        median31_first_axis,
+        median31_last_axis,
+        supported as _pallas_ok,
+    )
 
     if kernel_size == 31 and s.ndim == 2 and _pallas_ok():
         harm_ref = median31_last_axis(s)
-        perc_ref = median31_last_axis(s.T).T
+        perc_ref = median31_first_axis(s)  # no transpose round trip
     else:
         harm_ref = median_filter_1d(s, kernel_size, axis=-1)
         perc_ref = median_filter_1d(s, kernel_size, axis=-2)

@@ -21,7 +21,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["median31_last_axis", "supported"]
+__all__ = ["median31_last_axis", "median31_first_axis", "supported"]
 
 _SIZE = 31
 _BF = 32  # sublane tile (rows)
@@ -107,6 +107,70 @@ def _median31_kernel(x_hbm, out_ref, slab, sem):
     # Median of 31 values = ascending-sorted index 15 (the +inf pad sits
     # at index 31 and never reaches 15).
     out_ref[:, :] = vals[15]
+
+
+def _median31_rows_kernel(x_hbm, out_ref, slab, sem):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * _BF, _BF + _ROW_HALO), pl.ds(j * _BT, _BT)],
+        slab,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    vals = [slab[k : k + _BF, :] for k in range(_SIZE)]
+    vals.append(jnp.full((_BF, _BT), jnp.inf, dtype=slab.dtype))
+
+    for a, b, ascending, a_live, b_live in _median_ops(32, 15):
+        va, vb = vals[a], vals[b]
+        if a_live and b_live:
+            lo = jnp.minimum(va, vb)
+            hi = jnp.maximum(va, vb)
+            vals[a], vals[b] = (lo, hi) if ascending else (hi, lo)
+        elif a_live:
+            vals[a] = jnp.minimum(va, vb) if ascending else jnp.maximum(va, vb)
+        else:
+            vals[b] = jnp.maximum(va, vb) if ascending else jnp.minimum(va, vb)
+
+    out_ref[:, :] = vals[15]
+
+
+_ROW_HALO = 32  # >= _SIZE - 1, multiple of the 32-row DMA tile
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def median31_first_axis(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarray:
+    """Sliding median (size 31, reflect boundaries) along the FIRST axis
+    of a 2-D array — the window runs across sublanes, so the percussive
+    (frequency-direction) HPSS median needs no transpose round trip
+    through HBM. Numerically identical to
+    filters.median_filter_1d(x, 31, axis=-2)."""
+
+    f, t = x.shape
+    radius = _SIZE // 2
+    fp = -(-f // _BF) * _BF
+    tp = -(-t // _BT) * _BT
+    # [reflect(15) above | signal | reflect(15) below, zero to tile+halo]
+    xp = jnp.pad(x, ((radius, radius), (0, tp - t)), mode="reflect")
+    xp = jnp.pad(xp, ((0, fp + _ROW_HALO - (f + 2 * radius)), (0, 0)))
+
+    out = pl.pallas_call(
+        _median31_rows_kernel,
+        grid=(fp // _BF, tp // _BT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (_BF, _BT), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((fp, tp), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_BF + _ROW_HALO, _BT), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp)
+    return out[:f, :t]
 
 
 @partial(jax.jit, static_argnames=("interpret",))
