@@ -86,10 +86,12 @@ def main() -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=1) as warm_pool:
+    with ThreadPoolExecutor(max_workers=2) as warm_pool:
         fused_fut = warm_pool.submit(analyse_track_fused, tracks[0])
+        i8_fut = warm_pool.submit(analyse_track_fused, tracks[0], transport="int8")
         analyse_library(tracks)  # warms every bucket's batched executable
         result = fused_fut.result()
+        i8_fut.result()  # int8 single-track executable (probed below)
     warm = time.perf_counter() - t0
     print(
         f"[bench] warmup (fused + all sweep buckets, concurrent) {warm:.1f} s "
@@ -114,10 +116,10 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Headline: pipelined sweep over the mixed-duration library, best-of-3
+    # Headline: pipelined sweep over the mixed-duration library, best-of-5
     # (relay throughput varies ~2x run to run), normalised to 180 s/track.
     sweeps = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         out = analyse_library(tracks)
         sweeps.append(time.perf_counter() - t0)
