@@ -64,10 +64,35 @@ def main() -> None:
 
     enable_persistent_compilation_cache()
 
+    # Build the native host kernels (fused pad+quantise + codec fast
+    # paths) once up front — seconds of g++, then host quantise costs one
+    # memory pass instead of several numpy passes per track.
+    try:
+        from track_analyser_tpu.native.build import build as build_native
+
+        build_native(verbose=False)
+    except Exception:
+        pass
+
     import jax
 
     dev = jax.devices()[0]
     print(f"[bench] device: {dev}", file=sys.stderr)
+
+    # On-device DFT-basis probe: the MXU matmul DFT (ops/stft.py) claims
+    # ~1e-5 relative error at Precision.HIGH; CPU tests can't see bf16
+    # MXU behaviour, so verify it here on the real accelerator.
+    if dev.platform != "cpu":
+        import jax.numpy as jnp
+        from track_analyser_tpu.ops.stft import _dft_rfft_matmul
+
+        rng = np.random.default_rng(0)
+        frames = jnp.asarray(rng.standard_normal((64, 2048)).astype(np.float32))
+        got = jax.device_get(jax.jit(_dft_rfft_matmul, static_argnums=1)(frames, 2048))
+        want = np.fft.rfft(np.asarray(frames), axis=-1)
+        rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        print(f"[bench] matmul-DFT max rel err vs rfft: {rel:.2e}", file=sys.stderr)
+        assert rel < 5e-4, f"matmul DFT drifted: rel err {rel:.2e}"
 
     # Three distinct durations -> three padded buckets -> three compiled
     # executables in one sweep (the honest shape mix).
@@ -85,13 +110,14 @@ def main() -> None:
     # ~max of the compile sets, not their sum.
     from concurrent.futures import ThreadPoolExecutor
 
+    # The single-track "ms" path dispatches through the SAME batched
+    # executables the sweep uses (batch of 1 on this one-chip host), so
+    # the sweep's bucket warmup covers it — nothing else to compile.
     t0 = time.perf_counter()
     with ThreadPoolExecutor(max_workers=2) as warm_pool:
         fused_fut = warm_pool.submit(analyse_track_fused, tracks[0])
-        i8_fut = warm_pool.submit(analyse_track_fused, tracks[0], transport="int8")
         analyse_library(tracks)  # warms every bucket's batched executable
         result = fused_fut.result()
-        i8_fut.result()  # int8 single-track executable (probed below)
     warm = time.perf_counter() - t0
     print(
         f"[bench] warmup (fused + all sweep buckets, concurrent) {warm:.1f} s "
@@ -102,19 +128,18 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Single-track latency per transport (includes host quantise+upload);
-    # "ms" (mid int8 + side int4) is the default for stereo sources.
-    for transport in ("int8", "ms"):
-        lat = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            analyse_track_fused(tracks[0], transport=transport)
-            lat.append(time.perf_counter() - t0)
-        print(
-            f"[bench] single-track ({transport}) latency ms: "
-            f"{[round(x*1e3,1) for x in lat]}",
-            file=sys.stderr,
-        )
+    # Single-track latency (includes host quantise+upload); "ms" is the
+    # default transport. (The int8/int16 transports share the accuracy
+    # gates in tests but are not warmed here — fewer relay compiles.)
+    lat = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        analyse_track_fused(tracks[0], transport="ms")
+        lat.append(time.perf_counter() - t0)
+    print(
+        f"[bench] single-track (ms) latency ms: {[round(x*1e3,1) for x in lat]}",
+        file=sys.stderr,
+    )
 
     # Headline: pipelined sweep over the mixed-duration library, best-of-5
     # (relay throughput varies ~2x run to run), normalised to 180 s/track.
@@ -124,6 +149,7 @@ def main() -> None:
         out = analyse_library(tracks)
         sweeps.append(time.perf_counter() - t0)
         assert len(out) == len(tracks)
+        assert all(hasattr(r, "beat") for r in out), "sweep produced failures"
     elapsed = min(sweeps)
     ms = elapsed / (total_audio_s / 180.0) * 1e3
     print(

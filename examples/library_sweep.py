@@ -65,6 +65,9 @@ def main() -> None:
     )
     elapsed = time.perf_counter() - t0
 
+    # analyse_library returns one outcome per source (result | TrackFailure
+    # | SkippedTrack); this fresh sweep of decodable files yields results.
+    results = [r for r in results if hasattr(r, "beat")]
     print(f"\nswept {len(results)} tracks in {elapsed:.1f}s")
     for r in results:
         print(

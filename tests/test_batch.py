@@ -263,7 +263,12 @@ def test_library_sweep_isolates_undecodable_tracks(tmp_path) -> None:
     import json
 
     from synth import sine, write_pcm16_wav
-    from track_analyser_tpu.parallel.batch import analyse_library
+    from track_analyser_tpu.parallel.batch import (
+        SkippedTrack,
+        TrackFailure,
+        analyse_library,
+    )
+    from track_analyser_tpu.pipeline import TrackAnalysisResult
 
     good1 = write_pcm16_wav(tmp_path / "good1.wav", 0.3 * sine(220.0, 1.0, 22_050), 22_050)
     bad = tmp_path / "bad.wav"
@@ -274,7 +279,12 @@ def test_library_sweep_isolates_undecodable_tracks(tmp_path) -> None:
     results = analyse_library(
         [str(good1), str(bad), str(good2)], manifest_path=manifest
     )
-    assert len(results) == 2
+    # outcomes are per-source and aligned: success, failure, success
+    assert len(results) == 3
+    assert isinstance(results[0], TrackAnalysisResult)
+    assert isinstance(results[1], TrackFailure)
+    assert results[1].source == str(bad) and results[1].error
+    assert isinstance(results[2], TrackAnalysisResult)
 
     records = [json.loads(line) for line in manifest.read_text().splitlines()]
     errors = [r for r in records if "error" in r]
@@ -285,7 +295,9 @@ def test_library_sweep_isolates_undecodable_tracks(tmp_path) -> None:
     results2 = analyse_library(
         [str(good1), str(bad), str(good2)], manifest_path=manifest
     )
-    assert len(results2) == 0  # both good tracks already in the manifest
+    assert isinstance(results2[0], SkippedTrack)
+    assert isinstance(results2[1], TrackFailure)
+    assert isinstance(results2[2], SkippedTrack)
 
     with pytest.raises(RuntimeError):
         analyse_library([str(bad)], on_error="raise")

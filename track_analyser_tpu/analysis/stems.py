@@ -5,9 +5,9 @@ The reference's stem path is an optional torch+demucs download
 framework ships a dependency-free, fully deterministic DSP separator that
 always works on TPU: HPSS soft masks plus band-limited mid/side masking,
 inverted back to audio with the jitted ISTFT. A trainable neural separator
-(models/separation.py, a flax band-split U-Net) can override it when a
-checkpoint is available; any failure falls back to ``None`` exactly like
-the reference ladder.
+(models/separation.py resolving a pure-JAX band-split mask net checkpoint,
+models/separation_net.py) can override it when a checkpoint is available;
+any failure falls back to ``None`` exactly like the reference ladder.
 """
 
 from __future__ import annotations

@@ -1,4 +1,4 @@
-"""Neural stem separation (flax band-split mask U-Net) — checkpoint-gated.
+"""Neural stem separation (checkpoint resolution for the band-split net).
 
 Interface used by analysis/stems.py: ``available()`` reports whether a
 trained checkpoint is present; ``separate(samples, sr, seed)`` returns a
@@ -6,10 +6,11 @@ dict of named stems. Without a checkpoint the DSP separator
 (analysis/stems.py) is authoritative — the same graceful ladder the
 reference applies to demucs (analysis/stems.py:26-61 in the reference).
 
-The architecture (see ``build_model``) is TPU-shaped: STFT front-end,
-band-split linear encoders, a stack of time/band transformer blocks in
-bfloat16, and per-stem complex mask decoders — all static shapes.
-Training utilities live in models/training.py.
+The architecture (models/separation_net.py, pure-JAX parameter dicts) is
+TPU-shaped: STFT front-end, band-split linear encoders, mixing blocks
+(depthwise time conv + band-mixing MLP), and per-stem complex mask
+decoders — all static shapes. Training utilities live in
+models/training.py.
 """
 
 from __future__ import annotations

@@ -39,7 +39,37 @@ from ..substrate import bucket_length, full_track_graph, pack_outputs, unpack_ou
 from ..utils import AudioInput, coerce_audio, deterministic_rng
 from .mesh import data_sharding, make_mesh
 
-__all__ = ["analyse_track_fused", "analyse_library", "result_from_graph_outputs"]
+__all__ = [
+    "analyse_track_fused",
+    "analyse_library",
+    "result_from_graph_outputs",
+    "TrackFailure",
+    "SkippedTrack",
+]
+
+
+from dataclasses import dataclass
+
+
+@dataclass(slots=True)
+class TrackFailure:
+    """Per-source failure record returned by :func:`analyse_library`.
+
+    The reference's pipeline raises on the single track it is given; a
+    library sweep instead isolates the failure (SURVEY.md §5 failure
+    handling) — but must still report it to the caller, not only to the
+    manifest."""
+
+    source: str
+    error: str
+
+
+@dataclass(slots=True)
+class SkippedTrack:
+    """Marker for a source skipped because the manifest already lists it
+    as completed in an earlier (resumed) sweep."""
+
+    source: str
 
 # Bucket executables already seeded by a prewarm dispatch this process
 # (keys: transport, target_sr, mesh device ids, bucket length, payload
@@ -339,13 +369,15 @@ def _single_graph_from_mono_i16(y_i16, n_valid, *, sr):
 
 
 @partial(jax.jit, static_argnames=("sr",))
-def _batched_graph_i16(stereo_i16, n_valid, *, sr):
-    """Module-level jit so repeated analyse_library calls never retrace."""
+def _batched_graph_i16(parts, n_valid, *, sr):
+    """Module-level jit so repeated analyse_library calls never retrace.
+    ``parts`` = (stereo_i16,) — all batched graphs share the
+    (parts_tuple, n_valid) calling convention."""
 
-    def one(s, v):
-        return _core_graph(s.astype(jnp.float32) / 32768.0, v, sr=sr)
+    def one(p, v):
+        return _core_graph(p[0].astype(jnp.float32) / 32768.0, v, sr=sr)
 
-    return jax.vmap(one)(stereo_i16, n_valid)
+    return jax.vmap(one)(parts, n_valid)
 
 
 def _quantise_i16(x: np.ndarray) -> np.ndarray:
@@ -441,11 +473,11 @@ def _dequantise_i8(vals: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("sr",))
-def _batched_graph_i8(vals, scales, n_valid, *, sr):
-    def one(v, s, nv):
-        return _core_graph(_dequantise_i8(v, s), nv, sr=sr)
+def _batched_graph_i8(parts, n_valid, *, sr):
+    def one(p, nv):
+        return _core_graph(_dequantise_i8(p[0], p[1]), nv, sr=sr)
 
-    return jax.vmap(one)(vals, scales, n_valid)
+    return jax.vmap(one)(parts, n_valid)
 
 
 # ---------------------------------------------------------------------------
@@ -459,7 +491,32 @@ def _batched_graph_i8(vals, scales, n_valid, *, sr):
 # stereo scalars (correlation, balance, mid/side RMS) are computed EXACTLY
 # on host from running sums taken during the same quantise pass, so int4
 # coarseness never touches them.
+#
+# Payloads are split into up to _MS_CHUNKS block-aligned time chunks.
+# Chunking serves two masters: each chunk is a separate host->device
+# buffer, so uploads spread across the concurrent relay streams, and the
+# single-track path quantises chunk k+1 while chunk k uploads. The chunk
+# split is a pure function of the bucket length, so the single-track path
+# (batch of 1 on a one-device mesh) and the library sweep share ONE
+# compiled executable per bucket on single-chip hosts.
 # ---------------------------------------------------------------------------
+
+_MS_CHUNKS = 4
+
+
+def _ms_chunk_ranges(n_bucket: int) -> "list[tuple[int, int]]":
+    """Block-aligned [start, end) chunk ranges covering ``n_bucket``."""
+
+    nb = n_bucket // _I8_BLOCK
+    c = max(1, min(_MS_CHUNKS, nb))
+    base, rem = divmod(nb, c)
+    ranges = []
+    pos = 0
+    for i in range(c):
+        size = (base + (1 if i < rem else 0)) * _I8_BLOCK
+        ranges.append((pos, pos + size))
+        pos += size
+    return ranges
 
 
 def _stereo_stats(l: np.ndarray, r: np.ndarray, n_valid: int) -> np.ndarray:
@@ -515,11 +572,141 @@ def _quantise_ms(
     return mid_i8, mid_scales, side_u4, side_scales, noise_power, stats
 
 
+def _host_stereo_widths(
+    channels: np.ndarray,
+    sr: int,
+    *,
+    n_fft: int = 2048,
+    hop: int = 512,
+    max_frames: int = 192,
+) -> np.ndarray:
+    """Per-band stereo widths sqrt(E_side/E_mid) computed on HOST in f64.
+
+    Same estimator as the device graph (hann n_fft/hop STFT band-energy
+    means over the 0-200 / 200-2000 / 2000-nyquist bands,
+    substrate.full_track_graph) evaluated over an evenly strided subset
+    of frames (<= max_frames), so the mid/side transport does not need to
+    ship the side channel at all — three f64 scalars replace 0.5 bytes
+    per sample of int4 side payload. Strided sampling error on the
+    band-energy RATIO is far below the int4 quantisation noise it
+    replaces (tests/test_batch.py pins it against the full-frame device
+    estimator)."""
+
+    from ..ops.stft import hann_window
+
+    l = channels[0].astype(np.float64, copy=False)
+    r = channels[-1].astype(np.float64, copy=False)
+    n = l.shape[-1]
+    if n == 0:
+        return np.zeros(3)
+    total = 1 + n // hop
+    stride = max(1, total // max_frames)
+    starts = np.arange(0, total, stride) * hop - n_fft // 2  # centred frames
+    pad = n_fft // 2
+    lp = np.pad(l, (pad, n_fft))
+    rp = np.pad(r, (pad, n_fft))
+    idx = (starts + pad)[:, None] + np.arange(n_fft)[None, :]
+    win = hann_window(n_fft).astype(np.float64)
+    fl = lp[idx] * win
+    fr = rp[idx] * win
+    sm = np.fft.rfft(0.5 * (fl + fr), axis=-1)
+    ss = np.fft.rfft(0.5 * (fl - fr), axis=-1)
+    mid_e = np.abs(sm) ** 2
+    side_e = np.abs(ss) ** 2
+
+    freqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
+    nyq = sr / 2.0
+    widths = np.zeros(3)
+    for k, (lo_f, hi_f) in enumerate(
+        ((0.0, min(200.0, nyq)), (200.0, min(2000.0, nyq)), (2000.0, nyq))
+    ):
+        band = (freqs >= lo_f) & (freqs <= hi_f)
+        m = float(np.mean(mid_e[:, band])) if band.any() else 0.0
+        s = float(np.mean(side_e[:, band])) if band.any() else 0.0
+        widths[k] = 0.0 if m <= 1e-12 else float(np.sqrt(s / m))
+    return widths
+
+
+def _quantise_ms_range(
+    channels: np.ndarray, n_in: int, start: int, end: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float, np.ndarray]:
+    """Mid/side quantise of source samples [start, end) (block-aligned).
+
+    Returns (mid_i8 (L,), mid_scales (L/B,), side_u4 (L/2,), side_scales
+    (L/B,), noise_acc = sum over blocks of (side_scale/7)^2, stats (8,)
+    partial f64 sums). Chunk outputs concatenate to exactly the full-track
+    _quantise_ms result (block boundaries align), so the single-track
+    chunked pipeline and the sweep's full-track pass share numerics."""
+
+    blocklen = end - start
+    valid = int(max(0, min(n_in - start, blocklen)))
+    l = channels[0, start : start + valid]
+    r = channels[-1, start : start + valid]
+
+    lv = l.astype(np.float64, copy=False)
+    rv = r.astype(np.float64, copy=False)
+    stats = np.array(
+        [
+            float(valid),
+            float(lv.sum()),
+            float(rv.sum()),
+            float(np.dot(lv, lv)),
+            float(np.dot(rv, rv)),
+            float(np.dot(lv, rv)),
+            float(np.abs(lv).sum()),
+            float(np.abs(rv).sum()),
+        ]
+    )
+
+    mid = np.zeros(blocklen, dtype=np.float32)
+    side = np.zeros(blocklen, dtype=np.float32)
+    np.multiply(np.add(l, r, dtype=np.float32), np.float32(0.5), out=mid[:valid])
+    np.multiply(np.subtract(l, r, dtype=np.float32), np.float32(0.5), out=side[:valid])
+
+    mid_i8, mid_scales = _quantise_i8(mid[None, :])
+    mid_i8, mid_scales = mid_i8[0], mid_scales[0]
+
+    nb = blocklen // _I8_BLOCK
+    blocks = side.reshape(nb, _I8_BLOCK)
+    side_scales = np.abs(blocks).max(axis=-1).astype(np.float32)
+    inv = np.float32(7.0) / np.where(side_scales > 0, side_scales, np.float32(1.0))
+    q = np.rint(np.clip(blocks * inv[:, None], -7.0, 7.0)).astype(np.int8)
+    codes = (q.reshape(blocklen) + 8).astype(np.uint8)
+    side_u4 = (codes[0::2] | (codes[1::2] << 4)).astype(np.uint8)
+
+    valid_blocks_total = max(1, -(-n_in // _I8_BLOCK))
+    first_block = start // _I8_BLOCK
+    n_noise = int(np.clip(valid_blocks_total - first_block, 0, nb))
+    step = side_scales[:n_noise].astype(np.float64) / 7.0
+    noise_acc = float(np.sum(step * step))
+    return mid_i8, mid_scales, side_u4, side_scales, noise_acc, stats
+
+
+def _chunk_ms_payload(
+    mid_i8: np.ndarray,
+    mid_scales: np.ndarray,
+    side_u4: "np.ndarray | None",
+    side_scales: "np.ndarray | None",
+    noise_power,
+    n_bucket: int,
+) -> tuple:
+    """Assemble the chunked parts tuple the batched ms graphs consume:
+    stereo = (mid chunks..., side chunks..., mid_scales, side_scales,
+    noise); mono = (mid chunks..., mid_scales)."""
+
+    ranges = _ms_chunk_ranges(n_bucket)
+    mid_parts = tuple(mid_i8[s:e] for s, e in ranges)
+    if side_u4 is None:
+        return mid_parts + (mid_scales,)
+    side_parts = tuple(side_u4[s // 2 : e // 2] for s, e in ranges)
+    return mid_parts + side_parts + (mid_scales, side_scales, np.float32(noise_power))
+
+
 def _stage_payload_ms(audio: AudioInput, n_bucket: int) -> tuple[tuple, np.ndarray, int]:
     """(device_parts, stats, n_valid) for the mid/side transport. Uses the
     fused native kernel (one pass, GIL released) when built.
 
-    Mono sources return only (mid_i8, mid_scales): their side channel is
+    Mono sources ship only the mid chunks + scales: their side channel is
     identically zero, so shipping it would waste half the payload. The
     part count selects the device graph (_batched_graph_ms_mono)."""
 
@@ -536,8 +723,12 @@ def _stage_payload_ms(audio: AudioInput, n_bucket: int) -> tuple[tuple, np.ndarr
         st, n = _pad_track(audio, n_bucket)
         mid_i8, mid_scales, side_u4, side_scales, noise_power, stats = _quantise_ms(st, n)
     if audio.stereo_samples is None:
-        return (mid_i8, mid_scales), stats, n
-    return (mid_i8, mid_scales, side_u4, side_scales, np.float32(noise_power)), stats, n
+        payload = _chunk_ms_payload(mid_i8, mid_scales, None, None, None, n_bucket)
+    else:
+        payload = _chunk_ms_payload(
+            mid_i8, mid_scales, side_u4, side_scales, noise_power, n_bucket
+        )
+    return payload, stats, n
 
 
 def _dequantise_mono_i8(vals, scales):
@@ -562,45 +753,37 @@ def _dequantise_ms(mid_i8, mid_scales, side_u4, side_scales):
 
 
 @partial(jax.jit, static_argnames=("sr",))
-def _batched_graph_ms_mono(mid, mscales, n_valid, *, sr):
-    """Mono chunks of a library sweep: the side channel is identically
-    zero, so only the mid int8 payload ships — half the bytes of the
-    duplicated-channel transports."""
+def _batched_graph_ms_mono(parts, n_valid, *, sr):
+    """Mono chunks of a library sweep or a single mono track: the side
+    channel is identically zero, so only the mid int8 chunks ship — half
+    the bytes of the duplicated-channel transports. ``parts`` is the
+    chunked tuple (mid chunks..., mid_scales), each leaf batched."""
 
-    def one(m, ms, nv):
-        y = _dequantise_mono_i8(m, ms)
+    def one(p, nv):
+        c = len(p) - 1
+        y = _dequantise_mono_i8(jnp.concatenate(p[:c], axis=-1), p[c])
         return _core_graph(jnp.stack([y, y]), nv, sr=sr)
 
-    return jax.vmap(one)(mid, mscales, n_valid)
+    return jax.vmap(one)(parts, n_valid)
 
 
 @partial(jax.jit, static_argnames=("sr",))
-def _single_graph_mono_i8_split(mid_a, mid_b, mscales, n_valid, *, sr):
-    """Mono single-track fast path: bucket-padded blockwise-int8 mono in
-    two time-halves on two concurrent relay streams."""
+def _batched_graph_ms(parts, n_valid, *, sr):
+    """Stereo mid/side graph over the chunked parts tuple (mid chunks...,
+    side chunks..., mid_scales, side_scales, noise), each leaf batched.
+    The chunk concat is one cheap HBM pass; chunking exists so uploads
+    ride multiple relay streams and overlap host quantisation."""
 
-    y = _dequantise_mono_i8(jnp.concatenate([mid_a, mid_b]), mscales)
-    return _core_graph(jnp.stack([y, y]), n_valid, sr=sr)
+    def one(p, nv):
+        c = (len(p) - 3) // 2
+        mid = jnp.concatenate(p[:c], axis=-1)
+        side = jnp.concatenate(p[c : 2 * c], axis=-1)
+        mscales, sscales, noise = p[2 * c], p[2 * c + 1], p[2 * c + 2]
+        return _core_graph(
+            _dequantise_ms(mid, mscales, side, sscales), nv, sr=sr, side_noise_power=noise
+        )
 
-
-@partial(jax.jit, static_argnames=("sr",))
-def _batched_graph_ms(mid, mscales, side, sscales, noise, n_valid, *, sr):
-    def one(m, ms, s, ss, nz, nv):
-        return _core_graph(_dequantise_ms(m, ms, s, ss), nv, sr=sr, side_noise_power=nz)
-
-    return jax.vmap(one)(mid, mscales, side, sscales, noise, n_valid)
-
-
-@partial(jax.jit, static_argnames=("sr",))
-def _single_graph_ms_split(mid_a, mid_b, side_a, side_b, mscales, sscales, noise, n_valid, *, sr):
-    """Mid/side single-track graph with each buffer in two time-halves so
-    the upload rides two concurrent relay streams (as the int8 path does)."""
-
-    mid = jnp.concatenate([mid_a, mid_b])
-    side = jnp.concatenate([side_a, side_b])
-    return _core_graph(
-        _dequantise_ms(mid, mscales, side, sscales), n_valid, sr=sr, side_noise_power=noise
-    )
+    return jax.vmap(one)(parts, n_valid)
 
 
 def _apply_host_stereo_stats(out: Dict[str, np.ndarray], stats: np.ndarray) -> None:
@@ -632,13 +815,113 @@ def _single_graph_i8_split(vals_a, vals_b, scales, n_valid, *, sr):
 
 
 _single_upload_pool: "ThreadPoolExecutor | None" = None
+_single_upload_pool_lock = threading.Lock()
 
 
 def _upload_pool() -> ThreadPoolExecutor:
     global _single_upload_pool
     if _single_upload_pool is None:
-        _single_upload_pool = ThreadPoolExecutor(max_workers=2)
+        with _single_upload_pool_lock:
+            if _single_upload_pool is None:
+                _single_upload_pool = ThreadPoolExecutor(max_workers=2)
     return _single_upload_pool
+
+
+_single_mesh_cache: "dict | None" = None
+
+
+def _single_mesh():
+    """One-device ``data`` mesh for single-track dispatches. On a
+    single-chip host this makes the single-track path and the library
+    sweep share the SAME compiled executable per bucket (batch dim 1,
+    identical shardings) — one relay compile instead of two."""
+
+    global _single_mesh_cache
+    if _single_mesh_cache is None:
+        _single_mesh_cache = make_mesh((1,), ("data",), devices=[jax.devices()[0]])
+    return _single_mesh_cache
+
+
+def _put_batched(arr: np.ndarray):
+    """device_put one payload part with a leading batch-of-1 axis, laid
+    out exactly as the library sweep stages its chunks."""
+
+    batched = arr[None]
+    return jax.device_put(batched, data_sharding(_single_mesh(), rank=batched.ndim))
+
+
+def _dispatch_single_ms(audio: AudioInput, n_bucket: int):
+    """Single-track mid/side dispatch through the BATCHED executable
+    (batch of 1 on a one-device mesh).
+
+    The payload uploads as block-aligned chunks on the 2-stream pool;
+    without the native kernel, chunk k+1 is quantised while chunk k
+    uploads (the intra-track version of the sweep's pipelining). Returns
+    (device output handle, host-exact stereo stats)."""
+
+    sr = audio.sample_rate
+    n = len(audio.samples)
+    ranges = _ms_chunk_ranges(n_bucket)
+    pool = _upload_pool()
+    channels = _source_channels(audio)
+    if channels.ndim == 1:
+        channels = channels[None, :]
+    mono = audio.stereo_samples is None
+
+    try:
+        from ..native import binding as native_binding
+
+        native = native_binding.quantise_ms(channels, n_bucket, _I8_BLOCK)
+    except Exception:
+        native = None
+
+    if native is not None:
+        # one fused native pass (GIL released), then chunked uploads
+        mid_i8, mscales, side_u4, sscales, noise, stats = native
+        mid_futs = [pool.submit(_put_batched, mid_i8[s:e]) for s, e in ranges]
+        side_futs = (
+            None
+            if mono
+            else [pool.submit(_put_batched, side_u4[s // 2 : e // 2]) for s, e in ranges]
+        )
+    else:
+        mid_futs = []
+        side_futs = None if mono else []
+        msc, ssc = [], []
+        noise_acc = 0.0
+        stats = np.zeros(8)
+        for s, e in ranges:
+            mc, m_sc, sc, s_sc, nacc, st = _quantise_ms_range(channels, n, s, e)
+            mid_futs.append(pool.submit(_put_batched, mc))
+            if not mono:
+                side_futs.append(pool.submit(_put_batched, sc))
+            msc.append(m_sc)
+            ssc.append(s_sc)
+            noise_acc += nacc
+            stats += st
+        mscales = np.concatenate(msc)
+        sscales = np.concatenate(ssc)
+        valid_blocks = max(1, -(-n // _I8_BLOCK))
+        noise = np.float32(noise_acc / valid_blocks / 12.0)
+
+    if mono:
+        tail = (np.asarray(mscales),)
+    else:
+        tail = (np.asarray(mscales), np.asarray(sscales), np.float32(noise))
+    tail_staged = tuple(_put_batched(np.asarray(t)) for t in tail)
+    parts = tuple(f.result() for f in mid_futs)
+    if not mono:
+        parts = parts + tuple(f.result() for f in side_futs)
+    parts = parts + tail_staged
+    vb = jax.device_put(np.asarray([n]), data_sharding(_single_mesh()))
+
+    graph = _batched_graph_ms_mono if mono else _batched_graph_ms
+    out = graph(parts, vb, sr=sr)
+    # On single-chip hosts this executable IS the sweep's bucket
+    # executable; record it so library prewarm skips a redundant compile.
+    mesh_ids = tuple(int(d.id) for d in _single_mesh().devices.flat)
+    _WARMED_EXECUTABLES.add(("ms", sr, mesh_ids, n_bucket, len(parts)))
+    return out, stats
 
 
 def analyse_track_fused(
@@ -668,40 +951,14 @@ def analyse_track_fused(
     n_bucket = bucket_length(n) if bucket else n
     if transport == "auto":
         transport = "ms"
+    if transport in ("ms", "int8") and n_bucket % _I8_BLOCK:
+        # Blockwise transports reshape the payload into _I8_BLOCK blocks;
+        # bucket lengths always divide (hop*128 == _I8_BLOCK) but
+        # bucket=False lengths need rounding up (padding is masked out).
+        n_bucket = -(-n_bucket // _I8_BLOCK) * _I8_BLOCK
     stats = None
     if transport == "ms":
-        parts, stats, n_valid = _stage_payload_ms(audio, n_bucket)
-        half = parts[0].shape[-1] // 2
-        pool = _upload_pool()
-        if len(parts) == 2:  # mono: mid int8 only, two streams
-            mid_i8, mscales = parts
-            fut_ma = pool.submit(jax.device_put, mid_i8[:half])
-            fut_mb = pool.submit(jax.device_put, mid_i8[half:])
-            out = _single_graph_mono_i8_split(
-                fut_ma.result(),
-                fut_mb.result(),
-                jax.device_put(mscales),
-                jnp.asarray(n_valid),
-                sr=audio.sample_rate,
-            )
-        else:
-            mid_i8, mscales, side_u4, sscales, noise = parts
-            # two balanced streams: (mid_a + side_a) and (mid_b + side_b)
-            fut_ma = pool.submit(jax.device_put, mid_i8[:half])
-            fut_sa = pool.submit(jax.device_put, side_u4[: half // 2])
-            fut_mb = pool.submit(jax.device_put, mid_i8[half:])
-            fut_sb = pool.submit(jax.device_put, side_u4[half // 2 :])
-            out = _single_graph_ms_split(
-                fut_ma.result(),
-                fut_mb.result(),
-                fut_sa.result(),
-                fut_sb.result(),
-                jax.device_put(mscales),
-                jax.device_put(sscales),
-                jnp.asarray(noise),
-                jnp.asarray(n_valid),
-                sr=audio.sample_rate,
-            )
+        out, stats = _dispatch_single_ms(audio, n_bucket)
     elif transport == "int8":
         (vals, scales), n_valid = _stage_payload_i8(audio, n_bucket)
         half = vals.shape[-1] // 2
@@ -732,6 +989,8 @@ def analyse_track_fused(
             jnp.asarray(stereo.copy()), jnp.asarray(n_valid), sr=audio.sample_rate
         )
     fetched = jax.device_get(out)
+    if transport == "ms":  # batched executable: strip the batch-of-1 axis
+        fetched = tuple(np.asarray(f)[0] for f in fetched)
     out_dict = unpack_outputs(*fetched[:3])
     if len(fetched) > 3:
         out_dict["net_prob"] = np.asarray(fetched[3])
@@ -755,8 +1014,15 @@ def analyse_library(
     transport: str = "ms",
     on_error: str = "skip",
     prewarm: Optional[bool] = None,
-) -> List[TrackAnalysisResult]:
+) -> "List[TrackAnalysisResult | TrackFailure | SkippedTrack]":
     """Analyse a library of tracks through a bounded streaming pipeline.
+
+    Returns one outcome PER SOURCE, aligned with ``sources``: a
+    :class:`TrackAnalysisResult` on success, a :class:`TrackFailure`
+    (source + error text) when the track could not be decoded/coerced, or
+    a :class:`SkippedTrack` when a manifest from an earlier sweep already
+    lists it as done. Nothing is silently dropped — callers filter with
+    ``isinstance(r, TrackAnalysisResult)``.
 
     Four overlapped stages, each bounded so memory stays O(prefetch), not
     O(library):
@@ -807,11 +1073,15 @@ def analyse_library(
             except (json.JSONDecodeError, KeyError):
                 continue
 
-    todo: List[tuple[int, "str | AudioInput"]] = [
-        (i, s)
-        for i, s in enumerate(sources)
-        if not (isinstance(s, (str, Path)) and str(s) in done)
-    ]
+    results: "List[Optional[TrackAnalysisResult | TrackFailure | SkippedTrack]]" = [
+        None
+    ] * len(sources)
+    todo: List[tuple[int, "str | AudioInput"]] = []
+    for i, s in enumerate(sources):
+        if isinstance(s, (str, Path)) and str(s) in done:
+            results[i] = SkippedTrack(source=str(s))
+        else:
+            todo.append((i, s))
 
     def _load(item):
         idx, src = item
@@ -852,7 +1122,7 @@ def analyse_library(
             stacked = np.stack([p[part] for p in payloads])
             staged.append(jax.device_put(stacked, data_sharding(mesh, rank=stacked.ndim)))
         vb = jax.device_put(np.asarray(valids), data_sharding(mesh))
-        return staged, vb
+        return tuple(staged), vb
 
     def _batched_for(chunk):
         """Executable for a chunk — chosen by transport and, for "ms",
@@ -860,14 +1130,15 @@ def analyse_library(
         chunks never mix the two, see the bucket key in _absorb)."""
 
         if transport == "ms":
-            if len(chunk[0][3]) == 2:
+            n_bucket = bucket_length(len(chunk[0][2].samples))
+            c = len(_ms_chunk_ranges(n_bucket))
+            if len(chunk[0][3]) == c + 1:
                 return partial(_batched_graph_ms_mono, sr=target_sr)
             return partial(_batched_graph_ms, sr=target_sr)
         if transport == "int8":
             return partial(_batched_graph_i8, sr=target_sr)
         return partial(_batched_graph_i16, sr=target_sr)
 
-    results: List[Optional[TrackAnalysisResult]] = [None] * len(sources)
     n_done = 0
     total = len(todo)
 
@@ -947,7 +1218,7 @@ def analyse_library(
             zero = tuple(np.zeros_like(p) for p in payload)
             chunk = [(idx, src, audio, zero, len(audio.samples), None)]
             staged, vb = _stage(chunk)
-            jax.block_until_ready(_batched_for(chunk)(*staged, vb))
+            jax.block_until_ready(_batched_for(chunk)(staged, vb))
         except Exception:
             pass  # warming is best-effort; the real dispatch will compile
 
@@ -962,7 +1233,9 @@ def analyse_library(
         nonlocal n_done
         idx, src, audio, n_bucket, payload, nv, stats = loaded
         if isinstance(audio, Exception):
-            # decode/coerce failure: isolate the track, keep the sweep
+            # decode/coerce failure: isolate the track, keep the sweep,
+            # and surface the outcome to the caller
+            results[idx] = TrackFailure(source=str(src), error=str(audio))
             if manifest:
                 with manifest.open("a") as fh:
                     fh.write(json.dumps({"source": str(src), "error": str(audio)}) + "\n")
@@ -1013,7 +1286,7 @@ def analyse_library(
                 # and host finishing of earlier ones continue in parallel.
                 chunk, staged_future = staged_q.popleft()
                 staged, vb = staged_future.result()
-                out_handle = _batched_for(chunk)(*staged, vb)  # async dispatch
+                out_handle = _batched_for(chunk)(staged, vb)  # async dispatch
                 dispatched_q.append(finish_pool.submit(_finish, chunk, out_handle))
                 while len(dispatched_q) > stage_depth:
                     dispatched_q.popleft().result()
@@ -1025,4 +1298,4 @@ def analyse_library(
         finish_pool.shutdown(wait=True)
         warm_pool.shutdown(wait=True)
 
-    return [r for r in results if r is not None]
+    return results
