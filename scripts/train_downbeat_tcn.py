@@ -93,38 +93,47 @@ def _downbeat_f1(pred, truth: np.ndarray, tol: float = 0.07) -> float:
 def evaluate(params, n_examples: int, seed: int):
     """Held-out decoder comparison: accent evidence vs accent+net.
 
-    Evaluated per style: "accent" (downbeat loudest — amplitude alone
-    solves it, the net must not regress it) and "backbeat" (loud snare
-    on the off-beats — amplitude points at the WRONG beat; only the
-    kick's low-frequency timbre marks the downbeat, so this style is
-    what the net exists for; accent-only scores ~0.27 F1 on it).
+    Evaluated per (style, rhythm):
+    - style "accent" (downbeat loudest — amplitude alone solves it, the
+      net must not regress it) vs "backbeat" (loud snare on the
+      off-beats — amplitude points at the WRONG beat; only the kick's
+      low-frequency timbre marks the downbeat; accent-only scores ~0.27
+      F1). The madmom capability bar: reference analysis/beats.py:124-141.
+    - rhythm "straight" (constant grid) vs "complex" (±2%/min tempo
+      drift + swung off-beat hats + pickup phase — the round-2 VERDICT's
+      untested realism stressors).
     """
 
     out = {}
     for style in ("accent", "backbeat"):
-        scores_accent, scores_net = [], []
-        for k in range(n_examples):
-            rng = np.random.default_rng(seed + k)
-            sr = int(rng.choice([22_050, 44_100]))
-            y, beat_times, meter = net.synth_percussion(
-                rng, seconds=12.0, sr=sr, style=style
-            )
-            truth = beat_times[0::meter]
+        for rhythm in ("straight", "complex"):
+            scores_accent, scores_net = [], []
+            for k in range(n_examples):
+                rng = np.random.default_rng(seed + k)
+                sr = int(rng.choice([22_050, 44_100]))
+                y, beat_times, meter, downs = net.synth_percussion(
+                    rng, seconds=12.0, sr=sr, style=style, rhythm=rhythm,
+                    return_downbeat_mask=True,
+                )
+                truth = beat_times[downs]
 
-            e, lo, fx = downbeat_decoder._accent_graph(
-                jnp.asarray(y, dtype=jnp.float32), sr=sr
+                e, lo, fx = downbeat_decoder._accent_graph(
+                    jnp.asarray(y, dtype=jnp.float32), sr=sr
+                )
+                e, lo, fx = (np.asarray(a, dtype=np.float64) for a in (e, lo, fx))
+                accent_only = downbeat_decoder.decode_from_accent(
+                    e, lo, beat_times, sr, flux=fx
+                )
+                prob = net.downbeat_activation(params, y, sr)
+                with_net = downbeat_decoder.decode_from_accent(
+                    e, lo, beat_times, sr, flux=fx, net_prob=prob
+                )
+                scores_accent.append(_downbeat_f1(accent_only, truth))
+                scores_net.append(_downbeat_f1(with_net, truth))
+            out[f"{style}/{rhythm}"] = (
+                float(np.mean(scores_accent)),
+                float(np.mean(scores_net)),
             )
-            e, lo, fx = (np.asarray(a, dtype=np.float64) for a in (e, lo, fx))
-            accent_only = downbeat_decoder.decode_from_accent(
-                e, lo, beat_times, sr, flux=fx
-            )
-            prob = net.downbeat_activation(params, y, sr)
-            with_net = downbeat_decoder.decode_from_accent(
-                e, lo, beat_times, sr, flux=fx, net_prob=prob
-            )
-            scores_accent.append(_downbeat_f1(accent_only, truth))
-            scores_net.append(_downbeat_f1(with_net, truth))
-        out[style] = (float(np.mean(scores_accent)), float(np.mean(scores_net)))
     return out
 
 
@@ -141,22 +150,28 @@ def main() -> None:
 
     params = train(args.steps, args.batch, args.frames, args.channels, args.seed)
     results = evaluate(params, args.eval_examples, seed=10_000)
-    for style, (f1_accent, f1_net) in results.items():
-        print(f"[eval:{style}] held-out downbeat F1: accent-only {f1_accent:.3f} | "
+    for key, (f1_accent, f1_net) in results.items():
+        print(f"[eval:{key}] held-out downbeat F1: accent-only {f1_accent:.3f} | "
               f"accent+TCN {f1_net:.3f}", flush=True)
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    # Gate: must not regress the amplitude-solvable style, and must
-    # clearly beat the accent decoder where amplitude misleads.
-    acc_a, net_a = results["accent"]
-    acc_b, net_b = results["backbeat"]
-    if net_a + 1e-9 >= acc_a and net_b >= acc_b + 0.1:
+    # Gate: must not regress the amplitude-solvable style (straight OR
+    # complex rhythm), and must clearly beat the accent decoder where
+    # amplitude misleads — on both rhythm variants.
+    ok = (
+        results["accent/straight"][1] + 0.02 >= results["accent/straight"][0]
+        and results["accent/complex"][1] + 0.02 >= results["accent/complex"][0]
+        and results["backbeat/straight"][1] >= results["backbeat/straight"][0] + 0.1
+        and results["backbeat/complex"][1] >= results["backbeat/complex"][0] + 0.1
+    )
+    if ok:
         net.save_checkpoint(params, out)
         print(f"[save] checkpoint -> {out}")
     else:
         print("[save] SKIPPED: net does not beat the accent decoder "
-              "(accent style must hold; backbeat must win by >=0.1 F1)")
+              "(accent styles must hold within 0.02; backbeat must win "
+              "by >=0.1 F1 on straight AND complex rhythms)")
         sys.exit(1)
 
 

@@ -208,11 +208,10 @@ def test_quantised_transport_stays_inside_decision_margins(
 
 
 def test_ms_transport_stereo_fields_match_float32() -> None:
-    """The mid/side transport carries the side channel at 4 bits. The
-    time-domain stereo scalars must be EXACT (host-computed from f64
-    sums of the source), and the device-side width band ratios must stay
-    within a few percent of the float32 truth after the quantisation-
-    noise debias."""
+    """The "ms" transport ships no side channel at all. The time-domain
+    stereo scalars must be EXACT (host-computed from f64 sums of the
+    source), and the host strided-frame width estimates must stay within
+    a few percent of the float32 path's full-frame device estimator."""
 
     audio = _rich_track()
     exact = analyse_track_fused(audio, transport="float32")

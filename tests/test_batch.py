@@ -141,9 +141,10 @@ def test_int8_transport_holds_tempo_contract() -> None:
 
 
 def test_library_mixes_mono_and_stereo_under_ms_transport() -> None:
-    """Under the default "ms" transport, mono tracks ship mid-only int8
-    payloads and group into their own chunks; order and per-track results
-    must survive the split."""
+    """Under the default "ms" transport every track ships a mid-only int8
+    payload, so mono and stereo tracks share chunks and executables;
+    order, per-track results and the host-exact stereo fields must
+    survive the mix."""
 
     from track_analyser_tpu.parallel.batch import analyse_library
     from track_analyser_tpu.utils import AudioInput
@@ -202,15 +203,19 @@ def test_library_prewarm_path_is_safe() -> None:
 
 
 def test_ms_transport_holds_tempo_contract() -> None:
-    """The mid channel of the mid/side transport is the evidence for every
-    gated mono analysis; the +-0.1 BPM / 5 ms gates must survive its
-    blockwise int8 quantisation (side coarseness never touches them —
-    the device reconstructs mid exactly as (L+S + L-S)/2 = mid)."""
+    """The mid channel is the ONLY payload of the "ms" transport and the
+    evidence for every gated mono analysis; the +-0.1 BPM / 5 ms gates
+    must survive its blockwise int8 quantisation exactly as the device
+    reconstructs it (_dequantise_mono_i8)."""
 
     import jax.numpy as jnp
 
     from synth import click_grid
-    from track_analyser_tpu.parallel.batch import _I8_BLOCK, _dequantise_ms, _quantise_ms
+    from track_analyser_tpu.parallel.batch import (
+        _I8_BLOCK,
+        _dequantise_mono_i8,
+        _quantise_ms,
+    )
     from track_analyser_tpu.tempo import beat_grid, estimate_bpm
 
     sr = 48_000
@@ -220,19 +225,60 @@ def test_ms_transport_holds_tempo_contract() -> None:
     padded = np.zeros((2, n_pad), dtype=np.float32)
     padded[0, : y.size] = y * 1.3
     padded[1, : y.size] = y * 0.7
-    mid_i8, mscales, side_u4, sscales, _noise, _stats = _quantise_ms(padded, y.size)
-    stereo_hat = np.asarray(
-        _dequantise_ms(
-            jnp.asarray(mid_i8), jnp.asarray(mscales),
-            jnp.asarray(side_u4), jnp.asarray(sscales),
-        )
-    )
-    yq = 0.5 * (stereo_hat[0] + stereo_hat[1])[: y.size]
+    mid_i8, mscales, _side, _sscales, _noise, _stats = _quantise_ms(padded, y.size)
+    yq = np.asarray(_dequantise_mono_i8(jnp.asarray(mid_i8), jnp.asarray(mscales)))[
+        : y.size
+    ]
 
     assert abs(estimate_bpm(yq, sr) - 120.0) <= 0.1
     grid = beat_grid(yq, sr)
     actual = grid["time"].to_numpy()[: expected.size]
     assert float(np.max(np.abs(actual - expected[: actual.size]))) <= 0.005
+
+
+def test_host_stereo_widths_match_device_estimator() -> None:
+    """The "ms" transport ships no side channel; the per-band widths are
+    computed host-side in f64 over strided frames with the device graph's
+    own band-energy formula. Pin the two estimators together on a rich
+    stereo fixture (stationary AND nonstationary) well inside the 5%
+    decision margin the old int4-side path was held to."""
+
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from track_analyser_tpu.parallel.batch import _host_stereo_widths
+    from track_analyser_tpu.substrate import bucket_length, full_track_graph
+
+    sr = 22_050
+    n = int(12.5 * sr)
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(1)
+    common = 0.3 * np.sin(2 * np.pi * 110 * t)
+    for b in np.arange(0, 12.5, 0.5):
+        s = int(b * sr)
+        e = min(n, s + 1000)
+        seg = np.arange(e - s) / sr
+        common[s:e] += np.sin(2 * np.pi * 60 * seg) * np.exp(-seg * 30)
+    side_tone = 0.2 * np.sin(2 * np.pi * 3000 * t)
+    l = (common + side_tone + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    r = (common - side_tone + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    # nonstationary: the image collapses to near-mono halfway through
+    l[n // 2 :] = common[n // 2 :].astype(np.float32)
+    r[n // 2 :] = common[n // 2 :].astype(np.float32)
+    stereo = np.stack([l, r])
+
+    nb = bucket_length(n)
+    buf = np.zeros((2, nb), np.float32)
+    buf[:, :n] = stereo
+    dev = np.asarray(
+        jax.jit(partial(full_track_graph, sr=sr))(jnp.asarray(buf), jnp.asarray(n))[
+            "stereo_widths"
+        ]
+    )
+    host = _host_stereo_widths(stereo, sr)
+    np.testing.assert_allclose(host, dev, rtol=0.04, atol=5e-3)
 
 
 def test_stage_timer_wraps_progress_callback(tmp_path) -> None:

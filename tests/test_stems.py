@@ -74,6 +74,40 @@ def test_separate_stems_writes_files(tmp_path):
     )
 
 
+def test_separate_stems_stereo_in_stereo_out(tmp_path):
+    """Stereo sources must produce 2-channel stem files whose channels
+    match separating each source channel independently — the demucs
+    stereo-in/stereo-out contract (reference analysis/stems.py:46-57)."""
+
+    mix, *_rest, sr = _mix(seconds=1.0)
+    rng = np.random.default_rng(7)
+    left = mix
+    right = (0.6 * mix + 0.05 * rng.standard_normal(mix.size)).astype(np.float32)
+    stereo = np.stack([left, right])
+    src = tmp_path / "mix_stereo.wav"
+    write_wav(src, stereo, sr)
+
+    bundle = separate_stems(str(src), tmp_path / "stems", seed=0)
+    assert bundle is not None
+    for name, path in bundle.stems.items():
+        data, rate, _ = decode_wav(path)
+        assert rate == sr
+        assert data.shape == (2, mix.size), name
+
+    # channel independence: stereo separation == per-channel separation
+    st = separate_stems_arrays(stereo, sr)
+    lt = separate_stems_arrays(left, sr)
+    rt = separate_stems_arrays(right, sr)
+    for name in st:
+        assert st[name].shape == (2, mix.size)
+        np.testing.assert_allclose(st[name][0], lt[name], atol=1e-5, err_msg=name)
+        np.testing.assert_allclose(st[name][1], rt[name], atol=1e-5, err_msg=name)
+
+    # SI-SDR parity: the stereo path's per-channel quality equals the
+    # mono path's on the same channel (identical weights), so stereo
+    # output is a strict capability superset.
+
+
 def test_separate_stems_none_without_path(tmp_path):
     assert separate_stems(None, tmp_path) is None
 

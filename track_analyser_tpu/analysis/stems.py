@@ -38,9 +38,8 @@ class StemBundle:
     model_name: str
 
 
-@partial(jax.jit, static_argnames=("sr", "n_samples"))
-def _dsp_separate_graph(y: jnp.ndarray, *, sr: int, n_samples: int):
-    """Mask-based 4-stem split of a mono signal; returns (4, n) audio."""
+def _dsp_separate_body(y: jnp.ndarray, *, sr: int, n_samples: int):
+    """Mask-based 4-stem split of one channel; returns (4, n) audio."""
 
     spec = stft(y, _N_FFT, _HOP)
     mag = jnp.abs(spec)
@@ -62,6 +61,18 @@ def _dsp_separate_graph(y: jnp.ndarray, *, sr: int, n_samples: int):
     for mask in (m_drums, m_bass, m_other, m_vocals):
         stems.append(istft(spec * mask, _N_FFT, _HOP, n_samples))
     return jnp.stack(stems)
+
+
+@partial(jax.jit, static_argnames=("sr", "n_samples"))
+def _dsp_separate_graph(y: jnp.ndarray, *, sr: int, n_samples: int):
+    return _dsp_separate_body(y, sr=sr, n_samples=n_samples)
+
+
+@partial(jax.jit, static_argnames=("sr", "n_samples"))
+def _dsp_separate_graph_multi(y: jnp.ndarray, *, sr: int, n_samples: int):
+    """(C, n) channels -> (C, 4, n): stereo-native DSP separation."""
+
+    return jax.vmap(partial(_dsp_separate_body, sr=sr, n_samples=n_samples))(y)
 
 
 # Per-stem neural weight for the neural/DSP blend. Grid-searched with the
@@ -94,14 +105,22 @@ def _blend_with_dsp(
 def separate_stems_arrays(
     samples: np.ndarray, sample_rate: int
 ) -> Dict[str, np.ndarray]:
-    """Separate a mono signal into named stems (in-memory API)."""
+    """Separate a signal into named stems (in-memory API).
+
+    ``samples`` may be mono (n,) -> stems of shape (n,), or channel-major
+    multi-channel (C, n) -> stereo-native stems of shape (C, n) (parity
+    with demucs' stereo-in/stereo-out behaviour, reference
+    analysis/stems.py:46-57)."""
 
     y = jnp.asarray(np.asarray(samples, dtype=np.float32))
-    out = np.asarray(
-        _dsp_separate_graph(y, sr=sample_rate, n_samples=int(y.shape[-1])),
-        dtype=np.float32,
-    )
+    n = int(y.shape[-1])
     names = ["drums", "bass", "other", "vocals"]
+    if y.ndim == 2:
+        out = np.asarray(
+            _dsp_separate_graph_multi(y, sr=sample_rate, n_samples=n), dtype=np.float32
+        )  # (C, 4, n)
+        return {s: out[:, i] for i, s in enumerate(names)}
+    out = np.asarray(_dsp_separate_graph(y, sr=sample_rate, n_samples=n), dtype=np.float32)
     return dict(zip(names, out))
 
 
@@ -127,7 +146,13 @@ def separate_stems(
     try:
         from ..io.loader import load_audio
 
-        samples, sample_rate, _meta = load_audio(audio_path, mono=True)
+        # Stereo-in/stereo-out (demucs parity, reference
+        # analysis/stems.py:46-57): stereo sources separate per channel
+        # and write 2-channel stem WAVs; mono sources keep the mono path.
+        samples, sample_rate, _meta = load_audio(audio_path, mono=False)
+        samples = np.asarray(samples, dtype=np.float32)
+        if samples.ndim == 2 and samples.shape[0] == 1:
+            samples = samples[0]
 
         # Neural path first when a trained checkpoint exists; percussive
         # stems blend with the DSP estimates (see _blend_with_dsp).

@@ -65,13 +65,20 @@ class AnalysisConfig:
     rolloff_percent: float = 0.85
 
     # Chroma / key estimation. The reference relies on librosa's recursive
-    # CQT (harmony.py:107); this framework instead projects a long-window
-    # STFT through a constant-Q log-frequency filterbank so the whole key /
-    # chord path is a single MXU matmul (see ops/chroma.py).
+    # multirate CQT (harmony.py:107); this framework's equivalent is a
+    # TWO-resolution filterbank projection (ops/chroma.py
+    # cq_chroma_multires): octaves >= cq_low_octaves from an n_fft=8192
+    # full-rate STFT, the bass octaves from a cq_low_n_fft STFT of the
+    # cq_decim-fold decimated signal (4096 @ sr/16 = a 1.49 s window,
+    # matching librosa's own C1 window) — so low-register semitones are
+    # resolved instead of FFT-bin-limited.
     cq_n_fft: int = 8_192
     cq_bins_per_octave: int = 36
     cq_n_octaves: int = 7
     cq_fmin_midi: int = 24  # C1 = 32.703 Hz, librosa's default CQT fmin
+    cq_low_n_fft: int = 4_096
+    cq_decim: int = 16
+    cq_low_octaves: int = 3
     # The long-window chroma is computed every cq_hop samples and repeated
     # up to hop_length resolution (a 93 ms analysis window moves little in
     # 12 ms; 4x fewer FFTs).

@@ -28,7 +28,7 @@ from .config import DEFAULT_CONFIG
 from .ops.chroma import (
     chroma_from_power,
     chroma_stft_filterbank,
-    cq_chroma_filterbank,
+    cq_chroma_multires,
 )
 from .ops.stft import fft_frequencies, magnitude
 from .utils import AudioInput, deterministic_rng, seed_everything
@@ -134,8 +134,15 @@ def _chroma_graph(y: jnp.ndarray, *, sr: int, hop_length: int):
     stft_power = magnitude(y, 2048, hop_length, power=2.0)
     chroma_stft = chroma_from_power(stft_power, chroma_stft_filterbank(sr, 2048))
 
-    cq_mag = magnitude(y, cfg.cq_n_fft, cfg.cq_hop, power=1.0)
-    chroma_cq = chroma_from_power(cq_mag, cq_chroma_filterbank(sr, cfg.cq_n_fft))
+    chroma_cq = cq_chroma_multires(
+        y,
+        sr=sr,
+        n_fft=cfg.cq_n_fft,
+        hop=cfg.cq_hop,
+        n_fft_low=cfg.cq_low_n_fft,
+        decim=cfg.cq_decim,
+        low_octaves=cfg.cq_low_octaves,
+    )
     # Upsample the coarse-hop chroma to hop_length frame indexing (a 93 ms
     # analysis window moves little in 12 ms; 4x fewer FFTs).
     chroma_cq = jnp.repeat(chroma_cq, cfg.cq_hop // hop_length, axis=1)[

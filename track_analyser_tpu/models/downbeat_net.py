@@ -292,9 +292,16 @@ def logmel_features(samples: np.ndarray, sr: int = _SR) -> np.ndarray:
 
 
 def synth_percussion(
-    rng: np.random.Generator, *, seconds: float = 6.0, sr: int = _SR, style: "str | None" = None
-) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Synthesise a percussive pattern; return (audio, beat_times, meter).
+    rng: np.random.Generator,
+    *,
+    seconds: float = 6.0,
+    sr: int = _SR,
+    style: "str | None" = None,
+    rhythm: "str | None" = None,
+    return_downbeat_mask: bool = False,
+):
+    """Synthesise a percussive pattern; return (audio, beat_times, meter)
+    (plus the per-beat downbeat mask when ``return_downbeat_mask``).
 
     Shared by training-feature generation and the held-out decoder
     evaluation (scripts/train_downbeat_tcn.py), so both see the same
@@ -308,6 +315,18 @@ def synth_percussion(
       identifies the downbeat. This is the case that separates a
       madmom-class net from an amplitude heuristic (the accent-only
       decoder scores F1 ~0.27 here).
+
+    ``rhythm`` controls timing realism beyond the constant grid (the
+    round-2 VERDICT's "nothing tests tempo drift, swing, or pickup"):
+
+    - "straight" (default): constant tempo, first beat is a downbeat.
+    - "complex": the madmom-capability stressors together — tempo drift
+      up to ±2%/minute (beat times integrate a linearly changing
+      tempo), swung off-beat hats (the "and" lands at 55-67% of the
+      beat instead of 50% — unlabeled events between beats), and a
+      pickup phase (the pattern starts mid-bar, so the first beat is
+      NOT a downbeat).
+    - "auto": "complex" with probability 0.5 (the training setting).
     """
 
     n = int(seconds * sr)
@@ -317,16 +336,35 @@ def synth_percussion(
         style = "backbeat" if rng.random() < 0.4 else "accent"
     if style not in ("accent", "backbeat"):
         raise ValueError(f"unknown percussion style: {style!r}")
-    beat = 60.0 / bpm
-    offset = rng.uniform(0, beat)
+    if rhythm is None:
+        rhythm = "straight"
+    if rhythm == "auto":
+        rhythm = "complex" if rng.random() < 0.5 else "straight"
+    if rhythm not in ("straight", "complex"):
+        raise ValueError(f"unknown rhythm: {rhythm!r}")
+
+    drift = rng.uniform(-0.02, 0.02) if rhythm == "complex" else 0.0  # per minute
+    swing_ratio = rng.uniform(0.55, 0.67) if rhythm == "complex" else 0.5
+    pickup = int(rng.integers(0, meter)) if rhythm == "complex" else 0
+
+    offset = rng.uniform(0, 60.0 / bpm)
+    # Integrate tempo(t) = bpm * (1 + drift * t / 60): each interval uses
+    # the local tempo, so ±2%/min accumulates realistically.
+    times = []
+    t = offset
+    while t < seconds - 0.05:
+        times.append(t)
+        t += 60.0 / (bpm * (1.0 + drift * t / 60.0))
+    beat_times = np.asarray(times)
+    downbeat_mask = (np.arange(beat_times.size) + pickup) % meter == 0
+
     y = rng.normal(0, rng.uniform(0.002, 0.02), n).astype(np.float64)
     t_hit = np.arange(int(0.05 * sr)) / sr
 
-    beat_times = np.arange(offset, seconds - 0.05, beat)
     for i, bt in enumerate(beat_times):
         s = int(bt * sr)
         e = min(n, s + t_hit.size)
-        is_down = (i % meter) == 0
+        is_down = bool(downbeat_mask[i])
         if style == "backbeat":
             amp = rng.uniform(0.35, 0.55) if is_down else rng.uniform(0.8, 1.1)
         else:
@@ -339,23 +377,41 @@ def synth_percussion(
             seg = rng.normal(0, 1.0, t_hit.size) * np.exp(-t_hit * 90)
             seg += 0.5 * np.sin(2 * np.pi * rng.uniform(800, 2000) * t_hit)
         y[s:e] += amp * (seg * np.exp(-t_hit * 25))[: e - s]
+        # swung off-beat hat: an unlabeled event between beats whose
+        # position depends on the swing ratio
+        if rhythm == "complex" and i + 1 < beat_times.size:
+            hs = int((bt + swing_ratio * (beat_times[i + 1] - bt)) * sr)
+            he = min(n, hs + t_hit.size // 3)
+            if he > hs:
+                hat = rng.normal(0, 1.0, he - hs) * np.exp(
+                    -np.arange(he - hs) / (0.004 * sr)
+                )
+                y[hs:he] += rng.uniform(0.15, 0.4) * hat
     # harmonic bed
     y += rng.uniform(0.05, 0.25) * np.sin(2 * np.pi * rng.uniform(80, 300) * np.arange(n) / sr)
+    if return_downbeat_mask:
+        return y, beat_times, meter, downbeat_mask
     return y, beat_times, meter
 
 
 def synthetic_audio_example(
     rng: np.random.Generator, *, seconds: float = 6.0, sr: int = _SR
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Synthesise a percussive pattern; return (feats (T,128), labels (T,))."""
+    """Synthesise a percussive pattern; return (feats (T,128), labels (T,)).
 
-    y, beat_times, meter = synth_percussion(rng, seconds=seconds, sr=sr)
+    Training distribution: rhythm="auto" mixes straight grids with
+    drifting/swung/pickup patterns, so the net never learns to rely on a
+    constant inter-beat frame count or bar-aligned starts."""
+
+    y, beat_times, _meter, downs = synth_percussion(
+        rng, seconds=seconds, sr=sr, rhythm="auto", return_downbeat_mask=True
+    )
     feats = logmel_features(y, sr)
     labels = np.zeros(feats.shape[0], dtype=np.int32)
     for i, bt in enumerate(beat_times):
         f = int(bt * sr / _HOP)
         if 0 <= f < labels.size:
-            labels[f] = 2 if (i % meter) == 0 else 1
+            labels[f] = 2 if downs[i] else 1
             if f + 1 < labels.size and labels[f + 1] == 0:
                 labels[f + 1] = labels[f]
     return feats, labels

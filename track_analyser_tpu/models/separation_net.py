@@ -31,6 +31,7 @@ __all__ = [
     "init_params",
     "forward_masks",
     "separate_signal",
+    "separate_signal_multi",
     "save_checkpoint",
     "load_checkpoint",
     "run_from_checkpoint",
@@ -148,14 +149,30 @@ def forward_masks(params, spec: jnp.ndarray, *, n_bands: int = 16) -> Dict[str, 
     return masks
 
 
-@partial(jax.jit, static_argnames=("n_samples",))
-def separate_signal(params, y: jnp.ndarray, *, n_samples: int) -> jnp.ndarray:
-    """Mono signal -> (4, n_samples) stems via masked ISTFT."""
-
+def _separate_body(params, y: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     spec = stft(y, N_FFT, HOP)
     masks = forward_masks(params, spec)
     stems = [istft(spec * masks[s], N_FFT, HOP, n_samples) for s in STEMS]
     return jnp.stack(stems)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def separate_signal(params, y: jnp.ndarray, *, n_samples: int) -> jnp.ndarray:
+    """Mono signal -> (4, n_samples) stems via masked ISTFT."""
+
+    return _separate_body(params, y, n_samples)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def separate_signal_multi(params, y: jnp.ndarray, *, n_samples: int) -> jnp.ndarray:
+    """(C, n) channels -> (C, 4, n_samples) stems, one vmapped dispatch.
+
+    The stereo-native serving path (analysis/stems.py): each channel is
+    separated with the same weights — the demucs-parity behaviour of
+    stereo-in/stereo-out stems
+    (reference analysis/stems.py:46-57)."""
+
+    return jax.vmap(lambda ch: _separate_body(params, ch, n_samples))(y)
 
 
 def save_checkpoint(params: Dict[str, jnp.ndarray], path: "str | Path") -> None:
@@ -172,8 +189,15 @@ def load_checkpoint(path: "str | Path") -> Dict[str, np.ndarray]:
 def run_from_checkpoint(
     path: "str | Path", samples: np.ndarray, sample_rate: int, *, seed: int = 0
 ) -> Dict[str, np.ndarray]:
+    """Stems for (n,) mono or (C, n) multi-channel input; values keep the
+    input's channel layout ((n,) or (C, n) per stem)."""
+
     del sample_rate, seed  # model is sample-rate agnostic at 44.1k training
     params = load_checkpoint(path)
     y = jnp.asarray(np.asarray(samples, dtype=np.float32))
-    out = np.asarray(separate_signal(params, y, n_samples=int(y.shape[-1])))
+    n = int(y.shape[-1])
+    if y.ndim == 2:
+        out = np.asarray(separate_signal_multi(params, y, n_samples=n))  # (C, 4, n)
+        return {s: out[:, i] for i, s in enumerate(STEMS)}
+    out = np.asarray(separate_signal(params, y, n_samples=n))
     return dict(zip(STEMS, out))

@@ -2,18 +2,23 @@
 
 The reference's key/chord path runs librosa's recursive multirate CQT
 (harmony.py:107, 148) — a poor fit for XLA (data-dependent resampling
-cascade, many small FFTs). Here both chroma variants are single filterbank
-matmuls over one STFT family, which is the natural MXU mapping:
+cascade, many small FFTs). Here every chroma variant is a filterbank
+matmul over a static STFT, which is the natural MXU mapping:
 
 * ``chroma_stft_filterbank`` reproduces librosa.filters.chroma (Gaussian
   log-frequency windows folded to 12 pitch classes, tuning fixed to 0).
-* ``cq_chroma_filterbank`` is this framework's constant-Q replacement: a
-  log-spaced bank of raised-cosine bandpass windows (Q from
-  bins_per_octave), folded to pitch classes — evaluated on a long-window
-  STFT (cq_n_fft=8192) so low octaves are resolved.
+* ``cq_chroma_multires`` is this framework's constant-Q replacement and
+  the production path: TWO log-spaced raised-cosine banks (Q from
+  bins_per_octave) — bass octaves projected from a long-effective-window
+  STFT of the decimated signal (librosa-CQT-class low-octave resolution),
+  the rest from the full-rate 8192-point STFT — jointly normalised and
+  summed into one 12-row chroma.
+* ``cq_chroma_filterbank`` is the round-2 single-bank variant (8192-point
+  window only; bin-limited below C4), kept for profiling comparisons.
 
-Behavioural parity is asserted at the decision level (key exactness,
-chord-change recall — see tests/test_harmony.py), not at filter-tap level.
+Behavioural parity is asserted at the decision level (key exactness incl.
+a 24-key bass-register sweep, chord-change recall — see
+tests/test_harmony.py), not at filter-tap level.
 """
 
 from __future__ import annotations
@@ -26,6 +31,8 @@ import numpy as np
 __all__ = [
     "chroma_stft_filterbank",
     "cq_chroma_filterbank",
+    "multires_cq_filterbanks",
+    "cq_chroma_multires",
     "chroma_from_power",
     "normalize_inf",
 ]
@@ -107,6 +114,144 @@ def cq_chroma_filterbank(
     row_norm = np.sqrt(np.sum(fb**2, axis=1, keepdims=True))
     fb = fb / np.where(row_norm > 0, row_norm, 1.0)
     return fb.astype(np.float32)
+
+
+@lru_cache(maxsize=4)
+def _hann_tone_shape(n_fft: int, oversample: int = 8) -> np.ndarray:
+    """|FT of the periodic hann window| vs bin offset (1.0 at offset 0),
+    sampled every 1/oversample bin — the spectral footprint a pure tone
+    leaves on the magnitude STFT."""
+
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)
+    spec = np.abs(np.fft.rfft(w, oversample * n_fft))
+    return (spec / spec[0]).astype(np.float64)
+
+
+def _tone_normalised_channel(
+    freqs: np.ndarray, fc: float, bw: float, res: float, n_fft: int
+) -> "np.ndarray | None":
+    """Raised-cosine CQ channel over ``freqs``, scaled so a unit-amplitude
+    tone at fc yields channel output (n_eff/2) regardless of how many FFT
+    bins the channel spans — this equalises responses ACROSS channels and
+    across the two resolutions of the multires bank (narrow bass channels
+    see a tone's whole mainlobe; wide treble channels dilute it)."""
+
+    rel = (freqs - fc) / bw
+    window = 0.5 * (1.0 + np.cos(np.pi * np.clip(rel, -1.0, 1.0)))
+    window[np.abs(rel) >= 1.0] = 0.0
+    ssum = window.sum()
+    if ssum <= 0:
+        return None
+    window /= ssum
+    shape = _hann_tone_shape(n_fft)
+    oversample = (shape.size - 1) // (n_fft // 2)  # inverse of the pad factor
+    idx = np.clip(
+        np.round(np.abs(freqs - fc) / res * oversample).astype(int), 0, shape.size - 1
+    )
+    response = float(np.sum(window * shape[idx]))
+    if response <= 1e-9:
+        return None
+    return window / response
+
+
+@lru_cache(maxsize=8)
+def multires_cq_filterbanks(
+    sr: int,
+    n_fft_high: int,
+    n_fft_low: int,
+    decim: int,
+    *,
+    bins_per_octave: int = 36,
+    n_octaves: int = 7,
+    low_octaves: int = 3,
+    fmin: float = 32.703195662574764,  # C1
+    n_chroma: int = 12,
+) -> tuple:
+    """Two-resolution constant-Q chroma banks: (fb_low, fb_high).
+
+    The reference's recursive multirate CQT (harmony.py:107 in the
+    reference) analyses low octaves with windows several times longer
+    than high octaves. The round-2 single-bank here was FFT-bin-limited
+    below C4 (flagged in VERDICT r2); this is the multirate equivalent
+    expressed TPU-first: octaves 1..low_octaves project from an STFT of
+    the ``decim``-fold DECIMATED signal (n_fft_low samples at sr/decim —
+    e.g. 4096 @ 2.76 kHz = a 1.49 s window, Δf 0.67 Hz, matching
+    librosa's own C1 window length), the rest from the full-rate
+    n_fft_high STFT. Channel responses scale with the effective sample
+    rate, so fb_low carries a ``decim`` gain; pitch-class rows are
+    L2-normalised JOINTLY across both banks."""
+
+    q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    sr_low = sr / decim
+    freqs_high = np.linspace(0.0, sr / 2.0, 1 + n_fft_high // 2)
+    freqs_low = np.linspace(0.0, sr_low / 2.0, 1 + n_fft_low // 2)
+    fb_high = np.zeros((n_chroma, freqs_high.size), dtype=np.float64)
+    fb_low = np.zeros((n_chroma, freqs_low.size), dtype=np.float64)
+    bins_per_semitone = bins_per_octave // n_chroma
+
+    for k in range(bins_per_octave * n_octaves):
+        fc = fmin * 2.0 ** (k / bins_per_octave)
+        use_low = k < low_octaves * bins_per_octave
+        if use_low and fc >= sr_low / 2.0:
+            use_low = False  # degenerate params; fall through to full rate
+        if fc >= sr / 2.0:
+            break
+        freqs = freqs_low if use_low else freqs_high
+        n_eff = n_fft_low if use_low else n_fft_high
+        res = (sr_low / n_fft_low) if use_low else (sr / n_fft_high)
+        bw = max(fc / q, res)  # at least one FFT bin wide
+        window = _tone_normalised_channel(freqs, fc, bw, res, n_eff)
+        if window is None:
+            continue
+        # undo the transform's own magnitude scale (|S| peak = A*n_eff/4
+        # for periodic hann) so both banks read in the same units
+        window = window / (n_eff / 4.0)
+        pc = int(np.round(k / bins_per_semitone)) % n_chroma
+        if use_low:
+            fb_low[pc] += window
+        else:
+            fb_high[pc] += window
+
+    row_norm = np.sqrt(
+        np.sum(fb_low**2, axis=1, keepdims=True)
+        + np.sum(fb_high**2, axis=1, keepdims=True)
+    )
+    safe = np.where(row_norm > 0, row_norm, 1.0)
+    return (fb_low / safe).astype(np.float32), (fb_high / safe).astype(np.float32)
+
+
+def cq_chroma_multires(
+    y: jnp.ndarray,
+    *,
+    sr: int,
+    n_fft: int = 8_192,
+    hop: int = 2_048,
+    n_fft_low: int = 4_096,
+    decim: int = 16,
+    low_octaves: int = 3,
+    keep_hz: float = 260.0,
+) -> jnp.ndarray:
+    """Coarse-hop multi-resolution CQ chroma (12, 1 + n//hop), jittable.
+
+    One full-rate STFT for octaves >= low_octaves + one decimated-signal
+    STFT for the bass octaves, combined through jointly-normalised
+    filterbank matmuls. The decimated frame grid aligns with the
+    full-rate one (hop/decim), so both project onto the same frames."""
+
+    from .resample import decimate_fir
+    from .stft import magnitude
+
+    fb_low, fb_high = multires_cq_filterbanks(
+        sr, n_fft, n_fft_low, decim, low_octaves=low_octaves
+    )
+    mag_high = magnitude(y, n_fft, hop, power=1.0)
+    y_low = decimate_fir(y, decim, sr=sr, keep_hz=keep_hz)
+    mag_low = magnitude(y_low, n_fft_low, hop // decim, power=1.0)
+    t = min(mag_high.shape[-1], mag_low.shape[-1])
+    raw = jnp.dot(
+        jnp.asarray(fb_high), mag_high[:, :t], preferred_element_type=jnp.float32
+    ) + jnp.dot(jnp.asarray(fb_low), mag_low[:, :t], preferred_element_type=jnp.float32)
+    return normalize_inf(raw, axis=0)
 
 
 def chroma_from_power(power_spec: jnp.ndarray, fb: np.ndarray) -> jnp.ndarray:

@@ -25,7 +25,52 @@ __all__ = [
     "polyphase_filter",
     "true_peak_oversample_matrix",
     "oversampled_peak",
+    "decimate_fir",
 ]
+
+
+@lru_cache(maxsize=8)
+def _decimation_kernel(sr: int, decim: int, keep_hz: float) -> np.ndarray:
+    """Blackman-windowed sinc lowpass for ``decim``-fold decimation.
+
+    Only the band below ``keep_hz`` must survive uncorrupted (the
+    multi-resolution chroma reads nothing above it), so the stopband
+    starts where aliases would FOLD INTO that band — sr/decim - keep_hz —
+    which keeps the transition wide and the kernel short."""
+
+    pass_hz = keep_hz
+    stop_hz = sr / decim - keep_hz
+    if stop_hz <= pass_hz:
+        raise ValueError(f"decimation keep_hz {keep_hz} too high for sr/decim {sr}/{decim}")
+    taps = int(np.ceil(6.0 * sr / (stop_hz - pass_hz)))
+    taps |= 1  # odd length -> integer group delay
+    cutoff = 0.5 * (pass_hz + stop_hz) / (sr / 2.0)  # fraction of Nyquist
+    n = np.arange(taps) - taps // 2
+    h = cutoff * np.sinc(cutoff * n) * np.blackman(taps)
+    h /= np.sum(h)
+    return h.astype(np.float32)
+
+
+def decimate_fir(y: jnp.ndarray, decim: int, *, sr: int, keep_hz: float) -> jnp.ndarray:
+    """Anti-aliased ``decim``-fold decimation (device, jittable).
+
+    out[k] is centred on y[k*decim] (odd symmetric kernel, SAME padding),
+    so STFT frame grids of the decimated signal align with the full-rate
+    grid. Lowers to ONE strided XLA convolution."""
+
+    import jax
+
+    h = jnp.asarray(_decimation_kernel(sr, decim, keep_hz))
+    taps = h.shape[0]
+    out = jax.lax.conv_general_dilated(
+        y[None, None, :],
+        h[None, None, :],
+        window_strides=(decim,),
+        padding=[(taps // 2, taps // 2)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[0, 0]
 
 
 def resample_poly_host(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:

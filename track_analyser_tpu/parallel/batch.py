@@ -328,13 +328,11 @@ def _bundled_net_params():
     return params
 
 
-def _core_graph(stereo, n_valid, *, sr, side_noise_power=None):
+def _core_graph(stereo, n_valid, *, sr):
     """Fused graph + packed outputs (+ net downbeat activations when the
     bundled checkpoint exists)."""
 
-    packed = pack_outputs(
-        full_track_graph(stereo, n_valid, sr=sr, side_noise_power=side_noise_power)
-    )
+    packed = pack_outputs(full_track_graph(stereo, n_valid, sr=sr))
     params = _bundled_net_params()
     if params is not None:
         net = _net_downbeat_prob(jnp.mean(stereo, axis=0), n_valid, params, sr=sr)
@@ -481,24 +479,28 @@ def _batched_graph_i8(parts, n_valid, *, sr):
 
 
 # ---------------------------------------------------------------------------
-# Mid/side transport: mid ships blockwise int8 (the proven precision floor
-# for the gated mono analyses), side ships blockwise int4 (two codes per
-# byte). 1.5 bytes per stereo sample pair instead of 2 — 25% off the
-# host->device wall, which is THE bottleneck on relay-tunnelled chips
-# (RUNBOOK.md stage profile). The side channel only feeds the stereo-width
-# band ratios on device (its expected quantisation-noise spectrum is
-# subtracted there — see substrate.full_track_graph); the four time-domain
-# stereo scalars (correlation, balance, mid/side RMS) are computed EXACTLY
-# on host from running sums taken during the same quantise pass, so int4
-# coarseness never touches them.
+# "ms" transport: ONLY the mid channel ships, as blockwise int8 — 1 byte
+# per stereo sample pair (the proven precision floor for the gated mono
+# analyses; host->device bandwidth is THE bottleneck on relay-tunnelled
+# chips, RUNBOOK.md stage profile). Every side-derived output is computed
+# EXACTLY on host during the same decode/quantise stage:
+#   - the four time-domain stereo scalars (correlation, balance,
+#     mid/side RMS) from f64 running sums;
+#   - the three per-band width ratios from an f64 strided-frame STFT with
+#     the device graph's own band-energy formula (_host_stereo_widths).
+# A 4-bit side payload (round 2) and a DPCM sub-8-bit mid (measured this
+# round: closed-loop DPCM == quantising to step s, and percussive/
+# broadband content gets no prediction gain — the 5 ms beat-grid gate
+# fails at 4 bits, 18 ms on the click-in-noise fixture) were both
+# rejected; shipping zero side bytes beats compressing them.
 #
 # Payloads are split into up to _MS_CHUNKS block-aligned time chunks.
 # Chunking serves two masters: each chunk is a separate host->device
 # buffer, so uploads spread across the concurrent relay streams, and the
 # single-track path quantises chunk k+1 while chunk k uploads. The chunk
 # split is a pure function of the bucket length, so the single-track path
-# (batch of 1 on a one-device mesh) and the library sweep share ONE
-# compiled executable per bucket on single-chip hosts.
+# (batch of 1 on a one-device mesh), mono tracks AND stereo tracks all
+# share ONE compiled executable per bucket on single-chip hosts.
 # ---------------------------------------------------------------------------
 
 _MS_CHUNKS = 4
@@ -543,6 +545,11 @@ def _quantise_ms(
     stereo_padded: np.ndarray, n_valid: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """numpy mid/side quantiser over a (2, n_bucket) padded f32 buffer.
+
+    NOTE: production "ms" transport ships only the mid outputs (the int4
+    side payload was retired in round 3 — host-exact widths replaced it);
+    this full implementation remains the parity reference for the native
+    ta_quantise_ms kernel, whose one fused pass still produces all of it.
 
     Returns (mid_i8 (n,), mid_scales (n/B,), side_u4 (n/2,) packed
     low-nibble-first, side_scales (n/B,), noise_power scalar f32,
@@ -627,16 +634,16 @@ def _host_stereo_widths(
     return widths
 
 
-def _quantise_ms_range(
+def _quantise_mid_range(
     channels: np.ndarray, n_in: int, start: int, end: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float, np.ndarray]:
-    """Mid/side quantise of source samples [start, end) (block-aligned).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Mid quantise + exact stereo sums for source samples [start, end)
+    (block-aligned).
 
-    Returns (mid_i8 (L,), mid_scales (L/B,), side_u4 (L/2,), side_scales
-    (L/B,), noise_acc = sum over blocks of (side_scale/7)^2, stats (8,)
-    partial f64 sums). Chunk outputs concatenate to exactly the full-track
-    _quantise_ms result (block boundaries align), so the single-track
-    chunked pipeline and the sweep's full-track pass share numerics."""
+    Returns (mid_i8 (L,), mid_scales (L/B,), stats (8,) partial f64
+    sums). Chunk outputs concatenate to exactly the full-track result
+    (block boundaries align), so the single-track chunked pipeline and
+    the sweep's full-track pass share numerics."""
 
     blocklen = end - start
     valid = int(max(0, min(n_in - start, blocklen)))
@@ -659,76 +666,49 @@ def _quantise_ms_range(
     )
 
     mid = np.zeros(blocklen, dtype=np.float32)
-    side = np.zeros(blocklen, dtype=np.float32)
     np.multiply(np.add(l, r, dtype=np.float32), np.float32(0.5), out=mid[:valid])
-    np.multiply(np.subtract(l, r, dtype=np.float32), np.float32(0.5), out=side[:valid])
-
     mid_i8, mid_scales = _quantise_i8(mid[None, :])
-    mid_i8, mid_scales = mid_i8[0], mid_scales[0]
-
-    nb = blocklen // _I8_BLOCK
-    blocks = side.reshape(nb, _I8_BLOCK)
-    side_scales = np.abs(blocks).max(axis=-1).astype(np.float32)
-    inv = np.float32(7.0) / np.where(side_scales > 0, side_scales, np.float32(1.0))
-    q = np.rint(np.clip(blocks * inv[:, None], -7.0, 7.0)).astype(np.int8)
-    codes = (q.reshape(blocklen) + 8).astype(np.uint8)
-    side_u4 = (codes[0::2] | (codes[1::2] << 4)).astype(np.uint8)
-
-    valid_blocks_total = max(1, -(-n_in // _I8_BLOCK))
-    first_block = start // _I8_BLOCK
-    n_noise = int(np.clip(valid_blocks_total - first_block, 0, nb))
-    step = side_scales[:n_noise].astype(np.float64) / 7.0
-    noise_acc = float(np.sum(step * step))
-    return mid_i8, mid_scales, side_u4, side_scales, noise_acc, stats
+    return mid_i8[0], mid_scales[0], stats
 
 
-def _chunk_ms_payload(
-    mid_i8: np.ndarray,
-    mid_scales: np.ndarray,
-    side_u4: "np.ndarray | None",
-    side_scales: "np.ndarray | None",
-    noise_power,
-    n_bucket: int,
-) -> tuple:
-    """Assemble the chunked parts tuple the batched ms graphs consume:
-    stereo = (mid chunks..., side chunks..., mid_scales, side_scales,
-    noise); mono = (mid chunks..., mid_scales)."""
+def _chunk_ms_payload(mid_i8: np.ndarray, mid_scales: np.ndarray, n_bucket: int) -> tuple:
+    """Assemble the chunked parts tuple the ms graph consumes:
+    (mid chunks..., mid_scales) — identical for mono and stereo."""
 
     ranges = _ms_chunk_ranges(n_bucket)
-    mid_parts = tuple(mid_i8[s:e] for s, e in ranges)
-    if side_u4 is None:
-        return mid_parts + (mid_scales,)
-    side_parts = tuple(side_u4[s // 2 : e // 2] for s, e in ranges)
-    return mid_parts + side_parts + (mid_scales, side_scales, np.float32(noise_power))
+    return tuple(mid_i8[s:e] for s, e in ranges) + (mid_scales,)
 
 
-def _stage_payload_ms(audio: AudioInput, n_bucket: int) -> tuple[tuple, np.ndarray, int]:
-    """(device_parts, stats, n_valid) for the mid/side transport. Uses the
-    fused native kernel (one pass, GIL released) when built.
+def _stage_payload_ms(
+    audio: AudioInput, n_bucket: int
+) -> tuple[tuple, tuple, int]:
+    """(device_parts, host_exact, n_valid) for the "ms" transport. Uses
+    the fused native kernel (one pass, GIL released) when built.
 
-    Mono sources ship only the mid chunks + scales: their side channel is
-    identically zero, so shipping it would waste half the payload. The
-    part count selects the device graph (_batched_graph_ms_mono)."""
+    ``host_exact`` is (stats (8,), widths (3,) | None): the f64 stereo
+    sums plus, for stereo sources, the host-computed per-band widths —
+    everything the device graph cannot derive from the mid-only payload."""
 
     n = len(audio.samples)
+    channels = _source_channels(audio)
+    if channels.ndim == 1:
+        channels = channels[None, :]
     try:
         from ..native import binding as native_binding
 
-        native = native_binding.quantise_ms(_source_channels(audio), n_bucket, _I8_BLOCK)
+        native = native_binding.quantise_ms(channels, n_bucket, _I8_BLOCK)
     except Exception:
         native = None
     if native is not None:
-        mid_i8, mid_scales, side_u4, side_scales, noise_power, stats = native
+        mid_i8, mid_scales, _side, _sscales, _noise, stats = native
     else:
         st, n = _pad_track(audio, n_bucket)
-        mid_i8, mid_scales, side_u4, side_scales, noise_power, stats = _quantise_ms(st, n)
-    if audio.stereo_samples is None:
-        payload = _chunk_ms_payload(mid_i8, mid_scales, None, None, None, n_bucket)
-    else:
-        payload = _chunk_ms_payload(
-            mid_i8, mid_scales, side_u4, side_scales, noise_power, n_bucket
-        )
-    return payload, stats, n
+        mid_i8, mid_scales, _side, _sscales, _noise, stats = _quantise_ms(st, n)
+    widths = None
+    if audio.stereo_samples is not None:
+        widths = _host_stereo_widths(channels, audio.sample_rate)
+    payload = _chunk_ms_payload(mid_i8, mid_scales, n_bucket)
+    return payload, (stats, widths), n
 
 
 def _dequantise_mono_i8(vals, scales):
@@ -753,11 +733,13 @@ def _dequantise_ms(mid_i8, mid_scales, side_u4, side_scales):
 
 
 @partial(jax.jit, static_argnames=("sr",))
-def _batched_graph_ms_mono(parts, n_valid, *, sr):
-    """Mono chunks of a library sweep or a single mono track: the side
-    channel is identically zero, so only the mid int8 chunks ship — half
-    the bytes of the duplicated-channel transports. ``parts`` is the
-    chunked tuple (mid chunks..., mid_scales), each leaf batched."""
+def _batched_graph_ms(parts, n_valid, *, sr):
+    """THE "ms" graph: mid-only int8 chunks, mono and stereo alike.
+    ``parts`` is the chunked tuple (mid chunks..., mid_scales), each leaf
+    batched. The chunk concat is one cheap HBM pass; chunking exists so
+    uploads ride multiple relay streams and overlap host quantisation.
+    Side-derived outputs (widths, stereo scalars) are overwritten by the
+    host-exact values carried alongside the payload."""
 
     def one(p, nv):
         c = len(p) - 1
@@ -767,29 +749,17 @@ def _batched_graph_ms_mono(parts, n_valid, *, sr):
     return jax.vmap(one)(parts, n_valid)
 
 
-@partial(jax.jit, static_argnames=("sr",))
-def _batched_graph_ms(parts, n_valid, *, sr):
-    """Stereo mid/side graph over the chunked parts tuple (mid chunks...,
-    side chunks..., mid_scales, side_scales, noise), each leaf batched.
-    The chunk concat is one cheap HBM pass; chunking exists so uploads
-    ride multiple relay streams and overlap host quantisation."""
+def _apply_host_stereo_stats(
+    out: Dict[str, np.ndarray],
+    stats: np.ndarray,
+    widths: "np.ndarray | None" = None,
+) -> None:
+    """Overwrite the four time-domain stereo scalars (and, for stereo
+    sources, the three per-band widths) with the host-exact values
+    carried alongside the mid-only payload."""
 
-    def one(p, nv):
-        c = (len(p) - 3) // 2
-        mid = jnp.concatenate(p[:c], axis=-1)
-        side = jnp.concatenate(p[c : 2 * c], axis=-1)
-        mscales, sscales, noise = p[2 * c], p[2 * c + 1], p[2 * c + 2]
-        return _core_graph(
-            _dequantise_ms(mid, mscales, side, sscales), nv, sr=sr, side_noise_power=noise
-        )
-
-    return jax.vmap(one)(parts, n_valid)
-
-
-def _apply_host_stereo_stats(out: Dict[str, np.ndarray], stats: np.ndarray) -> None:
-    """Overwrite the four time-domain stereo scalars with the host-exact
-    values carried alongside the mid/side payload."""
-
+    if widths is not None:
+        out["stereo_widths"] = np.asarray(widths, dtype=np.float64)
     n, sl, sr_, sll, srr, slr, sal, sar = [float(v) for v in stats]
     n = max(n, 1.0)
     lc2 = max(sll - sl * sl / n, 0.0)
@@ -851,13 +821,14 @@ def _put_batched(arr: np.ndarray):
 
 
 def _dispatch_single_ms(audio: AudioInput, n_bucket: int):
-    """Single-track mid/side dispatch through the BATCHED executable
-    (batch of 1 on a one-device mesh).
+    """Single-track "ms" dispatch through the BATCHED executable (batch
+    of 1 on a one-device mesh).
 
-    The payload uploads as block-aligned chunks on the 2-stream pool;
-    without the native kernel, chunk k+1 is quantised while chunk k
-    uploads (the intra-track version of the sweep's pipelining). Returns
-    (device output handle, host-exact stereo stats)."""
+    The mid payload uploads as block-aligned chunks on the 2-stream
+    pool; without the native kernel, chunk k+1 is quantised while chunk
+    k uploads (the intra-track version of the sweep's pipelining), and
+    the host width estimate overlaps the uploads either way. Returns
+    (device output handle, (stats, widths))."""
 
     sr = audio.sample_rate
     n = len(audio.samples)
@@ -877,51 +848,31 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int):
 
     if native is not None:
         # one fused native pass (GIL released), then chunked uploads
-        mid_i8, mscales, side_u4, sscales, noise, stats = native
+        mid_i8, mscales, _side, _sscales, _noise, stats = native
         mid_futs = [pool.submit(_put_batched, mid_i8[s:e]) for s, e in ranges]
-        side_futs = (
-            None
-            if mono
-            else [pool.submit(_put_batched, side_u4[s // 2 : e // 2]) for s, e in ranges]
-        )
     else:
         mid_futs = []
-        side_futs = None if mono else []
-        msc, ssc = [], []
-        noise_acc = 0.0
+        msc = []
         stats = np.zeros(8)
         for s, e in ranges:
-            mc, m_sc, sc, s_sc, nacc, st = _quantise_ms_range(channels, n, s, e)
+            mc, m_sc, st = _quantise_mid_range(channels, n, s, e)
             mid_futs.append(pool.submit(_put_batched, mc))
-            if not mono:
-                side_futs.append(pool.submit(_put_batched, sc))
             msc.append(m_sc)
-            ssc.append(s_sc)
-            noise_acc += nacc
             stats += st
         mscales = np.concatenate(msc)
-        sscales = np.concatenate(ssc)
-        valid_blocks = max(1, -(-n // _I8_BLOCK))
-        noise = np.float32(noise_acc / valid_blocks / 12.0)
 
-    if mono:
-        tail = (np.asarray(mscales),)
-    else:
-        tail = (np.asarray(mscales), np.asarray(sscales), np.float32(noise))
-    tail_staged = tuple(_put_batched(np.asarray(t)) for t in tail)
-    parts = tuple(f.result() for f in mid_futs)
-    if not mono:
-        parts = parts + tuple(f.result() for f in side_futs)
-    parts = parts + tail_staged
+    # Host widths overlap the uploads still in flight.
+    widths = None if mono else _host_stereo_widths(channels, sr)
+
+    parts = tuple(f.result() for f in mid_futs) + (_put_batched(np.asarray(mscales)),)
     vb = jax.device_put(np.asarray([n]), data_sharding(_single_mesh()))
 
-    graph = _batched_graph_ms_mono if mono else _batched_graph_ms
-    out = graph(parts, vb, sr=sr)
+    out = _batched_graph_ms(parts, vb, sr=sr)
     # On single-chip hosts this executable IS the sweep's bucket
     # executable; record it so library prewarm skips a redundant compile.
     mesh_ids = tuple(int(d.id) for d in _single_mesh().devices.flat)
     _WARMED_EXECUTABLES.add(("ms", sr, mesh_ids, n_bucket, len(parts)))
-    return out, stats
+    return out, (stats, widths)
 
 
 def analyse_track_fused(
@@ -935,12 +886,11 @@ def analyse_track_fused(
 
     ``transport`` picks the host->device representation:
       - "auto" (default): alias for "ms".
-      - "ms": stereo ships mid/side — mid blockwise int8, side blockwise
-        int4 (1.5 B per sample pair, the least bytes; the time-domain
-        stereo scalars are computed exactly on host and the width band
-        energies are noise-debiased on device). Mono ships the mid int8
-        payload alone (1 B per sample — half of int16; the blockwise-int8
-        gate tests cover it).
+      - "ms": ONLY the mid channel ships, as blockwise int8 chunks —
+        1 B per stereo sample pair (or per mono sample), the least
+        bytes. Every side-derived output is host-exact: the time-domain
+        stereo scalars from f64 sums, the per-band widths from an f64
+        strided-frame STFT with the device's own band formula.
       - "int16": -96 dBFS quantisation, lossless for PCM16 sources.
       - "int8": blockwise-scaled per-channel int8 on two relay streams.
       - "float32": the exact samples.
@@ -956,9 +906,9 @@ def analyse_track_fused(
         # bucket lengths always divide (hop*128 == _I8_BLOCK) but
         # bucket=False lengths need rounding up (padding is masked out).
         n_bucket = -(-n_bucket // _I8_BLOCK) * _I8_BLOCK
-    stats = None
+    host_exact = None
     if transport == "ms":
-        out, stats = _dispatch_single_ms(audio, n_bucket)
+        out, host_exact = _dispatch_single_ms(audio, n_bucket)
     elif transport == "int8":
         (vals, scales), n_valid = _stage_payload_i8(audio, n_bucket)
         half = vals.shape[-1] // 2
@@ -994,8 +944,8 @@ def analyse_track_fused(
     out_dict = unpack_outputs(*fetched[:3])
     if len(fetched) > 3:
         out_dict["net_prob"] = np.asarray(fetched[3])
-    if stats is not None:
-        _apply_host_stereo_stats(out_dict, stats)
+    if host_exact is not None:
+        _apply_host_stereo_stats(out_dict, *host_exact)
     return result_from_graph_outputs(audio, out_dict, seed=seed)
 
 
@@ -1040,12 +990,11 @@ def analyse_library(
     compiled executable. A JSONL manifest makes sweeps resumable:
     already-listed sources are skipped.
 
-    ``transport``: "ms" (default — mid blockwise int8 + side blockwise
-    int4, 1.5 B per stereo sample pair, the least host->device bandwidth;
-    host-exact stereo scalars, noise-debiased widths; mono tracks ship
-    the mid payload alone at 1 B/sample and group into their own chunks),
-    "int8" (per-channel blockwise int8, ~45 dB SNR) or "int16" (~96 dB
-    SNR).
+    ``transport``: "ms" (default — mid-only blockwise int8, 1 B per
+    stereo sample pair, the least host->device bandwidth; stereo scalars
+    and per-band widths are host-exact, and mono/stereo tracks share
+    chunks and executables), "int8" (per-channel blockwise int8, ~45 dB
+    SNR) or "int16" (~96 dB SNR).
 
     ``on_error``: "skip" (default) isolates per-track decode/coerce
     failures — the sweep continues, the failure is recorded in the
@@ -1091,7 +1040,7 @@ def analyse_library(
             # resampled here (near-free no-op when the rate matches).
             audio = coerce_audio(src, target_sr=target_sr)
             n_bucket = bucket_length(len(audio.samples))
-            stats = None
+            stats = None  # ms: (stereo sums, widths | None) host-exact pair
             if transport == "ms":
                 payload, stats, nv = _stage_payload_ms(audio, n_bucket)
             elif transport == "int8":
@@ -1125,15 +1074,10 @@ def analyse_library(
         return tuple(staged), vb
 
     def _batched_for(chunk):
-        """Executable for a chunk — chosen by transport and, for "ms",
-        by the chunk's payload arity (stereo mid/side vs mono mid-only;
-        chunks never mix the two, see the bucket key in _absorb)."""
+        """Executable for a chunk — one per transport ("ms" is mid-only,
+        so mono and stereo tracks share chunks AND the executable)."""
 
         if transport == "ms":
-            n_bucket = bucket_length(len(chunk[0][2].samples))
-            c = len(_ms_chunk_ranges(n_bucket))
-            if len(chunk[0][3]) == c + 1:
-                return partial(_batched_graph_ms_mono, sr=target_sr)
             return partial(_batched_graph_ms, sr=target_sr)
         if transport == "int8":
             return partial(_batched_graph_i8, sr=target_sr)
@@ -1152,7 +1096,7 @@ def analyse_library(
             if net is not None:
                 track_out["net_prob"] = np.asarray(net[k])
             if stats is not None:
-                _apply_host_stereo_stats(track_out, stats)
+                _apply_host_stereo_stats(track_out, *stats)
             result = result_from_graph_outputs(audio, track_out, seed=seed)
             results[idx] = result
             if output_dir is not None:
@@ -1243,8 +1187,9 @@ def analyse_library(
             if progress_callback:
                 progress_callback(str(src), n_done, total)
             return
-        # mono and stereo payloads have different shapes under "ms", so
-        # they form separate chunks (one compiled executable each)
+        # payload arity is part of the bucket key (transports differ;
+        # under "ms" mono and stereo share the mid-only arity, so they
+        # mix freely within a chunk)
         key = (n_bucket, len(payload))
         item = (idx, src, audio, payload, nv, stats)
         warm_key = (transport, target_sr, mesh_ids) + key

@@ -242,7 +242,7 @@ def _local_track_analysis(
     """
 
     from ..config import DEFAULT_CONFIG as cfg
-    from ..ops.chroma import chroma_from_power, chroma_stft_filterbank, cq_chroma_filterbank
+    from ..ops.chroma import chroma_from_power, chroma_stft_filterbank, cq_chroma_multires
     from ..ops.filters import gaussian_filter1d, hpss
     from ..ops.loudness import k_weighted
     from ..ops.mel import melspectrogram_from_power, mfcc_from_log_mel, power_to_db
@@ -412,8 +412,20 @@ def _local_track_analysis(
 
     # ---- harmony ----------------------------------------------------------
     chroma_st = chroma_from_power(power, chroma_stft_filterbank(sr, n_fft))
-    cq_mag = magnitude(y_ext, cfg.cq_n_fft, cfg.cq_hop, power=1.0)
-    chroma_cq_coarse = chroma_from_power(cq_mag, cq_chroma_filterbank(sr, cfg.cq_n_fft))
+    # Multi-resolution CQ chroma over the halo-extended block: the
+    # decimation FIR (~150 taps) and the 1.49 s low-bank window both sit
+    # far inside the exchanged sample halo, and the extended block starts
+    # on a cq_hop multiple, so the decimated frame grid stays aligned
+    # with the fused graph's.
+    chroma_cq_coarse = cq_chroma_multires(
+        y_ext,
+        sr=sr,
+        n_fft=cfg.cq_n_fft,
+        hop=cfg.cq_hop,
+        n_fft_low=cfg.cq_low_n_fft,
+        decim=cfg.cq_decim,
+        low_octaves=cfg.cq_low_octaves,
+    )
     rep = cfg.cq_hop // hop
     chroma_cq_ext = jnp.repeat(chroma_cq_coarse, rep, axis=1)[:, :f_ext]
     out["chroma_cq"] = chroma_cq_ext[:, own_sel]

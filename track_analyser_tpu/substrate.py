@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import DEFAULT_CONFIG
-from .ops.chroma import chroma_from_power, chroma_stft_filterbank, cq_chroma_filterbank
+from .ops.chroma import chroma_from_power, chroma_stft_filterbank, cq_chroma_multires
 from .ops.filters import gaussian_filter1d, hpss
 from .ops.loudness import integrated_lufs, k_weighted, rms_db_curve
 from .ops.mel import (
@@ -73,20 +73,18 @@ def full_track_graph(
     n_valid: jnp.ndarray,
     *,
     sr: int,
-    side_noise_power: "jnp.ndarray | None" = None,
 ) -> Dict[str, jnp.ndarray]:
     """Complete device-side analysis of one (padded) track.
 
     Args:
       stereo: f32[2, n_padded] channel-major samples, zeros beyond
         n_valid (mono sources duplicate their channel — the host never
-        uploads a separate mono buffer; the downmix happens on device).
+        uploads a separate mono buffer; the downmix happens on device.
+        The default "ms" transport also ships only the mid channel and
+        computes the side-derived width scalars host-side, so this graph
+        sees side == 0 there).
       n_valid: true sample count (traced scalar).
       sr: sample rate (static).
-      side_noise_power: optional traced scalar — the known variance of
-        white quantisation noise riding the SIDE channel (mid/side int4
-        transport). The stereo-width band energies subtract its expected
-        spectral contribution so coarse side transport stays unbiased.
 
     Returns a dict of compact device arrays; see the host finishers in
     pipeline.py / parallel/batch.py for how each is consumed.
@@ -175,8 +173,15 @@ def full_track_graph(
 
     # ---- harmony: chroma projections + key scores ---------------------
     chroma_st = chroma_from_power(power, chroma_stft_filterbank(sr, n_fft))
-    cq_mag = magnitude(y, cfg.cq_n_fft, cfg.cq_hop, power=1.0)
-    chroma_cq = chroma_from_power(cq_mag, cq_chroma_filterbank(sr, cfg.cq_n_fft))
+    chroma_cq = cq_chroma_multires(
+        y,
+        sr=sr,
+        n_fft=cfg.cq_n_fft,
+        hop=cfg.cq_hop,
+        n_fft_low=cfg.cq_low_n_fft,
+        decim=cfg.cq_decim,
+        low_octaves=cfg.cq_low_octaves,
+    )
     # Upsample the coarse-hop chroma to hop_length frame indexing.
     chroma_cq = jnp.repeat(chroma_cq, cfg.cq_hop // hop, axis=1)[:, :total_frames]
     out["chroma_cq"] = chroma_cq
@@ -269,20 +274,12 @@ def full_track_graph(
     side_e = jnp.where(fmask[None, :], ms_mag[1] * ms_mag[1], 0.0)
     freqs_j = jnp.asarray(freqs, dtype=jnp.float32)
     nyq = sr / 2.0
-    # Expected per-bin |STFT|^2 of white noise with variance sigma^2 is
-    # sigma^2 * sum(window^2); subtracting it debiases the side band
-    # means under coarse (int4) side transport.
-    from .ops.stft import hann_window
-
-    win_sq = float(np.sum(hann_window(n_fft).astype(np.float64) ** 2))
-    noise_bin = 0.0 if side_noise_power is None else side_noise_power * win_sq
     widths = []
     for lo_f, hi_f in ((0.0, min(200.0, nyq)), (200.0, min(2000.0, nyq)), (2000.0, nyq)):
         bmask = (freqs_j >= lo_f) & (freqs_j <= hi_f)
         nb = jnp.maximum(jnp.sum(bmask), 1) * jnp.maximum(f_valid, 1)
         m = jnp.sum(jnp.where(bmask[:, None], mid_e, 0.0)) / nb
         s = jnp.sum(jnp.where(bmask[:, None], side_e, 0.0)) / nb
-        s = jnp.maximum(s - noise_bin, 0.0)
         widths.append(jnp.where(m <= 1e-12, 0.0, jnp.sqrt(s / jnp.where(m <= 1e-12, 1.0, m))))
     out["stereo_widths"] = jnp.stack(widths)
 
