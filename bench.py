@@ -88,7 +88,14 @@ def main() -> None:
 
         rng = np.random.default_rng(0)
         frames = jnp.asarray(rng.standard_normal((64, 2048)).astype(np.float32))
-        got = jax.device_get(jax.jit(_dft_rfft_matmul, static_argnums=1)(frames, 2048))
+
+        @jax.jit
+        def _probe(fr):  # stack re/im: the relay cannot fetch complex64
+            spec = _dft_rfft_matmul(fr, 2048)
+            return jnp.stack([spec.real, spec.imag])
+
+        got_ri = jax.device_get(_probe(frames))
+        got = got_ri[0] + 1j * got_ri[1]
         want = np.fft.rfft(np.asarray(frames), axis=-1)
         rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
         print(f"[bench] matmul-DFT max rel err vs rfft: {rel:.2e}", file=sys.stderr)

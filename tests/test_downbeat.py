@@ -126,6 +126,41 @@ def test_bundled_net_solves_backbeat_patterns():
     assert good >= 2, f"backbeat phase recovered on only {good}/3 patterns"
 
 
+def test_bundled_net_solves_backbeat_under_drift_swing_pickup():
+    """The round-3 hardening gate as a regression test: backbeat timbre
+    identification must survive the realism stressors together — tempo
+    drift (±2%/min), swung off-beat hats, and a pickup phase (the first
+    beat is not a downbeat). Skipped when no checkpoint is bundled."""
+
+    import pytest
+
+    params = downbeat._net_params()
+    if params is None:
+        pytest.skip("no bundled downbeat checkpoint")
+
+    def f1(pred: np.ndarray, truth: np.ndarray, tol: float = 0.07) -> float:
+        if pred.size == 0:
+            return 0.0
+        hits = np.abs(pred[:, None] - truth[None, :]) <= tol
+        tp = min(int(hits.any(axis=0).sum()), int(hits.any(axis=1).sum()))
+        precision, recall = tp / pred.size, tp / truth.size
+        return 2 * precision * recall / (precision + recall) if tp else 0.0
+
+    good = 0
+    for k in range(3):
+        rng = np.random.default_rng(8700 + k)
+        y, beat_times, _meter, downs = downbeat_net.synth_percussion(
+            rng, seconds=12.0, sr=22_050, style="backbeat", rhythm="complex",
+            return_downbeat_mask=True,
+        )
+        result = downbeat.track_downbeats(y.astype(np.float32), 22_050, beat_times)
+        assert result is not None and result.source == "rnn"
+        truth = beat_times[downs]
+        if f1(np.asarray(result.downbeat_times), truth) > 0.8:
+            good += 1
+    assert good >= 2, f"complex-rhythm backbeat recovered on only {good}/3 patterns"
+
+
 def test_downbeat_net_train_step_reduces_loss():
     key = jax.random.PRNGKey(0)
     params = downbeat_net.init_params(key, n_mels=128, hidden=64)

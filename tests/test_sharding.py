@@ -91,13 +91,20 @@ def test_sharded_full_analysis_matches_fused():
     # 60 s — long enough that each of the 8 shards exceeds the halo. Ends
     # in a fade-out: the analysis tail inside the padded bucket depends on
     # the (arbitrary) bucket length in BOTH implementations, so the honest
-    # parity domain is a track that is quiet at its boundary.
+    # parity domain is a track that is quiet at its boundary. The drums
+    # MUTE during 24-36 s: decisive structural boundaries keep every
+    # novelty peak far from the peak-pick threshold, so the discrete
+    # segment decisions cannot flip on f32 reduction-order noise between
+    # the two implementations (curve-level agreement is asserted at
+    # 2e-3 separately below).
     sr = 22_050
     n = sr * 60
     rng = np.random.default_rng(0)
     y = rng.normal(0, 0.01, n).astype(np.float32)
     y += 0.2 * np.sin(2 * np.pi * 220.0 * np.arange(n) / sr).astype(np.float32)
     for b in np.arange(0.0, 57.0, 0.5):
+        if 24.0 <= b < 36.0:
+            continue
         s = int(b * sr)
         e = min(n, s + 220)
         y[s:e] += np.exp(-np.linspace(0, 6, e - s)).astype(np.float32)
@@ -145,17 +152,110 @@ def test_sharded_full_analysis_matches_fused():
         np.asarray(out_sh["stereo_widths"]), np.asarray(ref["stereo_widths"]), atol=1e-3
     )
 
-    # End-to-end: the sharded result object agrees with the fused pipeline.
+    # End-to-end: the sharded result object agrees with the fused
+    # pipeline on EVERY TrackAnalysisResult field (mirror of
+    # tests/test_agreement.py for the fused/per-module pair).
     audio = AudioInput(samples=y, sample_rate=sr, stereo_samples=stereo)
     result = analyse_track_sharded(audio, mesh)
     from track_analyser_tpu.parallel.batch import analyse_track_fused
 
     ref_result = analyse_track_fused(audio, transport="float32")
+
+    # beat
     assert result.beat.bpm == pytest.approx(ref_result.beat.bpm, abs=0.01)
-    assert result.harmonic.primary_key.key == ref_result.harmonic.primary_key.key
+    assert result.beat.confidence == pytest.approx(ref_result.beat.confidence, abs=1e-3)
+    assert len(result.beat.beat_times) == len(ref_result.beat.beat_times)
+    np.testing.assert_allclose(
+        result.beat.beat_times, ref_result.beat.beat_times, atol=1e-3
+    )
+
+    # downbeats (same evidence incl. the TCN net when bundled)
+    assert result.downbeat.source == ref_result.downbeat.source
+    np.testing.assert_allclose(
+        result.downbeat.downbeat_times, ref_result.downbeat.downbeat_times, atol=1e-3
+    )
+    assert result.downbeat.beat_positions == ref_result.downbeat.beat_positions
+
+    # structure
+    assert [s.label for s in result.structure.segments] == [
+        s.label for s in ref_result.structure.segments
+    ]
+    assert [s.category for s in result.structure.segments] == [
+        s.category for s in ref_result.structure.segments
+    ]
+    np.testing.assert_allclose(
+        [s.start for s in result.structure.segments],
+        [s.start for s in ref_result.structure.segments],
+        atol=0.05,
+    )
+    np.testing.assert_allclose(
+        [s.end for s in result.structure.segments],
+        [s.end for s in ref_result.structure.segments],
+        atol=0.05,
+    )
+
+    # loudness
     assert result.loudness.integrated_lufs == pytest.approx(
         ref_result.loudness.integrated_lufs, abs=0.02
     )
+    assert result.loudness.true_peak_dbfs == pytest.approx(
+        ref_result.loudness.true_peak_dbfs, abs=0.02
+    )
+    assert result.loudness.rms_dbfs == pytest.approx(
+        ref_result.loudness.rms_dbfs, abs=0.02
+    )
+    # LRA curves are host-computed on the sharded path (documented
+    # deviation); the derived range must still agree
+    assert result.loudness.loudness_range == pytest.approx(
+        ref_result.loudness.loudness_range, abs=0.1
+    )
+
+    # harmony
+    assert result.harmonic.primary_key.key == ref_result.harmonic.primary_key.key
+    assert result.harmonic.secondary_key.key == ref_result.harmonic.secondary_key.key
+    assert [h.chord for h in result.harmonic.chord_hints] == [
+        h.chord for h in ref_result.harmonic.chord_hints
+    ]
+    s_times = np.array([p.time for p in result.harmonic.chord_change_points])
+    f_times = np.array([p.time for p in ref_result.harmonic.chord_change_points])
+    assert s_times.size == f_times.size
+    np.testing.assert_allclose(s_times, f_times, atol=1e-3)
+    assert result.harmonic.spectral_balance.low_band == pytest.approx(
+        ref_result.harmonic.spectral_balance.low_band, abs=1e-3
+    )
+    assert result.harmonic.stereo_image.correlation == pytest.approx(
+        ref_result.harmonic.stereo_image.correlation, abs=3e-3
+    )
+    for attr in ("hook_suggestion", "bass_suggestion"):
+        s_notes = getattr(result.harmonic, attr).notes
+        f_notes = getattr(ref_result.harmonic, attr).notes
+        assert s_notes["pitch"].tolist() == f_notes["pitch"].tolist()
+        assert s_notes["velocity"].tolist() == f_notes["velocity"].tolist()
+
+    # features
+    np.testing.assert_allclose(
+        result.features.ltas.magnitude,
+        ref_result.features.ltas.magnitude,
+        rtol=1e-2,
+        atol=1e-3,
+    )
+    assert result.features.spectral_centroid.mean == pytest.approx(
+        ref_result.features.spectral_centroid.mean, rel=1e-3
+    )
+    assert result.features.spectral_rolloff.mean == pytest.approx(
+        ref_result.features.spectral_rolloff.mean, rel=1e-3
+    )
+
+    # stereo
+    assert result.stereo.mid_rms == pytest.approx(ref_result.stereo.mid_rms, abs=1e-4)
+    assert result.stereo.side_rms == pytest.approx(ref_result.stereo.side_rms, abs=1e-4)
+    assert result.stereo.correlation == pytest.approx(
+        ref_result.stereo.correlation, abs=3e-3
+    )
+    for band in ("low", "mid", "high"):
+        assert getattr(result.stereo.width, band) == pytest.approx(
+            getattr(ref_result.stereo.width, band), rel=0.02, abs=1e-3
+        ), band
 
 
 def test_sharded_rejects_too_short_tracks():

@@ -163,7 +163,7 @@ def separate_stems(
 
             if separation_model.available():
                 stems = separation_model.separate(samples, sample_rate, seed=seed)
-                model_name = separation_model.MODEL_NAME
+                model_name = separation_model.model_name()
         except Exception:
             stems = None
         if stems is None:

@@ -54,9 +54,13 @@ class AnalysisConfig:
     gate_absolute_lufs: float = -70.0
     gate_relative_lu: float = -10.0
 
-    # Harmony (reference: harmony.py:254, 285-342)
-    balance_n_fft: int = 4_096
-    balance_hop: int = 1_024
+    # Harmony (reference: harmony.py:254, 285-342). The reference
+    # measures spectral balance on a dedicated 4096/1024 STFT; here the
+    # measurement rides the shared 2048/512 family (fractional edge-bin
+    # weights recover the finer band splits — ops/spectral.py), so the
+    # fused graph runs one fewer transform (~8 ms device budget).
+    balance_n_fft: int = 2_048
+    balance_hop: int = 512
     chord_window_frames: int = 2
     chord_change_threshold: float = 0.15
     chord_change_keep_fraction: float = 0.9

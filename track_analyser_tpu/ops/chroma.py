@@ -189,6 +189,7 @@ def multires_cq_filterbanks(
     fb_low = np.zeros((n_chroma, freqs_low.size), dtype=np.float64)
     bins_per_semitone = bins_per_octave // n_chroma
 
+    channels = []  # (pc, use_low, window, footprint)
     for k in range(bins_per_octave * n_octaves):
         fc = fmin * 2.0 ** (k / bins_per_octave)
         use_low = k < low_octaves * bins_per_octave
@@ -207,10 +208,37 @@ def multires_cq_filterbanks(
         # for periodic hann) so both banks read in the same units
         window = window / (n_eff / 4.0)
         pc = int(np.round(k / bins_per_semitone)) % n_chroma
-        if use_low:
-            fb_low[pc] += window
-        else:
-            fb_high[pc] += window
+        # tone footprint: the |STFT| magnitudes a unit tone at fc leaves
+        # on this bank's bins (used below to flatten the ROW response)
+        shape = _hann_tone_shape(n_eff)
+        oversample = (shape.size - 1) // (n_eff // 2)
+        idx = np.clip(
+            np.round(np.abs(freqs - fc) / res * oversample).astype(int),
+            0,
+            shape.size - 1,
+        )
+        foot = shape[idx] * (n_eff / 4.0)
+        channels.append((pc, use_low, window, foot))
+
+    # Per-channel normalisation equalises channels in isolation, but a
+    # pitch-class ROW sums overlapping channels whose density relative
+    # to the tone mainlobe varies across octaves (and steps at the bank
+    # seam). Flatten iteratively: scale each channel by the inverse of
+    # its row's actual response to a tone at its centre.
+    for _ in range(3):
+        fb_low[:] = 0.0
+        fb_high[:] = 0.0
+        for pc, use_low, window, _foot in channels:
+            (fb_low if use_low else fb_high)[pc] += window
+        for i, (pc, use_low, window, foot) in enumerate(channels):
+            row = fb_low[pc] if use_low else fb_high[pc]
+            response = float(np.dot(row, foot))
+            if response > 1e-9:
+                channels[i] = (pc, use_low, window / response, foot)
+    fb_low[:] = 0.0
+    fb_high[:] = 0.0
+    for pc, use_low, window, _foot in channels:
+        (fb_low if use_low else fb_high)[pc] += window
 
     row_norm = np.sqrt(
         np.sum(fb_low**2, axis=1, keepdims=True)

@@ -446,26 +446,21 @@ def _local_track_analysis(
         scores = scores + jnp.where(norm > 0, jnp.dot(jnp.asarray(rot, dtype=jnp.float32), cnorm), 0.0)
     out["key_scores"] = scores
 
-    # ---- spectral balance ---------------------------------------------------
-    bal_mag = magnitude(y_ext, cfg.balance_n_fft, cfg.balance_hop, power=1.0)
-    bal_ext_frames = bal_mag.shape[1]
-    bal_hf = hf * hop // cfg.balance_hop
-    bal_own = fs_own * hop // cfg.balance_hop
-    bal_global = shard * bal_own + jnp.arange(bal_ext_frames) - bal_hf
-    bal_valid = (
-        (bal_global >= 0)
-        & (bal_global < 1 + n_valid // cfg.balance_hop)
-        & (jnp.arange(bal_ext_frames) >= bal_hf)
-        & (jnp.arange(bal_ext_frames) < bal_hf + bal_own)
+    # ---- spectral balance: folded into the shared 2048 family ---------
+    # (matches the fused graph — fractional edge-bin weights, no
+    # dedicated balance STFT; the shard sums its own valid frames'
+    # spectrum column and psums the three band totals)
+    from ..ops.spectral import balance_band_weights
+
+    bal_w = jnp.asarray(balance_band_weights(sr, n_fft))
+    bal_col = jnp.sum(jnp.where(own_valid_ext[None, :], mag, 0.0), axis=-1)
+    bal_sums = jax.lax.psum(
+        jnp.dot(bal_w, bal_col, preferred_element_type=jnp.float32), axis_name
     )
-    bal = jnp.where(bal_valid[None, :], bal_mag, 0.0)
-    bal_freqs = jnp.asarray(fft_frequencies(sr, cfg.balance_n_fft), dtype=jnp.float32)[:, None]
-    out["balance_total"] = jax.lax.psum(jnp.sum(bal), axis_name)
-    out["balance_low"] = jax.lax.psum(jnp.sum(jnp.where(bal_freqs < 200.0, bal, 0.0)), axis_name)
-    out["balance_mid"] = jax.lax.psum(
-        jnp.sum(jnp.where((bal_freqs >= 200.0) & (bal_freqs < 2000.0), bal, 0.0)), axis_name
-    )
-    out["balance_high"] = jax.lax.psum(jnp.sum(jnp.where(bal_freqs >= 2000.0, bal, 0.0)), axis_name)
+    out["balance_total"] = jnp.sum(bal_sums)
+    out["balance_low"] = bal_sums[0]
+    out["balance_mid"] = bal_sums[1]
+    out["balance_high"] = bal_sums[2]
 
     # ---- loudness -------------------------------------------------------------
     yk_ext = k_weighted(y_ext, sr)

@@ -36,7 +36,12 @@ from .ops.mel import (
 )
 from .ops.onset import autocorrelate, onset_strength_from_mel
 from .ops.resample import oversampled_peak
-from .ops.spectral import ltas as ltas_op, spectral_centroid, spectral_rolloff
+from .ops.spectral import (
+    balance_band_weights,
+    ltas as ltas_op,
+    spectral_centroid,
+    spectral_rolloff,
+)
 from .ops.stft import fft_frequencies, magnitude, n_frames
 
 __all__ = ["full_track_graph", "jitted_full_track_graph", "bucket_length"]
@@ -203,18 +208,17 @@ def full_track_graph(
         )
     out["key_scores"] = scores
 
-    # ---- spectral balance (4096/1024 STFT) ----------------------------
-    bal_mag = magnitude(y, cfg.balance_n_fft, cfg.balance_hop, power=1.0)
-    bal_frames = n_frames(y.shape[-1], cfg.balance_hop)
-    bal_mask = jnp.arange(bal_frames) < 1 + n_valid // cfg.balance_hop
-    bal_mag = jnp.where(bal_mask[None, :], bal_mag, 0.0)
-    bal_freqs = jnp.asarray(fft_frequencies(sr, cfg.balance_n_fft), dtype=jnp.float32)[:, None]
-    out["balance_total"] = jnp.sum(bal_mag)
-    out["balance_low"] = jnp.sum(jnp.where(bal_freqs < 200.0, bal_mag, 0.0))
-    out["balance_mid"] = jnp.sum(
-        jnp.where((bal_freqs >= 200.0) & (bal_freqs < 2000.0), bal_mag, 0.0)
-    )
-    out["balance_high"] = jnp.sum(jnp.where(bal_freqs >= 2000.0, bal_mag, 0.0))
+    # ---- spectral balance: folded into the shared 2048 family ---------
+    # (was its own 4096/1024 STFT, ~8 ms of the fused graph's device
+    # budget; fractional edge-bin weights recover the finer transform's
+    # band splits — see ops.spectral.balance_band_weights)
+    bal_w = jnp.asarray(balance_band_weights(sr, n_fft))
+    bal_col = jnp.sum(jnp.where(fmask[None, :], mag, 0.0), axis=-1)  # (bins,)
+    bal_sums = jnp.dot(bal_w, bal_col, preferred_element_type=jnp.float32)
+    out["balance_total"] = jnp.sum(bal_sums)
+    out["balance_low"] = bal_sums[0]
+    out["balance_mid"] = bal_sums[1]
+    out["balance_high"] = bal_sums[2]
 
     # ---- loudness ------------------------------------------------------
     smask = jnp.arange(y.shape[-1]) < n_valid
