@@ -252,6 +252,19 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
         except RuntimeError:
             pass
 
+    # Catch-all: the native FFmpeg tier decodes anything the system's
+    # libavformat/libavcodec handle (M4A/AAC/WMA/...) — the equivalent of
+    # the reference's audioread last rung (io.py:91-116).
+    try:
+        from . import ffmpeg
+
+        if ffmpeg.available():
+            result = ffmpeg.decode(file_path)
+            if result is not None:
+                return result
+    except Exception:
+        pass
+
     raise RuntimeError(f"Could not decode audio file: {file_path}")
 
 

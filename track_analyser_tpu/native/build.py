@@ -1,8 +1,10 @@
-"""Build the native decoder library: ``python -m track_analyser_tpu.native.build``.
+"""Build the native libraries: ``python -m track_analyser_tpu.native.build``.
 
-Compiles native/src/decoder.cpp into libta_native.so next to binding.py.
-The library is an optional fast path — every build failure leaves the
-pure-numpy codecs authoritative.
+Compiles native/src/{decoder,transport,flac}.cpp into libta_native.so and
+— when the FFmpeg development headers/libraries are present —
+native/src/ffmpeg.cpp into the SEPARATE libta_ffmpeg.so (the catch-all
+decode tier; kept separate so libta_native never depends on the FFmpeg
+runtime). Every build failure leaves the pure-numpy codecs authoritative.
 """
 
 from __future__ import annotations
@@ -19,6 +21,32 @@ SRCS = [
     HERE / "src" / "flac.cpp",
 ]
 OUT = HERE / "libta_native.so"
+FFMPEG_SRC = HERE / "src" / "ffmpeg.cpp"
+FFMPEG_OUT = HERE / "libta_ffmpeg.so"
+
+
+def _compile(cxx: str, srcs, out: Path, extra=(), verbose: bool = True) -> bool:
+    cmd = [
+        cxx,
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-std=c++17",
+        *[str(s) for s in srcs],
+        "-o",
+        str(out),
+        *extra,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=not verbose)
+    except subprocess.CalledProcessError as exc:
+        if verbose:
+            print(f"[native] build of {out.name} failed: {exc}", file=sys.stderr)
+        return False
+    if verbose:
+        print(f"[native] built {out}")
+    return True
 
 
 def build(verbose: bool = True) -> bool:
@@ -27,26 +55,16 @@ def build(verbose: bool = True) -> bool:
         if verbose:
             print("[native] no C++ compiler found — skipping", file=sys.stderr)
         return False
-    cmd = [
+    ok = _compile(cxx, SRCS, OUT, verbose=verbose)
+    # Optional FFmpeg tier — best-effort; absence is fine.
+    _compile(
         cxx,
-        "-O3",
-        "-march=native",
-        "-shared",
-        "-fPIC",
-        "-std=c++17",
-        *[str(s) for s in SRCS],
-        "-o",
-        str(OUT),
-    ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=not verbose)
-    except subprocess.CalledProcessError as exc:
-        if verbose:
-            print(f"[native] build failed: {exc}", file=sys.stderr)
-        return False
-    if verbose:
-        print(f"[native] built {OUT}")
-    return True
+        [FFMPEG_SRC],
+        FFMPEG_OUT,
+        extra=["-lavformat", "-lavcodec", "-lavutil", "-lswresample"],
+        verbose=verbose,
+    )
+    return ok
 
 
 if __name__ == "__main__":

@@ -54,23 +54,36 @@ def _decimation_kernel(sr: int, decim: int, keep_hz: float) -> np.ndarray:
 def decimate_fir(y: jnp.ndarray, decim: int, *, sr: int, keep_hz: float) -> jnp.ndarray:
     """Anti-aliased ``decim``-fold decimation (device, jittable).
 
-    out[k] is centred on y[k*decim] (odd symmetric kernel, SAME padding),
-    so STFT frame grids of the decimated signal align with the full-rate
-    grid. Lowers to ONE strided XLA convolution."""
+    out[k] is centred on y[k*decim] (odd symmetric kernel), so STFT frame
+    grids of the decimated signal align with the full-rate grid.
+
+    TPU note: a single-channel strided convolution lowers catastrophically
+    (measured ~95 ms for 8.4M samples via conv_general_dilated — no MXU
+    mapping), so the decimator is expressed as slice-stack framing at
+    stride ``decim`` followed by ONE (n/decim, F) @ (F,) matvec — the
+    same framed-matmul recipe as the true-peak oversampler above."""
 
     import jax
 
-    h = jnp.asarray(_decimation_kernel(sr, decim, keep_hz))
-    taps = h.shape[0]
-    out = jax.lax.conv_general_dilated(
-        y[None, None, :],
-        h[None, None, :],
-        window_strides=(decim,),
-        padding=[(taps // 2, taps // 2)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
+    from .stft import frame_signal
+
+    h = np.asarray(_decimation_kernel(sr, decim, keep_hz), dtype=np.float64)
+    taps = h.size
+    # frame length: multiple of 2*decim covering the kernel, so the
+    # centred frame_signal fast path (pad % hop == 0) applies
+    frame_len = -(-(taps + 1) // (2 * decim)) * 2 * decim
+    # frame k covers y[k*decim - frame_len/2 : k*decim + frame_len/2);
+    # embed the kernel so h's centre (index taps//2) lands at offset
+    # frame_len/2 (i.e. at sample k*decim).
+    hpad = np.zeros(frame_len, dtype=np.float64)
+    start = frame_len // 2 - taps // 2
+    hpad[start : start + taps] = h
+    frames = frame_signal(y, frame_len, decim, center=True)
+    return jnp.dot(
+        frames,
+        jnp.asarray(hpad, dtype=jnp.float32),
         precision=jax.lax.Precision.HIGHEST,
     )
-    return out[0, 0]
 
 
 def resample_poly_host(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
