@@ -70,19 +70,24 @@ class AnalysisConfig:
 
     # Chroma / key estimation. The reference relies on librosa's recursive
     # multirate CQT (harmony.py:107); this framework's equivalent is a
-    # TWO-resolution filterbank projection (ops/chroma.py
-    # cq_chroma_multires): octaves >= cq_low_octaves from an n_fft=8192
-    # full-rate STFT, the bass octaves from a cq_low_n_fft STFT of the
-    # cq_decim-fold decimated signal (4096 @ sr/16 = a 1.49 s window,
-    # matching librosa's own C1 window) — so low-register semitones are
-    # resolved instead of FFT-bin-limited.
-    cq_n_fft: int = 8_192
+    # THREE-resolution filterbank projection (ops/chroma.py
+    # cq_chroma_tribank): bass octaves (< cq_low_octaves) from a
+    # cq_low_n_fft STFT of the cq_decim-fold decimated signal (4096 @
+    # sr/16 = a 1.49 s window, matching librosa's own C1 window), mid
+    # octaves (< cq_family_octave) from a cq_mid_n_fft STFT of the SAME
+    # decimated signal (0.37 s window), and the top octaves straight off
+    # the shared 2048-family magnitude — low-register semitones resolved
+    # instead of FFT-bin-limited, with zero full-rate extra transforms.
+    cq_n_fft: int = 8_192  # legacy two-bank path (profiling comparisons)
     cq_bins_per_octave: int = 36
     cq_n_octaves: int = 7
     cq_fmin_midi: int = 24  # C1 = 32.703 Hz, librosa's default CQT fmin
     cq_low_n_fft: int = 4_096
+    cq_mid_n_fft: int = 1_024
     cq_decim: int = 16
+    cq_keep_hz: float = 1_050.0  # decimation passband: B5 + channel bw
     cq_low_octaves: int = 3
+    cq_family_octave: int = 5
     # The long-window chroma is computed every cq_hop samples and repeated
     # up to hop_length resolution (a 93 ms analysis window moves little in
     # 12 ms; 4x fewer FFTs).

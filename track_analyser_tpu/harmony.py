@@ -28,7 +28,7 @@ from .config import DEFAULT_CONFIG
 from .ops.chroma import (
     chroma_from_power,
     chroma_stft_filterbank,
-    cq_chroma_multires,
+    cq_chroma_tribank,
 )
 from .ops.stft import magnitude
 from .utils import AudioInput, deterministic_rng, seed_everything
@@ -131,17 +131,23 @@ def _chroma_graph(y: jnp.ndarray, *, sr: int, hop_length: int):
     """Both chroma projections from one pass over the signal."""
 
     cfg = DEFAULT_CONFIG
-    stft_power = magnitude(y, 2048, hop_length, power=2.0)
+    stft_mag = magnitude(y, 2048, hop_length, power=1.0)
+    stft_power = stft_mag * stft_mag
     chroma_stft = chroma_from_power(stft_power, chroma_stft_filterbank(sr, 2048))
 
-    chroma_cq = cq_chroma_multires(
+    chroma_cq = cq_chroma_tribank(
         y,
+        stft_mag,
         sr=sr,
-        n_fft=cfg.cq_n_fft,
         hop=cfg.cq_hop,
-        n_fft_low=cfg.cq_low_n_fft,
+        family_n_fft=2048,
+        family_hop=hop_length,
+        low_n_fft=cfg.cq_low_n_fft,
+        mid_n_fft=cfg.cq_mid_n_fft,
         decim=cfg.cq_decim,
         low_octaves=cfg.cq_low_octaves,
+        family_octave=cfg.cq_family_octave,
+        keep_hz=cfg.cq_keep_hz,
     )
     # Upsample the coarse-hop chroma to hop_length frame indexing (a 93 ms
     # analysis window moves little in 12 ms; 4x fewer FFTs).

@@ -7,14 +7,17 @@ matmul over a static STFT, which is the natural MXU mapping:
 
 * ``chroma_stft_filterbank`` reproduces librosa.filters.chroma (Gaussian
   log-frequency windows folded to 12 pitch classes, tuning fixed to 0).
-* ``cq_chroma_multires`` is this framework's constant-Q replacement and
-  the production path: TWO log-spaced raised-cosine banks (Q from
-  bins_per_octave) — bass octaves projected from a long-effective-window
-  STFT of the decimated signal (librosa-CQT-class low-octave resolution),
-  the rest from the full-rate 8192-point STFT — jointly normalised and
-  summed into one 12-row chroma.
-* ``cq_chroma_filterbank`` is the round-2 single-bank variant (8192-point
-  window only; bin-limited below C4), kept for profiling comparisons.
+* ``cq_chroma_tribank`` is this framework's constant-Q replacement and
+  the production path: THREE log-spaced raised-cosine banks (Q from
+  bins_per_octave) — bass and mid octaves projected from two STFTs of
+  ONE decimated signal (1.49 s / 0.37 s effective windows —
+  librosa-CQT-class low-octave resolution), the top octaves straight
+  off the shared 2048-family magnitude — jointly normalised and summed
+  into one 12-row chroma.
+* ``cq_chroma_multires`` is the round-3 two-bank variant (decimated low
+  bank + full-rate 8192 STFT) and ``cq_chroma_filterbank`` the round-2
+  single-bank variant (bin-limited below C4); both kept for profiling
+  comparisons.
 
 Behavioural parity is asserted at the decision level (key exactness incl.
 a 24-key bass-register sweep, chord-change recall — see
@@ -31,8 +34,10 @@ import numpy as np
 __all__ = [
     "chroma_stft_filterbank",
     "cq_chroma_filterbank",
+    "multibank_cq_filterbanks",
     "multires_cq_filterbanks",
     "cq_chroma_multires",
+    "cq_chroma_tribank",
     "chroma_from_power",
     "normalize_inf",
 ]
@@ -154,7 +159,105 @@ def _tone_normalised_channel(
     return window / response
 
 
-@lru_cache(maxsize=8)
+@lru_cache(maxsize=16)
+def multibank_cq_filterbanks(
+    sr: int,
+    specs: tuple,
+    *,
+    bins_per_octave: int = 36,
+    n_octaves: int = 7,
+    fmin: float = 32.703195662574764,  # C1
+    n_chroma: int = 12,
+) -> tuple:
+    """N-resolution constant-Q chroma banks, one filterbank per spec.
+
+    Each spec is ``(decim, n_fft, oct_lo, oct_hi)``: constant-Q channels
+    whose octave falls in [oct_lo, oct_hi) project from an n_fft-point
+    STFT of the ``decim``-fold decimated signal (decim=1 = full rate).
+    Channels whose centre exceeds their bank's Nyquist fall through to
+    the LAST spec (assumed full-rate). This is the TPU-first equivalent
+    of librosa's recursive multirate CQT (reference harmony.py:107):
+    window length per octave group is set by (n_fft, decim), and every
+    bank is a plain filterbank matmul over a static STFT.
+
+    Channel gains are tone-normalised (see _tone_normalised_channel) and
+    pitch-class row responses flattened iteratively across ALL banks, so
+    a unit tone reads identically through any bank; rows are then
+    L2-normalised jointly."""
+
+    q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    banks = []
+    for decim, n_fft_eff, oct_lo, oct_hi in specs:
+        sr_eff = sr / decim
+        banks.append(
+            {
+                "freqs": np.linspace(0.0, sr_eff / 2.0, 1 + n_fft_eff // 2),
+                "n_eff": n_fft_eff,
+                "res": sr_eff / n_fft_eff,
+                "nyq": sr_eff / 2.0,
+                "oct_lo": oct_lo,
+                "oct_hi": oct_hi,
+            }
+        )
+    fbs = [np.zeros((n_chroma, b["freqs"].size), dtype=np.float64) for b in banks]
+    bins_per_semitone = bins_per_octave // n_chroma
+
+    channels = []  # (pc, bank_idx, window, footprint)
+    for k in range(bins_per_octave * n_octaves):
+        fc = fmin * 2.0 ** (k / bins_per_octave)
+        if fc >= sr / 2.0:
+            break
+        octave = k // bins_per_octave
+        bank_idx = len(banks) - 1
+        for bi, b in enumerate(banks):
+            if b["oct_lo"] <= octave < b["oct_hi"] and fc < b["nyq"]:
+                bank_idx = bi
+                break
+        b = banks[bank_idx]
+        bw = max(fc / q, b["res"])  # at least one FFT bin wide
+        window = _tone_normalised_channel(b["freqs"], fc, bw, b["res"], b["n_eff"])
+        if window is None:
+            continue
+        # undo the transform's own magnitude scale (|S| peak = A*n_eff/4
+        # for periodic hann) so all banks read in the same units
+        window = window / (b["n_eff"] / 4.0)
+        pc = int(np.round(k / bins_per_semitone)) % n_chroma
+        # tone footprint: the |STFT| magnitudes a unit tone at fc leaves
+        # on this bank's bins (used below to flatten the ROW response)
+        shape = _hann_tone_shape(b["n_eff"])
+        oversample = (shape.size - 1) // (b["n_eff"] // 2)
+        idx = np.clip(
+            np.round(np.abs(b["freqs"] - fc) / b["res"] * oversample).astype(int),
+            0,
+            shape.size - 1,
+        )
+        foot = shape[idx] * (b["n_eff"] / 4.0)
+        channels.append((pc, bank_idx, window, foot))
+
+    # Per-channel normalisation equalises channels in isolation, but a
+    # pitch-class ROW sums overlapping channels whose density relative
+    # to the tone mainlobe varies across octaves (and steps at the bank
+    # seams). Flatten iteratively: scale each channel by the inverse of
+    # its row's actual response to a tone at its centre.
+    def _accumulate():
+        for fb in fbs:
+            fb[:] = 0.0
+        for pc, bi, window, _foot in channels:
+            fbs[bi][pc] += window
+
+    for _ in range(3):
+        _accumulate()
+        for i, (pc, bi, window, foot) in enumerate(channels):
+            response = float(np.dot(fbs[bi][pc], foot))
+            if response > 1e-9:
+                channels[i] = (pc, bi, window / response, foot)
+    _accumulate()
+
+    row_norm = np.sqrt(sum(np.sum(fb**2, axis=1, keepdims=True) for fb in fbs))
+    safe = np.where(row_norm > 0, row_norm, 1.0)
+    return tuple((fb / safe).astype(np.float32) for fb in fbs)
+
+
 def multires_cq_filterbanks(
     sr: int,
     n_fft_high: int,
@@ -167,85 +270,18 @@ def multires_cq_filterbanks(
     fmin: float = 32.703195662574764,  # C1
     n_chroma: int = 12,
 ) -> tuple:
-    """Two-resolution constant-Q chroma banks: (fb_low, fb_high).
+    """Two-resolution banks (fb_low, fb_high) — the round-3 production
+    path before the tribank; kept for comparison profiling. Low octaves
+    from the decimated-signal STFT, the rest from full-rate n_fft_high."""
 
-    The reference's recursive multirate CQT (harmony.py:107 in the
-    reference) analyses low octaves with windows several times longer
-    than high octaves. The round-2 single-bank here was FFT-bin-limited
-    below C4 (flagged in VERDICT r2); this is the multirate equivalent
-    expressed TPU-first: octaves 1..low_octaves project from an STFT of
-    the ``decim``-fold DECIMATED signal (n_fft_low samples at sr/decim —
-    e.g. 4096 @ 2.76 kHz = a 1.49 s window, Δf 0.67 Hz, matching
-    librosa's own C1 window length), the rest from the full-rate
-    n_fft_high STFT. Channel responses scale with the effective sample
-    rate, so fb_low carries a ``decim`` gain; pitch-class rows are
-    L2-normalised JOINTLY across both banks."""
-
-    q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
-    sr_low = sr / decim
-    freqs_high = np.linspace(0.0, sr / 2.0, 1 + n_fft_high // 2)
-    freqs_low = np.linspace(0.0, sr_low / 2.0, 1 + n_fft_low // 2)
-    fb_high = np.zeros((n_chroma, freqs_high.size), dtype=np.float64)
-    fb_low = np.zeros((n_chroma, freqs_low.size), dtype=np.float64)
-    bins_per_semitone = bins_per_octave // n_chroma
-
-    channels = []  # (pc, use_low, window, footprint)
-    for k in range(bins_per_octave * n_octaves):
-        fc = fmin * 2.0 ** (k / bins_per_octave)
-        use_low = k < low_octaves * bins_per_octave
-        if use_low and fc >= sr_low / 2.0:
-            use_low = False  # degenerate params; fall through to full rate
-        if fc >= sr / 2.0:
-            break
-        freqs = freqs_low if use_low else freqs_high
-        n_eff = n_fft_low if use_low else n_fft_high
-        res = (sr_low / n_fft_low) if use_low else (sr / n_fft_high)
-        bw = max(fc / q, res)  # at least one FFT bin wide
-        window = _tone_normalised_channel(freqs, fc, bw, res, n_eff)
-        if window is None:
-            continue
-        # undo the transform's own magnitude scale (|S| peak = A*n_eff/4
-        # for periodic hann) so both banks read in the same units
-        window = window / (n_eff / 4.0)
-        pc = int(np.round(k / bins_per_semitone)) % n_chroma
-        # tone footprint: the |STFT| magnitudes a unit tone at fc leaves
-        # on this bank's bins (used below to flatten the ROW response)
-        shape = _hann_tone_shape(n_eff)
-        oversample = (shape.size - 1) // (n_eff // 2)
-        idx = np.clip(
-            np.round(np.abs(freqs - fc) / res * oversample).astype(int),
-            0,
-            shape.size - 1,
-        )
-        foot = shape[idx] * (n_eff / 4.0)
-        channels.append((pc, use_low, window, foot))
-
-    # Per-channel normalisation equalises channels in isolation, but a
-    # pitch-class ROW sums overlapping channels whose density relative
-    # to the tone mainlobe varies across octaves (and steps at the bank
-    # seam). Flatten iteratively: scale each channel by the inverse of
-    # its row's actual response to a tone at its centre.
-    for _ in range(3):
-        fb_low[:] = 0.0
-        fb_high[:] = 0.0
-        for pc, use_low, window, _foot in channels:
-            (fb_low if use_low else fb_high)[pc] += window
-        for i, (pc, use_low, window, foot) in enumerate(channels):
-            row = fb_low[pc] if use_low else fb_high[pc]
-            response = float(np.dot(row, foot))
-            if response > 1e-9:
-                channels[i] = (pc, use_low, window / response, foot)
-    fb_low[:] = 0.0
-    fb_high[:] = 0.0
-    for pc, use_low, window, _foot in channels:
-        (fb_low if use_low else fb_high)[pc] += window
-
-    row_norm = np.sqrt(
-        np.sum(fb_low**2, axis=1, keepdims=True)
-        + np.sum(fb_high**2, axis=1, keepdims=True)
+    return multibank_cq_filterbanks(
+        sr,
+        ((decim, n_fft_low, 0, low_octaves), (1, n_fft_high, low_octaves, n_octaves)),
+        bins_per_octave=bins_per_octave,
+        n_octaves=n_octaves,
+        fmin=fmin,
+        n_chroma=n_chroma,
     )
-    safe = np.where(row_norm > 0, row_norm, 1.0)
-    return (fb_low / safe).astype(np.float32), (fb_high / safe).astype(np.float32)
 
 
 def cq_chroma_multires(
@@ -279,6 +315,76 @@ def cq_chroma_multires(
     raw = jnp.dot(
         jnp.asarray(fb_high), mag_high[:, :t], preferred_element_type=jnp.float32
     ) + jnp.dot(jnp.asarray(fb_low), mag_low[:, :t], preferred_element_type=jnp.float32)
+    return normalize_inf(raw, axis=0)
+
+
+def cq_chroma_tribank(
+    y: jnp.ndarray,
+    family_mag: jnp.ndarray,
+    *,
+    sr: int,
+    hop: int,
+    family_n_fft: int,
+    family_hop: int,
+    low_n_fft: int = 4_096,
+    mid_n_fft: int = 1_024,
+    decim: int = 16,
+    low_octaves: int = 3,
+    family_octave: int = 5,
+    n_octaves: int = 7,
+    keep_hz: float = 1_050.0,
+) -> jnp.ndarray:
+    """Three-resolution CQ chroma (12, 1 + n//hop) — the production path.
+
+    ONE ``decim``-fold decimation (Toeplitz-matmul FIR keeping everything
+    through the mid octaves, keep_hz ≈ B5 + channel bandwidth) feeds TWO
+    cheap matmul-DFT STFTs: ``low_n_fft`` (1.49 s window, Δf 0.67 Hz)
+    for octaves < low_octaves and ``mid_n_fft`` (0.37 s, Δf 2.7 Hz) for
+    octaves < family_octave; the top octaves project straight off the
+    ALREADY-COMPUTED 2048-family magnitude (``family_mag``, hop
+    ``family_hop``) — zero extra transforms. Replaces the round-3
+    two-bank path whose full-rate 8192 STFT cost ~8 ms per 180 s track.
+
+    Window-length ladder vs the reference's recursive multirate CQT
+    (reference harmony.py:107): 1.49 s / 0.37 s / 46 ms — the same
+    octave-scaled resolution structure, expressed as static filterbank
+    matmuls. All three banks are jointly tone-normalised and the frame
+    grids align exactly (decimated hops = hop/decim; family frames
+    sliced every hop/family_hop)."""
+
+    from .resample import decimate_fir
+    from .stft import magnitude
+
+    # Adapt the decimation to the sample rate: halve until the decimated
+    # Nyquist clears the passband with room for a short transition
+    # (sr/decim >= 2.625*keep_hz keeps the kernel ~400 taps). 44.1 kHz
+    # -> 16, 22.05 kHz -> 8 — both land on the same ~2756 Hz effective
+    # rate, so window lengths (and therefore resolution) are invariant.
+    while decim > 1 and (sr / decim < 2.625 * keep_hz or hop % decim):
+        decim //= 2
+
+    fb_low, fb_mid, fb_fam = multibank_cq_filterbanks(
+        sr,
+        (
+            (decim, low_n_fft, 0, low_octaves),
+            (decim, mid_n_fft, low_octaves, family_octave),
+            (1, family_n_fft, family_octave, n_octaves),
+        ),
+        n_octaves=n_octaves,
+    )
+    y_low = decimate_fir(y, decim, sr=sr, keep_hz=keep_hz)
+    hop_low = hop // decim
+    mag_low = magnitude(y_low, low_n_fft, hop_low, power=1.0)
+    mag_mid = magnitude(y_low, mid_n_fft, hop_low, power=1.0)
+    raw_fam = jnp.dot(
+        jnp.asarray(fb_fam), family_mag, preferred_element_type=jnp.float32
+    )[:, :: hop // family_hop]
+    t = min(mag_low.shape[-1], mag_mid.shape[-1], raw_fam.shape[-1])
+    raw = (
+        jnp.dot(jnp.asarray(fb_low), mag_low[:, :t], preferred_element_type=jnp.float32)
+        + jnp.dot(jnp.asarray(fb_mid), mag_mid[:, :t], preferred_element_type=jnp.float32)
+        + raw_fam[:, :t]
+    )
     return normalize_inf(raw, axis=0)
 
 

@@ -242,7 +242,7 @@ def _local_track_analysis(
     """
 
     from ..config import DEFAULT_CONFIG as cfg
-    from ..ops.chroma import chroma_from_power, chroma_stft_filterbank, cq_chroma_multires
+    from ..ops.chroma import chroma_from_power, chroma_stft_filterbank, cq_chroma_tribank
     from ..ops.filters import gaussian_filter1d, hpss
     from ..ops.loudness import k_weighted
     from ..ops.mel import melspectrogram_from_power, mfcc_from_log_mel, power_to_db
@@ -412,19 +412,25 @@ def _local_track_analysis(
 
     # ---- harmony ----------------------------------------------------------
     chroma_st = chroma_from_power(power, chroma_stft_filterbank(sr, n_fft))
-    # Multi-resolution CQ chroma over the halo-extended block: the
-    # decimation FIR (~150 taps) and the 1.49 s low-bank window both sit
-    # far inside the exchanged sample halo, and the extended block starts
-    # on a cq_hop multiple, so the decimated frame grid stays aligned
-    # with the fused graph's.
-    chroma_cq_coarse = cq_chroma_multires(
+    # Three-bank CQ chroma over the halo-extended block: the decimation
+    # FIR (~400 taps) and the 1.49 s low-bank window both sit far inside
+    # the exchanged sample halo, and the extended block starts on a
+    # cq_hop multiple (hf % 4 == 0), so the decimated frame grids AND
+    # the ::4-sliced family projection stay aligned with the fused
+    # graph's.
+    chroma_cq_coarse = cq_chroma_tribank(
         y_ext,
+        mag,
         sr=sr,
-        n_fft=cfg.cq_n_fft,
         hop=cfg.cq_hop,
-        n_fft_low=cfg.cq_low_n_fft,
+        family_n_fft=n_fft,
+        family_hop=hop,
+        low_n_fft=cfg.cq_low_n_fft,
+        mid_n_fft=cfg.cq_mid_n_fft,
         decim=cfg.cq_decim,
         low_octaves=cfg.cq_low_octaves,
+        family_octave=cfg.cq_family_octave,
+        keep_hz=cfg.cq_keep_hz,
     )
     rep = cfg.cq_hop // hop
     chroma_cq_ext = jnp.repeat(chroma_cq_coarse, rep, axis=1)[:, :f_ext]

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import DEFAULT_CONFIG
-from .ops.chroma import chroma_from_power, chroma_stft_filterbank, cq_chroma_multires
+from .ops.chroma import chroma_from_power, chroma_stft_filterbank, cq_chroma_tribank
 from .ops.filters import gaussian_filter1d, hpss
 from .ops.loudness import integrated_lufs, k_weighted, rms_db_curve
 from .ops.mel import (
@@ -178,14 +178,19 @@ def full_track_graph(
 
     # ---- harmony: chroma projections + key scores ---------------------
     chroma_st = chroma_from_power(power, chroma_stft_filterbank(sr, n_fft))
-    chroma_cq = cq_chroma_multires(
+    chroma_cq = cq_chroma_tribank(
         y,
+        mag,
         sr=sr,
-        n_fft=cfg.cq_n_fft,
         hop=cfg.cq_hop,
-        n_fft_low=cfg.cq_low_n_fft,
+        family_n_fft=n_fft,
+        family_hop=hop,
+        low_n_fft=cfg.cq_low_n_fft,
+        mid_n_fft=cfg.cq_mid_n_fft,
         decim=cfg.cq_decim,
         low_octaves=cfg.cq_low_octaves,
+        family_octave=cfg.cq_family_octave,
+        keep_hz=cfg.cq_keep_hz,
     )
     # Upsample the coarse-hop chroma to hop_length frame indexing.
     chroma_cq = jnp.repeat(chroma_cq, cfg.cq_hop // hop, axis=1)[:, :total_frames]
