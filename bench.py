@@ -101,6 +101,18 @@ def main() -> None:
         print(f"[bench] matmul-DFT max rel err vs rfft: {rel:.2e}", file=sys.stderr)
         assert rel < 5e-4, f"matmul DFT drifted: rel err {rel:.2e}"
 
+        # Link-state probe: the sweep is upload-bound, and the relay's
+        # bandwidth varies ~4x day to day (measured 14-60 MB/s). Record
+        # it so cross-run bench deltas can be attributed to the link.
+        probe_buf = np.zeros(8 * 1024 * 1024, dtype=np.int8)
+        jax.device_get(jax.device_put(probe_buf[: 1 << 20], dev)[:8])  # warm the path
+        best_bw = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.device_get(jax.device_put(probe_buf, dev)[:8])
+            best_bw = max(best_bw, 8.0 / (time.perf_counter() - t0))
+        print(f"[bench] relay upload bandwidth ~{best_bw:.1f} MB/s", file=sys.stderr)
+
     # Three distinct durations -> three padded buckets -> three compiled
     # executables in one sweep (the honest shape mix).
     durations = [181.0, 181.0, 136.0, 136.0, 96.0, 96.0]

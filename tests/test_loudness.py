@@ -67,6 +67,31 @@ def test_k_weighting_overlap_save_matches_direct_convolution() -> None:
     np.testing.assert_allclose(blocked, direct, atol=2e-4)
 
 
+def test_k_weighting_toeplitz_matmul_matches_direct_convolution() -> None:
+    """The accelerator path runs K-weighting as one banded-Toeplitz MXU
+    matmul with the FIR truncated to 2048 taps (1 - 2e-11 of the cascade
+    energy). It must match the full 16384-tap direct convolution to f32
+    rounding — including across 512-lane block boundaries, the ragged
+    tail, and for batched (2, n) inputs."""
+
+    import jax.numpy as jnp
+
+    from track_analyser_tpu.ops.loudness import _k_weighted_matmul, k_weighting_fir
+
+    sr = 44_100
+    rng = np.random.default_rng(7)
+    n = 200_001  # not a lane multiple
+    y = rng.normal(0.0, 0.25, n).astype(np.float32)
+    out = np.asarray(_k_weighted_matmul(jnp.asarray(y), sr))
+    h = k_weighting_fir(sr).astype(np.float64)
+    direct = np.convolve(y.astype(np.float64), h)[:n]
+    np.testing.assert_allclose(out, direct, atol=2e-4)
+
+    batched = np.asarray(_k_weighted_matmul(jnp.asarray(np.stack([y, -y])), sr))
+    np.testing.assert_allclose(batched[0], direct, atol=2e-4)
+    np.testing.assert_allclose(batched[1], -direct, atol=2e-4)
+
+
 def test_absolute_gate_ignores_appended_silence() -> None:
     """BS.1770 gating: trailing silence must not drag integrated LUFS down."""
 

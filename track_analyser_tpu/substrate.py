@@ -192,7 +192,10 @@ def full_track_graph(
         family_octave=cfg.cq_family_octave,
         keep_hz=cfg.cq_keep_hz,
     )
-    # Upsample the coarse-hop chroma to hop_length frame indexing.
+    # Upsample the coarse-hop chroma to hop_length frame indexing. The
+    # coarse grid is kept too: the packed transport ships IT (4x fewer
+    # readback bytes over the relay) and the host repeats identically.
+    out["chroma_cq_coarse"] = chroma_cq
     chroma_cq = jnp.repeat(chroma_cq, cfg.cq_hop // hop, axis=1)[:, :total_frames]
     out["chroma_cq"] = chroma_cq
 
@@ -338,7 +341,10 @@ _SCALARS = (
 
 
 def pack_outputs(out: Dict[str, jnp.ndarray]) -> tuple:
-    """(curves (13, W), chroma (12, F), vec) — 3 buffers instead of ~20."""
+    """(curves (13, W), chroma_coarse (12, F/4), vec) — 3 buffers instead
+    of ~20. The chroma ships on its native cq_hop grid (the device-side
+    repeat to hop resolution is pure redundancy — 4x the bytes for zero
+    information); unpack_outputs repeats on host, bit-identically."""
 
     width = max(int(out[name].shape[-1]) for name in _CURVE_ROWS)
     rows = [
@@ -353,14 +359,18 @@ def pack_outputs(out: Dict[str, jnp.ndarray]) -> tuple:
             out["key_scores"].astype(jnp.float32),
         ]
     )
-    return curves, out["chroma_cq"], vec
+    return curves, out["chroma_cq_coarse"], vec
 
 
-def unpack_outputs(curves: np.ndarray, chroma: np.ndarray, vec: np.ndarray) -> Dict[str, np.ndarray]:
+def unpack_outputs(curves: np.ndarray, chroma_coarse: np.ndarray, vec: np.ndarray) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {
         name: np.asarray(curves[i]) for i, name in enumerate(_CURVE_ROWS)
     }
-    out["chroma_cq"] = np.asarray(chroma)
+    rep = DEFAULT_CONFIG.cq_hop // DEFAULT_CONFIG.hop_length
+    total_frames = curves.shape[-1]
+    out["chroma_cq"] = np.repeat(np.asarray(chroma_coarse), rep, axis=1)[
+        :, :total_frames
+    ]
     for i, name in enumerate(_SCALARS):
         out[name] = np.asarray(vec[i])
     out["stereo_widths"] = np.asarray(vec[len(_SCALARS) : len(_SCALARS) + 3])
