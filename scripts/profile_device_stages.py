@@ -1,7 +1,7 @@
 """Per-stage device timing of the fused graph's components.
 
 Each stage is jitted separately and timed with resident inputs, so the
-270 ms whole-graph cost (scripts/profile_library.py) can be attributed.
+whole-graph cost (scripts/profile_library.py) can be attributed.
 Timing rule for the axon relay: block_until_ready is a no-op, so each
 stage returns a scalar that is device_get'd (~30 ms sync floor — compare
 deltas, not absolutes).
@@ -33,7 +33,7 @@ def main() -> None:
     from track_analyser_tpu.ops.chroma import (
         chroma_from_power,
         chroma_stft_filterbank,
-        cq_chroma_filterbank,
+        cq_chroma_tribank,
     )
     from track_analyser_tpu.ops.filters import hpss
     from track_analyser_tpu.ops.loudness import k_weighted, rms_db_curve
@@ -68,16 +68,31 @@ def main() -> None:
         lambda s: jnp.sum(jnp.abs(stft(s[0], 2048, 512))) + jnp.sum(jnp.abs(stft(s[1], 2048, 512))),
         stereo,
     )
-    timeit(
-        "cq stft %d/%d" % (cfg.cq_n_fft, cfg.cq_hop),
-        lambda a: jnp.sum(magnitude(a, cfg.cq_n_fft, cfg.cq_hop)),
-        y,
-    )
-    timeit(
-        "balance stft %d/%d" % (cfg.balance_n_fft, cfg.balance_hop),
-        lambda a: jnp.sum(magnitude(a, cfg.balance_n_fft, cfg.balance_hop)),
-        y,
-    )
+    # Spectral balance rides the shared 2048 family since round 3 (no
+    # separate transform), and the chroma is the three-bank CQ: one
+    # decimation + two matmul-DFT STFTs of the decimated signal + three
+    # filterbank projections (the family magnitude it reuses is charged
+    # to the family STFT row above, so pass a resident one here).
+    def _tribank_sum(a, fam):
+        ch = cq_chroma_tribank(
+            a,
+            fam,
+            sr=sr,
+            hop=cfg.cq_hop,
+            family_n_fft=2048,
+            family_hop=512,
+            low_n_fft=cfg.cq_low_n_fft,
+            mid_n_fft=cfg.cq_mid_n_fft,
+            decim=cfg.cq_decim,
+            low_octaves=cfg.cq_low_octaves,
+            family_octave=cfg.cq_family_octave,
+            keep_hz=cfg.cq_keep_hz,
+        )
+        return jnp.sum(ch)
+
+    fam_mag = jax.jit(lambda a: magnitude(a, 2048, 512))(y)
+    jax.device_get(fam_mag[:1, :1])
+    timeit("tribank CQ chroma (decimate + 2 STFTs + projections)", _tribank_sum, y, fam_mag)
 
     def _hpss_sum(a):
         mag = magnitude(a, 2048, 512)
@@ -93,7 +108,7 @@ def main() -> None:
         return jnp.sum(mel) + jnp.sum(cst)
 
     timeit("stft + mel + chroma matmuls", _mel_chroma, y)
-    timeit("k_weighted FFT conv", lambda a: jnp.sum(k_weighted(a, sr)), y)
+    timeit("k_weighted (Toeplitz matmul on accel, FFT conv on CPU)", lambda a: jnp.sum(k_weighted(a, sr)), y)
     timeit("true peak x8 polyphase", lambda a: oversampled_peak(a, 8), y)
     timeit(
         "rms curves (short+momentary)",

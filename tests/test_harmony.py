@@ -33,6 +33,23 @@ def test_key_estimate_is_exact_on_c_major() -> None:
     assert estimate.second_best.key in {"G major", "F major"}
 
 
+def test_key_estimate_handles_low_sample_rates() -> None:
+    """Regression: the tribank's decimation adapts down to decim=1 for
+    low sample rates (sr < 2.625*keep_hz); that identity path must not
+    try to design an anti-alias kernel (which is infeasible once
+    sr <= 2*keep_hz and used to raise ValueError)."""
+
+    for sr in (2_000, 8_000):
+        t = np.arange(sr * 8) / sr
+        y = (
+            np.sin(2 * np.pi * 130.81 * t)
+            + np.sin(2 * np.pi * 164.81 * t)
+            + np.sin(2 * np.pi * 196.0 * t)
+        ).astype(np.float32)
+        estimate = key_estimate(y, sr)
+        assert estimate.best.key == "C major", sr
+
+
 def test_change_point_recall_meets_seventy_percent() -> None:
     _, audio, beat = _c_major_context()
     result = analyse_harmony(audio, beat, None, seed=123)

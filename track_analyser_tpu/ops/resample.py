@@ -88,6 +88,15 @@ def decimate_fir(y: jnp.ndarray, decim: int, *, sr: int, keep_hz: float) -> jnp.
 
     from .stft import frame_signal
 
+    if decim == 1:
+        # Identity grid: out[k] = y[k]. No decimation -> no aliasing, so
+        # the anti-alias lowpass is unnecessary (callers only read bins
+        # below keep_hz, which a 1-fold "decimation" leaves untouched) —
+        # and the kernel design would be infeasible anyway once
+        # sr <= 2*keep_hz (stopband below passband). One trailing zero
+        # matches the 1 + n//decim output convention.
+        return jnp.pad(y, (0, 1))
+
     lanes = 128
     hop_block = lanes * decim
     n = y.shape[-1]

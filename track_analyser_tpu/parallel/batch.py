@@ -702,8 +702,10 @@ def _stage_payload_ms(
     if native is not None:
         mid_i8, mid_scales, _side, _sscales, _noise, stats = native
     else:
-        st, n = _pad_track(audio, n_bucket)
-        mid_i8, mid_scales, _side, _sscales, _noise, stats = _quantise_ms(st, n)
+        # Mid-only fallback: _quantise_mid_range over the full bucket
+        # produces exactly the shipped payload (mid int8 + f64 stereo
+        # sums) without the retired int4 side pass _quantise_ms pays.
+        mid_i8, mid_scales, stats = _quantise_mid_range(channels, n, 0, n_bucket)
     widths = None
     if audio.stereo_samples is not None:
         widths = _host_stereo_widths(channels, audio.sample_rate)
