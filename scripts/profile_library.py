@@ -45,26 +45,44 @@ def main() -> None:
     import jax
 
     from track_analyser_tpu.parallel import batch as B
+    from track_analyser_tpu.parallel.mesh import data_sharding, make_mesh
     from track_analyser_tpu.substrate import bucket_length
 
+    try:
+        from track_analyser_tpu.native.build import build as build_native
+
+        build_native(verbose=False)
+    except Exception:
+        pass
+
     dev = jax.devices()[0]
+    mesh = make_mesh()
     print(f"device: {dev}")
     seconds = 180.0
     sr = 44_100
     audio = _track(seconds)
     n_bucket = bucket_length(len(audio.samples))
-    st, nv = B._pad_track(audio, n_bucket)
-    vals, scales = B._quantise_i8(st)
-    payload_mb = (vals.nbytes + scales.nbytes) / 1e6
-    print(f"bucket={n_bucket} payload={payload_mb:.1f} MB int8")
+
+    # --- 0. decode-pool work: pad + quantise + host widths (ms) ------------
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        payload, host_exact, nv = B._stage_payload_ms(audio, n_bucket)
+    print(
+        f"host stage (ms): {(time.perf_counter()-t0)/reps*1e3:.0f} ms/track "
+        f"(native quantise + host-exact widths)"
+    )
+    payload_mb = sum(p.nbytes for p in payload) / 1e6
+    print(f"bucket={n_bucket} payload={payload_mb:.1f} MB (mid-only int8)")
 
     # --- 1. upload bandwidth, 1/2/4 streams --------------------------------
     def upload_once(i):
-        h = jax.device_put((vals, scales), dev)
-        jax.tree.map(lambda x: x.block_until_ready(), h)
-        # axon block_until_ready is a no-op; force materialisation cheaply
-        _ = jax.device_get(h[1][:1, :1])
-        return h
+        staged = []
+        for part in payload:
+            stacked = np.stack([part])  # batch of 1, as the sweep stages it
+            staged.append(jax.device_put(stacked, data_sharding(mesh, rank=stacked.ndim)))
+        _ = jax.device_get(staged[-1][:1, :1])  # force materialisation
+        return tuple(staged)
 
     upload_once(0)  # warm path
     for streams in (1, 2, 4):
@@ -80,42 +98,43 @@ def main() -> None:
         )
 
     # --- 2/3. device compute + readback ------------------------------------
-    h = upload_once(0)
-    vals_d, scales_d = h
-    nv_d = jax.device_put(np.asarray(nv), dev)
-    graph = B._single_graph_i8 if hasattr(B, "_single_graph_i8") else None
     from functools import partial
 
-    import jax.numpy as jnp
-
-    @partial(jax.jit, static_argnames=("sr",))
-    def fused_i8(v, s, n_valid, *, sr):
-        return B._core_graph(B._dequantise_i8(v, s), n_valid, sr=sr)
-
-    out = fused_i8(vals_d, scales_d, nv_d, sr=sr)  # compile
-    _ = jax.device_get(out)
-    for _ in range(2):
-        t0 = time.perf_counter()
-        out = fused_i8(vals_d, scales_d, nv_d, sr=sr)
-        # time to ready: fetch one scalar element from the largest output
-        _ = jax.device_get(out[2])
-        t1 = time.perf_counter()
-        fetched = jax.device_get(out)
-        t2 = time.perf_counter()
-        print(
-            f"device compute (resident inputs): {(t1-t0)*1e3:.0f} ms; "
-            f"full readback: {(t2-t1)*1e3:.0f} ms "
-            f"({sum(np.asarray(o).nbytes for o in fetched)/1e6:.1f} MB out)"
-        )
+    staged = upload_once(0)
+    vb = jax.device_put(np.asarray([nv]), data_sharding(mesh))
+    graph = partial(B._batched_graph_ms, sr=sr)
+    with mesh:
+        out = graph(staged, vb)  # compile
+        _ = jax.device_get(jax.tree.leaves(out)[0][:1])
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = graph(staged, vb)
+            # time to ready: fetch a sliver of the first output
+            _ = jax.device_get(jax.tree.leaves(out)[0][:1, :1])
+            t1 = time.perf_counter()
+            fetched = jax.device_get(out)
+            t2 = time.perf_counter()
+            print(
+                f"device compute (resident inputs): {(t1-t0)*1e3:.0f} ms; "
+                f"full readback: {(t2-t1)*1e3:.0f} ms "
+                f"({sum(np.asarray(o).nbytes for o in jax.tree.leaves(fetched))/1e6:.1f} MB out)"
+            )
 
     # --- 4. host finishing ---------------------------------------------------
-    fetched = jax.device_get(fused_i8(vals_d, scales_d, nv_d, sr=sr))
+    with mesh:
+        fetched = jax.device_get(graph(staged, vb))
+    curves, chroma, vec = fetched[:3]
+    net = fetched[3] if len(fetched) > 3 else None
     out_dict = None
     from track_analyser_tpu.substrate import unpack_outputs
 
     t0 = time.perf_counter()
     for _ in range(3):
-        out_dict = unpack_outputs(*fetched[:3])
+        out_dict = unpack_outputs(curves[0], chroma[0], vec[0])
+        if net is not None:
+            out_dict["net_prob"] = np.asarray(net[0])
+        if host_exact is not None:
+            B._apply_host_stereo_stats(out_dict, *host_exact)
         B.result_from_graph_outputs(audio, out_dict)
     print(f"host finish: {(time.perf_counter()-t0)/3*1e3:.0f} ms/track")
 

@@ -14,7 +14,9 @@ bench.py.
 from __future__ import annotations
 
 import json
+import os
 import threading
+import time
 from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
@@ -601,21 +603,25 @@ def _host_stereo_widths(
 
     from ..ops.stft import hann_window
 
-    l = channels[0].astype(np.float64, copy=False)
-    r = channels[-1].astype(np.float64, copy=False)
+    l = channels[0]
+    r = channels[-1]
     n = l.shape[-1]
     if n == 0:
         return np.zeros(3)
     total = 1 + n // hop
     stride = max(1, total // max_frames)
     starts = np.arange(0, total, stride) * hop - n_fft // 2  # centred frames
-    pad = n_fft // 2
-    lp = np.pad(l, (pad, n_fft))
-    rp = np.pad(r, (pad, n_fft))
-    idx = (starts + pad)[:, None] + np.arange(n_fft)[None, :]
-    win = hann_window(n_fft).astype(np.float64)
-    fl = lp[idx] * win
-    fr = rp[idx] * win
+    # Gather ONLY the sampled frames (<= max_frames x n_fft ~ 3 MB) from
+    # the float32 signal — clipped indices + a validity mask reproduce
+    # zero-padding bit-exactly without materialising full-length f64
+    # copies (the pad+copy version thrashed the allocator so badly that
+    # four concurrent decode workers ran 17x slower than serial).
+    idx = starts[:, None] + np.arange(n_fft)[None, :]
+    valid = ((idx >= 0) & (idx < n)).astype(np.float64)
+    idx_c = np.clip(idx, 0, n - 1)
+    win = hann_window(n_fft).astype(np.float64) * valid
+    fl = l[idx_c].astype(np.float64) * win
+    fr = r[idx_c].astype(np.float64) * win
     sm = np.fft.rfft(0.5 * (fl + fr), axis=-1)
     ss = np.fft.rfft(0.5 * (fl - fr), axis=-1)
     mid_e = np.abs(sm) ** 2
@@ -1034,8 +1040,28 @@ def analyse_library(
         else:
             todo.append((i, s))
 
+    # TA_SWEEP_DEBUG=1: stage-attributed stderr trace of the pipeline
+    # (used to attribute sweep latency; zero cost when unset).
+    if os.environ.get("TA_SWEEP_DEBUG", "") not in ("", "0"):
+        _dbg_t0 = time.perf_counter()
+
+        def _dbg(tag: str, idx) -> None:
+            import sys as _sys
+
+            print(
+                f"[sweep {time.perf_counter() - _dbg_t0:7.2f}s] {tag} {idx}",
+                file=_sys.stderr,
+                flush=True,
+            )
+
+    else:
+
+        def _dbg(tag: str, idx) -> None:
+            pass
+
     def _load(item):
         idx, src = item
+        _dbg("load.start", idx)
         try:
             # Always coerce: the batched graph is compiled with
             # sr=target_sr, so an AudioInput at any other rate must be
@@ -1054,11 +1080,13 @@ def analyse_library(
             if on_error == "raise":
                 raise
             return idx, src, exc, None, None, None, None
+        _dbg("load.done", idx)
         return idx, src, audio, n_bucket, payload, nv, stats
 
     def _stage(chunk):
         """Upload one chunk's payload parts (runs on the upload pool)."""
 
+        _dbg("stage.start", [c[0] for c in chunk])
         n_bucket = bucket_length(len(chunk[0][2].samples))
         payloads = [payload for _, _, _, payload, _, _ in chunk]
         valids = [nv for _, _, _, _, nv, _ in chunk]
@@ -1073,6 +1101,7 @@ def analyse_library(
             stacked = np.stack([p[part] for p in payloads])
             staged.append(jax.device_put(stacked, data_sharding(mesh, rank=stacked.ndim)))
         vb = jax.device_put(np.asarray(valids), data_sharding(mesh))
+        _dbg("stage.done", [c[0] for c in chunk])
         return tuple(staged), vb
 
     def _batched_for(chunk):
@@ -1087,10 +1116,16 @@ def analyse_library(
 
     n_done = 0
     total = len(todo)
+    # Two finisher workers overlap one chunk's relay readback with the
+    # previous chunk's host assembly; this lock serialises the shared
+    # bits (manifest append, done counter, progress callback).
+    finish_lock = threading.Lock()
 
     def _finish(chunk, out_handle) -> None:
         nonlocal n_done
+        _dbg("finish.start", [c[0] for c in chunk])
         fetched = jax.device_get(out_handle)
+        _dbg("finish.fetched", [c[0] for c in chunk])
         curves, chroma, vec = fetched[:3]
         net = fetched[3] if len(fetched) > 3 else None
         for k, (idx, src, audio, _payload, _nv, stats) in enumerate(chunk):
@@ -1110,21 +1145,23 @@ def analyse_library(
                     else f"track_{idx:05d}"
                 )
                 outputs_module.render_all(result, Path(output_dir) / name)
-            if manifest:
-                with manifest.open("a") as fh:
-                    fh.write(
-                        json.dumps(
-                            {
-                                "source": str(src),
-                                "bpm": result.beat.bpm,
-                                "key": result.harmonic.primary_key.key,
-                            }
+            with finish_lock:
+                if manifest:
+                    with manifest.open("a") as fh:
+                        fh.write(
+                            json.dumps(
+                                {
+                                    "source": str(src),
+                                    "bpm": result.beat.bpm,
+                                    "key": result.harmonic.primary_key.key,
+                                }
+                            )
+                            + "\n"
                         )
-                        + "\n"
-                    )
-            n_done += 1
-            if progress_callback:
-                progress_callback(str(src), n_done, total)
+                n_done += 1
+                if progress_callback:
+                    progress_callback(str(src), n_done, total)
+        _dbg("finish.done", [c[0] for c in chunk])
 
     # Pipeline bounds: how many decoded tracks may exist at once (payload
     # + AudioInput each), and how many uploaded chunks may wait on device.
@@ -1133,7 +1170,7 @@ def analyse_library(
 
     decode_pool = ThreadPoolExecutor(max_workers=decode_workers)
     upload_pool = ThreadPoolExecutor(max_workers=upload_streams)
-    finish_pool = ThreadPoolExecutor(max_workers=1)
+    finish_pool = ThreadPoolExecutor(max_workers=2)
     # Executable pre-warming: the relay compiles server-side (~tens of
     # seconds per bucket executable) and handles concurrent compile
     # requests in parallel (measured ~2x for 2). As soon as a bucket key
@@ -1182,12 +1219,15 @@ def analyse_library(
             # decode/coerce failure: isolate the track, keep the sweep,
             # and surface the outcome to the caller
             results[idx] = TrackFailure(source=str(src), error=str(audio))
-            if manifest:
-                with manifest.open("a") as fh:
-                    fh.write(json.dumps({"source": str(src), "error": str(audio)}) + "\n")
-            n_done += 1
-            if progress_callback:
-                progress_callback(str(src), n_done, total)
+            with finish_lock:
+                if manifest:
+                    with manifest.open("a") as fh:
+                        fh.write(
+                            json.dumps({"source": str(src), "error": str(audio)}) + "\n"
+                        )
+                n_done += 1
+                if progress_callback:
+                    progress_callback(str(src), n_done, total)
             return
         # payload arity is part of the bucket key (transports differ;
         # under "ms" mono and stereo share the mid-only arity, so they
@@ -1233,7 +1273,9 @@ def analyse_library(
                 # and host finishing of earlier ones continue in parallel.
                 chunk, staged_future = staged_q.popleft()
                 staged, vb = staged_future.result()
+                _dbg("dispatch.start", [c[0] for c in chunk])
                 out_handle = _batched_for(chunk)(staged, vb)  # async dispatch
+                _dbg("dispatch.issued", [c[0] for c in chunk])
                 dispatched_q.append(finish_pool.submit(_finish, chunk, out_handle))
                 while len(dispatched_q) > stage_depth:
                     dispatched_q.popleft().result()
