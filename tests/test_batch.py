@@ -281,6 +281,51 @@ def test_host_stereo_widths_match_device_estimator() -> None:
     np.testing.assert_allclose(host, dev, rtol=0.04, atol=5e-3)
 
 
+def test_host_stereo_widths_clipped_gather_matches_padded_reference() -> None:
+    """The widths estimator gathers only the sampled frames via clipped
+    indices + a validity mask (full-length pad+copy thrashed concurrent
+    decode workers 17x). Pin it bit-exactly against an explicit
+    zero-padded framing, including the edge frames whose centred windows
+    hang off both ends of the signal."""
+
+    from track_analyser_tpu.ops.stft import hann_window
+    from track_analyser_tpu.parallel.batch import _host_stereo_widths
+
+    sr = 8_000
+    n_fft, hop, max_frames = 2048, 512, 192
+    rng = np.random.default_rng(7)
+    for n in (3 * sr, n_fft // 2 + 17):  # normal and shorter-than-a-window
+        stereo = rng.standard_normal((2, n)).astype(np.float32) * 0.4
+
+        l = stereo[0].astype(np.float64)
+        r = stereo[1].astype(np.float64)
+        total = 1 + n // hop
+        stride = max(1, total // max_frames)
+        starts = np.arange(0, total, stride) * hop - n_fft // 2
+        pad = n_fft // 2
+        lp = np.pad(l, (pad, n_fft))
+        rp = np.pad(r, (pad, n_fft))
+        idx = (starts + pad)[:, None] + np.arange(n_fft)[None, :]
+        win = hann_window(n_fft).astype(np.float64)
+        fl, fr = lp[idx] * win, rp[idx] * win
+        sm = np.fft.rfft(0.5 * (fl + fr), axis=-1)
+        ss = np.fft.rfft(0.5 * (fl - fr), axis=-1)
+        mid_e, side_e = np.abs(sm) ** 2, np.abs(ss) ** 2
+        freqs = np.linspace(0.0, sr / 2.0, 1 + n_fft // 2)
+        nyq = sr / 2.0
+        want = np.zeros(3)
+        for k, (lo_f, hi_f) in enumerate(
+            ((0.0, min(200.0, nyq)), (200.0, min(2000.0, nyq)), (2000.0, nyq))
+        ):
+            band = (freqs >= lo_f) & (freqs <= hi_f)
+            m = float(np.mean(mid_e[:, band]))
+            s = float(np.mean(side_e[:, band]))
+            want[k] = 0.0 if m <= 1e-12 else float(np.sqrt(s / m))
+
+        got = _host_stereo_widths(stereo, sr)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_stage_timer_wraps_progress_callback(tmp_path) -> None:
     from track_analyser_tpu.pipeline import analyse_track
     from track_analyser_tpu.profiling import StageTimer
