@@ -847,27 +847,46 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int):
         channels = channels[None, :]
     mono = audio.stereo_samples is None
 
-    try:
-        from ..native import binding as native_binding
+    def _native_chunk(s: int, e: int):
+        """Native quantise of block-aligned chunk [s, e) — bitwise the
+        same mid/scales as one full-bucket pass (scales are per-block and
+        chunk bounds are block-aligned); stats are per-chunk f64 partial
+        sums. Returns None when the kernel is unavailable."""
 
-        native = native_binding.quantise_ms(channels, n_bucket, _I8_BLOCK)
-    except Exception:
-        native = None
+        if s >= n:  # fully past the valid samples: all-zero padding
+            return (
+                np.zeros(e - s, np.int8),
+                np.zeros((e - s) // _I8_BLOCK, np.float32),
+                np.zeros(8),
+            )
+        try:
+            from ..native import binding as native_binding
 
-    if native is not None:
-        # one fused native pass (GIL released), then chunked uploads
-        mid_i8, mscales, _side, _sscales, _noise, stats = native
-        mid_futs = [pool.submit(_put_batched, mid_i8[s:e]) for s, e in ranges]
-    else:
-        mid_futs = []
-        msc = []
-        stats = np.zeros(8)
-        for s, e in ranges:
-            mc, m_sc, st = _quantise_mid_range(channels, n, s, e)
-            mid_futs.append(pool.submit(_put_batched, mc))
-            msc.append(m_sc)
-            stats += st
-        mscales = np.concatenate(msc)
+            res = native_binding.quantise_ms(
+                np.ascontiguousarray(channels[:, s : min(e, n)]), e - s, _I8_BLOCK
+            )
+        except Exception:
+            res = None
+        if res is None:
+            return None
+        mc, m_sc, _side, _sscales, _noise, st = res
+        return mc, m_sc, st
+
+    # Chunked quantise (native per chunk, numpy fallback): chunk k's
+    # upload is in flight while chunk k+1 quantises, so the first
+    # device_put issues ~4x sooner than after a full-bucket pass.
+    mid_futs = []
+    msc = []
+    stats = np.zeros(8)
+    for s, e in ranges:
+        out3 = _native_chunk(s, e)
+        if out3 is None:
+            out3 = _quantise_mid_range(channels, n, s, e)
+        mc, m_sc, st = out3
+        mid_futs.append(pool.submit(_put_batched, mc))
+        msc.append(m_sc)
+        stats = stats + st
+    mscales = np.concatenate(msc)
 
     # Host widths overlap the uploads still in flight.
     widths = None if mono else _host_stereo_widths(channels, sr)
