@@ -174,6 +174,42 @@ def test_library_mixes_mono_and_stereo_under_ms_transport() -> None:
     assert results[1].harmonic.stereo_image.balance > 0.01
 
 
+def test_library_device_batch_matches_default() -> None:
+    """device_batch=2 packs 2*n_devices tracks per dispatch (zero-lane
+    padding for the remainder); per-track results must match the
+    batch-1 path — the batched graph is lane-invariant."""
+
+    from track_analyser_tpu.parallel.batch import analyse_library
+    from track_analyser_tpu.utils import AudioInput
+
+    sr = 22_050
+    n = int(1.4 * sr)
+    t = np.arange(n) / sr
+    tracks = []
+    for i, freq in enumerate((220.0, 330.0, 262.0)):  # odd count: pads lanes
+        l = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        r = (0.3 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        tracks.append(
+            AudioInput(samples=0.5 * (l + r), sample_rate=sr, stereo_samples=np.stack([l, r]))
+        )
+
+    base = analyse_library(tracks)
+    batched = analyse_library(tracks, device_batch=2)
+    assert len(batched) == len(base) == 3
+    for b, a in zip(batched, base):
+        assert b.beat.bpm == pytest.approx(a.beat.bpm, abs=1e-9)
+        assert b.harmonic.primary_key.key == a.harmonic.primary_key.key
+        assert b.loudness.integrated_lufs == pytest.approx(
+            a.loudness.integrated_lufs, abs=1e-9
+        )
+        assert b.stereo.correlation == pytest.approx(a.stereo.correlation, abs=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(b.structure.novelty_curve),
+            np.asarray(a.structure.novelty_curve),
+            atol=1e-6,
+        )
+
+
 def test_library_prewarm_path_is_safe() -> None:
     """prewarm=True pushes a zero-payload chunk through the dispatch path
     per bucket (normally only on accelerator backends, where server-side

@@ -80,13 +80,13 @@ def _median_ops(n: int = 32, target: int = 15):
 
 
 def _median31_kernel(x_hbm, out_ref, slab, sem):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * _BF, _BF), pl.ds(j * _BT, _BT + _HALO)],
-        slab,
-        sem,
-    )
+    if len(x_hbm.shape) == 3:  # batched grid: (batch, row tiles, col tiles)
+        b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        src = x_hbm.at[b, pl.ds(i * _BF, _BF), pl.ds(j * _BT, _BT + _HALO)]
+    else:
+        i, j = pl.program_id(0), pl.program_id(1)
+        src = x_hbm.at[pl.ds(i * _BF, _BF), pl.ds(j * _BT, _BT + _HALO)]
+    copy = pltpu.make_async_copy(src, slab, sem)
     copy.start()
     copy.wait()
 
@@ -106,17 +106,20 @@ def _median31_kernel(x_hbm, out_ref, slab, sem):
 
     # Median of 31 values = ascending-sorted index 15 (the +inf pad sits
     # at index 31 and never reaches 15).
-    out_ref[:, :] = vals[15]
+    if len(out_ref.shape) == 3:
+        out_ref[0, :, :] = vals[15]
+    else:
+        out_ref[:, :] = vals[15]
 
 
 def _median31_rows_kernel(x_hbm, out_ref, slab, sem):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * _BF, _BF + _ROW_HALO), pl.ds(j * _BT, _BT)],
-        slab,
-        sem,
-    )
+    if len(x_hbm.shape) == 3:  # batched grid: (batch, row tiles, col tiles)
+        b, i, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        src = x_hbm.at[b, pl.ds(i * _BF, _BF + _ROW_HALO), pl.ds(j * _BT, _BT)]
+    else:
+        i, j = pl.program_id(0), pl.program_id(1)
+        src = x_hbm.at[pl.ds(i * _BF, _BF + _ROW_HALO), pl.ds(j * _BT, _BT)]
+    copy = pltpu.make_async_copy(src, slab, sem)
     copy.start()
     copy.wait()
 
@@ -134,10 +137,66 @@ def _median31_rows_kernel(x_hbm, out_ref, slab, sem):
         else:
             vals[b] = jnp.maximum(va, vb) if ascending else jnp.minimum(va, vb)
 
-    out_ref[:, :] = vals[15]
+    if len(out_ref.shape) == 3:
+        out_ref[0, :, :] = vals[15]
+    else:
+        out_ref[:, :] = vals[15]
 
 
 _ROW_HALO = 32  # >= _SIZE - 1, multiple of the 32-row DMA tile
+
+
+def _pallas_median_call(kernel, slab_shape, xp, tp_out: int, interpret: bool):
+    """Invoke ``kernel`` over a 2-D padded array (grid: row x col tiles)
+    or a 3-D batched one (grid: batch x row x col tiles)."""
+
+    if xp.ndim == 2:
+        fp = xp.shape[0]
+        grid = (fp // _BF, tp_out // _BT)
+        out_shape = (fp, tp_out)
+        out_spec = pl.BlockSpec((_BF, _BT), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    else:
+        b, fp = xp.shape[0], xp.shape[1]
+        grid = (b, fp // _BF, tp_out // _BT)
+        out_shape = (b, fp, tp_out)
+        out_spec = pl.BlockSpec(
+            (1, _BF, _BT), lambda bb, i, j: (bb, i, j), memory_space=pltpu.VMEM
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, xp.dtype),
+        scratch_shapes=[pltpu.VMEM(slab_shape, xp.dtype), pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(xp)
+
+
+@lru_cache(maxsize=None)
+def _median_call(axis: str, tp_out: int, interpret: bool):
+    """custom_vmap wrapper around the pallas call: a vmapped median maps
+    onto the kernels' native batched (3-D) grid instead of Pallas's
+    generic auto-batching (which rejects memory-space-ANY inputs with a
+    squeezed batch block)."""
+
+    if axis == "cols":
+        kernel, slab_shape = _median31_kernel, (_BF, _BT + _HALO)
+    else:
+        kernel, slab_shape = _median31_rows_kernel, (_BF + _ROW_HALO, _BT)
+
+    @jax.custom_batching.custom_vmap
+    def call(xp):
+        return _pallas_median_call(kernel, slab_shape, xp, tp_out, interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, xp):  # noqa: ANN001 - custom_vmap API
+        if not in_batched[0]:  # broadcast operand: one kernel run serves all
+            out = _pallas_median_call(kernel, slab_shape, xp, tp_out, interpret)
+            return jnp.broadcast_to(out, (axis_size, *out.shape)), True
+        return _pallas_median_call(kernel, slab_shape, xp, tp_out, interpret), True
+
+    return call
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -156,20 +215,7 @@ def median31_first_axis(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarr
     xp = jnp.pad(x, ((radius, radius), (0, tp - t)), mode="reflect")
     xp = jnp.pad(xp, ((0, fp + _ROW_HALO - (f + 2 * radius)), (0, 0)))
 
-    out = pl.pallas_call(
-        _median31_rows_kernel,
-        grid=(fp // _BF, tp // _BT),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (_BF, _BT), lambda i, j: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((fp, tp), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((_BF + _ROW_HALO, _BT), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(xp)
+    out = _median_call("rows", tp, interpret)(xp)
     return out[:f, :t]
 
 
@@ -187,18 +233,5 @@ def median31_last_axis(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarra
     xp = jnp.pad(x, ((0, fp - f), (radius, radius)), mode="reflect")
     xp = jnp.pad(xp, ((0, 0), (0, tp - t + _HALO - 2 * radius)))
 
-    out = pl.pallas_call(
-        _median31_kernel,
-        grid=(fp // _BF, tp // _BT),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (_BF, _BT), lambda i, j: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((fp, tp), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((_BF, _BT + _HALO), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(xp)
+    out = _median_call("cols", tp, interpret)(xp)
     return out[:f, :t]

@@ -898,7 +898,9 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int):
     # On single-chip hosts this executable IS the sweep's bucket
     # executable; record it so library prewarm skips a redundant compile.
     mesh_ids = tuple(int(d.id) for d in _single_mesh().devices.flat)
-    _WARMED_EXECUTABLES.add(("ms", sr, mesh_ids, n_bucket, len(parts)))
+    # lane count 1 (batch of 1 on the one-device mesh) matches the
+    # sweep's n_lane for the default device_batch=1.
+    _WARMED_EXECUTABLES.add(("ms", sr, mesh_ids, 1, n_bucket, len(parts)))
     return out, (stats, widths)
 
 
@@ -991,6 +993,7 @@ def analyse_library(
     transport: str = "ms",
     on_error: str = "skip",
     prewarm: Optional[bool] = None,
+    device_batch: int = 1,
 ) -> "List[TrackAnalysisResult | TrackFailure | SkippedTrack]":
     """Analyse a library of tracks through a bounded streaming pipeline.
 
@@ -1033,10 +1036,20 @@ def analyse_library(
     server-side compiles overlap decode/upload and each other. Default
     (None) enables it on accelerator backends only — local CPU compiles
     are fast enough that warming is pure overhead there.
+
+    ``device_batch``: tracks analysed per device per dispatch (chunks
+    are ``n_devices * device_batch`` lanes). >1 amortises per-dispatch
+    overhead and batches the device matmuls (measured on one v5e chip,
+    181 s bucket: 77/61/55 ms per track at batch 1/2/4, lanes
+    bit-identical to batch 1) at the price of one extra executable per
+    (bucket, batch) and zero-lane padding when a bucket's track count
+    is not a multiple. Default 1 = one executable per bucket, shared
+    with the single-track path.
     """
 
     mesh = mesh or make_mesh()
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_lane = n_dev * max(1, int(device_batch))
 
     done: set[str] = set()
     manifest = Path(manifest_path) if manifest_path else None
@@ -1109,7 +1122,7 @@ def analyse_library(
         n_bucket = bucket_length(len(chunk[0][2].samples))
         payloads = [payload for _, _, _, payload, _, _ in chunk]
         valids = [nv for _, _, _, _, nv, _ in chunk]
-        n_pad = n_dev - len(payloads)
+        n_pad = n_lane - len(payloads)
         if n_pad > 0:  # pad batch to the device count (all-zero payloads
             # dequantise to silence for every transport: zero scales)
             zero = tuple(np.zeros_like(p) for p in payloads[0])
@@ -1184,7 +1197,7 @@ def analyse_library(
 
     # Pipeline bounds: how many decoded tracks may exist at once (payload
     # + AudioInput each), and how many uploaded chunks may wait on device.
-    prefetch = prefetch_tracks or max(2 * n_dev, 4)
+    prefetch = prefetch_tracks or max(2 * n_lane, 4)
     stage_depth = max(upload_streams, 2)
 
     decode_pool = ThreadPoolExecutor(max_workers=decode_workers)
@@ -1253,7 +1266,10 @@ def analyse_library(
         # mix freely within a chunk)
         key = (n_bucket, len(payload))
         item = (idx, src, audio, payload, nv, stats)
-        warm_key = (transport, target_sr, mesh_ids) + key
+        # n_lane is part of the executable identity: a device_batch>1
+        # sweep must not be deduplicated against the batch-1 executable
+        # the single-track path records.
+        warm_key = (transport, target_sr, mesh_ids, n_lane) + key
         if prewarm and warm_key not in _WARMED_EXECUTABLES:
             _WARMED_EXECUTABLES.add(warm_key)
             warm_pool.submit(_warm_executable, item)
@@ -1262,8 +1278,8 @@ def analyse_library(
     def _form_chunks(flush: bool) -> None:
         for key in sorted(buckets):
             items = buckets[key]
-            while len(items) >= n_dev or (flush and items):
-                chunk, items = items[:n_dev], items[n_dev:]
+            while len(items) >= n_lane or (flush and items):
+                chunk, items = items[:n_lane], items[n_lane:]
                 buckets[key] = items
                 staged_q.append((chunk, upload_pool.submit(_stage, chunk)))
 
