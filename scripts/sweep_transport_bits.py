@@ -1,0 +1,119 @@
+"""Transport bit-depth gate sweep: measure, don't guess.
+
+The library sweep is relay-link-bound at 1.0 B per stereo sample pair
+(mid-only blockwise int8). Every proposed byte reduction must clear the
+reference's accuracy gates (BPM ±0.1, beat grid ≤5 ms, LUFS ±0.3, true
+peak ±0.2 dB, key exact — SURVEY.md §6) on the SAME fixtures the test
+suite enforces them on. This script quantises each gate fixture with
+blockwise int-k for k ∈ {8, 6, 5, 4} (and two block lengths: the
+production 65 536 and a short 8 192 that adapts faster to transients),
+dequantises, and reports the gate deltas alongside the float baseline.
+
+Round-3 history this extends (RUNBOOK.md):
+- raw int4 (65 536 blocks): beat grid FAILS at ~145 ms (quiet clicks
+  vanish under a loud block peak's 4-bit step); LUFS/true-peak fail.
+- one-tap DPCM int4: still fails the beat grid gate (18.1 ms).
+
+Usage: python scripts/sweep_transport_bits.py [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tests"))
+
+
+def quantise_blockwise(x: np.ndarray, bits: int, block: int) -> np.ndarray:
+    """Round-trip blockwise int-k quantisation (same recipe as the
+    production _quantise_i8: per-block peak scale, round-to-nearest)."""
+
+    qmax = float(2 ** (bits - 1) - 1)
+    n = x.size
+    n_pad = -(-n // block) * block
+    xp = np.zeros(n_pad, dtype=np.float32)
+    xp[:n] = x
+    blocks = xp.reshape(-1, block)
+    scales = np.abs(blocks).max(axis=-1)
+    inv = qmax / np.where(scales > 0, scales, 1.0)
+    codes = np.rint(np.clip(blocks * inv[:, None], -qmax, qmax))
+    out = codes * (scales[:, None] / qmax)
+    return out.reshape(-1)[:n].astype(np.float32)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from synth import click_grid, progression, sine_at_rms_db
+    from track_analyser_tpu.analysis.loudness import measure_loudness, true_peak_dbtp
+    from track_analyser_tpu.harmony import key_estimate
+    from track_analyser_tpu.tempo import beat_grid, estimate_bpm
+
+    # --- fixtures: exactly the suites' gate signals -----------------------
+    SR_T = 48_000
+    click, truth = click_grid(120.0, 64 * 4, SR_T, noise_db=-34.0, seed=1234)
+    tone = sine_at_rms_db(-18.0, 1000.0, 1.0, SR_T)
+    prog = progression([(60, "maj"), (65, "maj"), (67, "maj"), (60, "maj")], 1.0, 22_050)
+
+    # float baselines
+    base_lufs = measure_loudness(tone, SR_T)[0]
+    base_tp = true_peak_dbtp(tone, SR_T, oversample=8)
+
+    print(
+        f"float baseline: lufs={base_lufs:+.3f}  tp={base_tp:+.3f}  "
+        f"(gates: bpm ±0.1, grid ≤5 ms, lufs ±0.3, tp ±0.2 dB, key exact)"
+    )
+    header = (
+        f"{'bits':>4} {'block':>6} | {'bpm_err':>8} {'grid_ms':>8} "
+        f"{'lufs_err':>8} {'tp_err':>7} {'key':>8} | verdict"
+    )
+    print(header)
+    print("-" * len(header))
+
+    for bits in (8, 6, 5, 4):
+        for block in (65_536, 8_192):
+            qc = quantise_blockwise(click, bits, block)
+            bpm_err = abs(estimate_bpm(qc, SR_T) - 120.0)
+            grid = beat_grid(qc, SR_T)
+            fitted = grid["time"].to_numpy()[: truth.size]
+            grid_ms = (
+                float(np.max(np.abs(fitted - truth))) * 1e3
+                if fitted.size >= truth.size
+                else float("inf")
+            )
+
+            qt = quantise_blockwise(tone, bits, block)
+            lufs_err = abs(measure_loudness(qt, SR_T)[0] - base_lufs)
+            tp_err = abs(true_peak_dbtp(qt, SR_T, oversample=8) - base_tp)
+
+            qp = quantise_blockwise(prog, bits, block)
+            key = key_estimate(qp, 22_050).best.key
+
+            ok = (
+                bpm_err <= 0.1
+                and grid_ms <= 5.0
+                and lufs_err <= 0.3
+                and tp_err <= 0.2
+                and key == "C major"
+            )
+            print(
+                f"{bits:>4} {block:>6} | {bpm_err:8.3f} {grid_ms:8.1f} "
+                f"{lufs_err:8.3f} {tp_err:7.3f} {key:>8} | "
+                f"{'PASS' if ok else 'FAIL'}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

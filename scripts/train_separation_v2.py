@@ -78,7 +78,11 @@ def _hit_noisekick(rng, seg):
 
     body = np.sin(2 * np.pi * (45 + rng.uniform(40, 90) * np.exp(-seg * 90)) * seg)
     click = rng.normal(0, 1, seg.size)
-    click = np.convolve(click, np.ones(8) / 8.0, mode="same") * np.exp(-seg * 300)
+    # mode="same" returns max(M, N) samples — clip for hits landing
+    # within 8 samples of the buffer end
+    click = np.convolve(click, np.ones(8) / 8.0, mode="same")[: seg.size] * np.exp(
+        -seg * 300
+    )
     return (body + rng.uniform(0.5, 1.5) * click) * np.exp(-seg * 30)
 
 
@@ -197,9 +201,10 @@ def synth_stems_v2(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray
     gate = np.sin(2 * np.pi * t / rng.uniform(1.0, 3.0)) > rng.uniform(-0.6, 0.2)
     bass = rng.uniform(0.35, 0.6) * _bass_voice(rng, t, f_bass) * gate
 
-    # "other": sustained pad OR struck/arpeggiated chords, change halfway
+    # "other": sustained pad, struck/arpeggiated chords, or a sustained
+    # dense harmonic-series voice, change halfway
     other = np.zeros(n)
-    other_kind = rng.integers(0, 3)
+    other_kind = rng.integers(0, 4)
     for half, root in enumerate(rng.uniform(180, 420, size=2)):
         sl = slice(half * n // 2, (half + 1) * n // 2)
         tt = t[sl] - t[sl][0]
@@ -208,6 +213,22 @@ def synth_stems_v2(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray
                 np.sin(2 * np.pi * root * r * tt + rng.uniform(0, 6.28))
                 for r in (1.0, 1.25, 1.5)
             )
+        elif other_kind == 3:
+            # sustained additive harmonic stack (round-3 diversity: the
+            # training families had NO spectrally dense sustained voice,
+            # which is why v4's OOD3 organ "other" sat below the mixture;
+            # random per-harmonic amplitudes + random slow AM keep this a
+            # FAMILY, not a copy of the OOD3 drawbar recipe)
+            ks = np.arange(1, rng.integers(6, 11))
+            amps = rng.uniform(0.2, 1.0, ks.size) / ks ** rng.uniform(0.0, 0.8)
+            stack = sum(
+                a * np.sin(2 * np.pi * root * k * tt + rng.uniform(0, 6.28))
+                for k, a in zip(ks, amps)
+            )
+            am = 1.0 + rng.uniform(0.0, 0.4) * np.sin(
+                2 * np.pi * rng.uniform(0.5, 8.0) * tt + rng.uniform(0, 6.28)
+            )
+            other[sl] = rng.uniform(0.12, 0.25) * stack / np.sqrt(ks.size) * am
         elif other_kind == 1:  # struck chord with decaying harmonic stack
             for b in np.arange(0.0, tt[-1], beat):
                 s2 = int(b * SR)
@@ -505,6 +526,8 @@ def main() -> None:
     ap.add_argument("--eval-examples", type=int, default=16)
     ap.add_argument("--out", type=str, default=str(DEFAULT_OUT))
     ap.add_argument("--init", type=str, default=None, help="warm-start checkpoint")
+    ap.add_argument("--d-model", type=int, default=net.D_MODEL)
+    ap.add_argument("--n-blocks", type=int, default=net.N_BLOCKS)
     ap.add_argument("--force-save", action="store_true")
     ap.add_argument(
         "--eval-only",
@@ -544,7 +567,11 @@ def main() -> None:
         params = {k: jnp.asarray(v) for k, v in net.load_checkpoint(args.init).items()}
         print(f"[init] warm-start from {args.init}", flush=True)
     else:
-        params = net.init_params(jax.random.PRNGKey(args.seed))
+        params = net.init_params(
+            jax.random.PRNGKey(args.seed),
+            d_model=args.d_model,
+            n_blocks=args.n_blocks,
+        )
     opt_state = t1.init_opt_state(params)
     run_chunk = make_scan_trainer(args.batch, int(args.seconds * SR), args.chunk)
 

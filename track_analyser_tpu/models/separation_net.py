@@ -68,28 +68,42 @@ def _glorot(key, shape):
     return scale * jax.random.normal(key, shape, dtype=jnp.float32)
 
 
-def init_params(key: jax.Array, *, n_bands: int = 16) -> Dict[str, jnp.ndarray]:
+def init_params(
+    key: jax.Array,
+    *,
+    n_bands: int = 16,
+    d_model: int = D_MODEL,
+    n_blocks: int = N_BLOCKS,
+) -> Dict[str, jnp.ndarray]:
     bands = band_edges(n_bands)
-    keys = jax.random.split(key, 4 + 4 * N_BLOCKS + len(bands) * (1 + len(STEMS)))
+    keys = jax.random.split(key, 4 + 4 * n_blocks + len(bands) * (1 + len(STEMS)))
     ki = iter(keys)
     params: Dict[str, jnp.ndarray] = {}
     for b, (lo, hi) in enumerate(bands):
         width = hi - lo
-        params[f"enc{b}_w"] = _glorot(next(ki), (2 * width, D_MODEL))
-        params[f"enc{b}_b"] = jnp.zeros(D_MODEL)
+        params[f"enc{b}_w"] = _glorot(next(ki), (2 * width, d_model))
+        params[f"enc{b}_b"] = jnp.zeros(d_model)
         for s, stem in enumerate(STEMS):
-            params[f"dec{b}_{stem}_w"] = _glorot(next(ki), (D_MODEL, 2 * width))
+            params[f"dec{b}_{stem}_w"] = _glorot(next(ki), (d_model, 2 * width))
             params[f"dec{b}_{stem}_b"] = jnp.zeros(2 * width)
     n_bands_eff = len(bands)
-    for blk in range(N_BLOCKS):
+    for blk in range(n_blocks):
         # depthwise conv over time (kernel 5) + pointwise
         params[f"blk{blk}_tconv"] = 0.1 * jax.random.normal(
-            next(ki), (5, D_MODEL), dtype=jnp.float32
+            next(ki), (5, d_model), dtype=jnp.float32
         )
-        params[f"blk{blk}_tmix_w"] = _glorot(next(ki), (D_MODEL, D_MODEL))
-        params[f"blk{blk}_tmix_b"] = jnp.zeros(D_MODEL)
+        params[f"blk{blk}_tmix_w"] = _glorot(next(ki), (d_model, d_model))
+        params[f"blk{blk}_tmix_b"] = jnp.zeros(d_model)
         params[f"blk{blk}_bmix_w"] = _glorot(next(ki), (n_bands_eff, n_bands_eff))
     return params
+
+
+def _n_blocks(params) -> int:
+    """Block count inferred from the checkpoint (keys are trace-time
+    metadata, so this is jit-safe): v1-v4 ship 2 blocks, v5+ may ship
+    more — the SAME forward code serves every bundled checkpoint."""
+
+    return sum(1 for k in params if k.startswith("blk") and k.endswith("_tconv"))
 
 
 def _encode(params, spec: jnp.ndarray, bands) -> jnp.ndarray:
@@ -126,7 +140,7 @@ def forward_masks(params, spec: jnp.ndarray, *, n_bands: int = 16) -> Dict[str, 
 
     bands = band_edges(n_bands)
     h = _encode(params, spec, bands)
-    for blk in range(N_BLOCKS):
+    for blk in range(_n_blocks(params)):
         h = _mixing_block(params, blk, h)
 
     masks: Dict[str, jnp.ndarray] = {}
