@@ -24,6 +24,25 @@ def test_forward_shapes_and_reconstruction_path():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_forward_infers_depth_and_width_from_checkpoint():
+    """One forward pass serves every bundled checkpoint generation: the
+    block count (and implicitly d_model) comes from the params dict, so a
+    v4-shaped net (2 blocks, D=96) and a larger v5-shaped net (3 blocks,
+    D=128) run through the SAME code without touching module constants."""
+
+    n = 16_384
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.normal(0, 0.1, n).astype(np.float32))
+    for d_model, n_blocks in ((96, 2), (128, 3)):
+        params = separation_net.init_params(
+            jax.random.PRNGKey(1), d_model=d_model, n_blocks=n_blocks
+        )
+        assert separation_net._n_blocks(params) == n_blocks
+        out = separation_net.separate_signal(params, y, n_samples=n)
+        assert out.shape == (4, n)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_training_reduces_loss():
     _params, losses = training.train_separation(
         steps=8, batch=2, seconds=0.5, seed=0, log_every=0
