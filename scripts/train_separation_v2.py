@@ -577,6 +577,8 @@ def main() -> None:
 
     done = 0
     t0 = time.time()
+    partial_path = Path(args.out).with_suffix(".partial.npz")
+    last_partial = 0.0
     while done < args.steps:
         lr = args.lr * (0.25 if done > args.steps * 0.75 else 1.0)
         params, opt_state, losses = run_chunk(
@@ -589,6 +591,12 @@ def main() -> None:
             f"({time.time()-t0:.0f}s)",
             flush=True,
         )
+        # Relay-hang insurance: a tunnelled dispatch can wedge for good
+        # (observed round 3) — keep a resumable partial checkpoint so a
+        # kill+restart with --init loses at most a minute of training.
+        if time.time() - last_partial > 60.0:
+            net.save_checkpoint(jax.device_get(params), partial_path)
+            last_partial = time.time()
 
     params_h = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), params)
     ok_id = evaluate(params_h, synth_stems_v2, args.eval_examples, seed=50_000, label="held-out")
