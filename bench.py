@@ -58,6 +58,30 @@ def _make_track(seconds: float, sr: int = 44_100, bpm: float = 126.0, seed: int 
     return AudioInput(samples=stereo.mean(axis=0), sample_rate=sr, stereo_samples=stereo)
 
 
+def _retry(label: str, fn, *, attempts: int = 3, delay_s: float = 10.0):
+    """Run ``fn`` with retries on transient relay faults.
+
+    The tunnelled TPU occasionally throws one-off runtime errors (observed:
+    ``UNIMPLEMENTED: TPU backend error`` from a device_get that succeeds on
+    the next attempt). The bench runs unattended once per round — a single
+    transient must not zero the round's number. Real failures still raise
+    after ``attempts`` tries.
+    """
+
+    for attempt in range(1, attempts + 1):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — relay faults surface many types
+            if attempt == attempts:
+                raise
+            print(
+                f"[bench] {label}: transient failure (attempt {attempt}/{attempts}): "
+                f"{type(exc).__name__}: {exc}",
+                file=sys.stderr,
+            )
+            time.sleep(delay_s)
+
+
 def main() -> None:
     from track_analyser_tpu.utils import enable_persistent_compilation_cache
     from track_analyser_tpu.parallel.batch import analyse_library, analyse_track_fused
@@ -94,7 +118,7 @@ def main() -> None:
             spec = _dft_rfft_matmul(fr, 2048)
             return jnp.stack([spec.real, spec.imag])
 
-        got_ri = jax.device_get(_probe(frames))
+        got_ri = _retry("matmul-DFT probe", lambda: jax.device_get(_probe(frames)))
         got = got_ri[0] + 1j * got_ri[1]
         want = np.fft.rfft(np.asarray(frames), axis=-1)
         rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
@@ -105,12 +129,17 @@ def main() -> None:
         # bandwidth varies ~4x day to day (measured 14-60 MB/s). Record
         # it so cross-run bench deltas can be attributed to the link.
         probe_buf = np.zeros(8 * 1024 * 1024, dtype=np.int8)
-        jax.device_get(jax.device_put(probe_buf[: 1 << 20], dev)[:8])  # warm the path
-        best_bw = 0.0
-        for _ in range(2):
-            t0 = time.perf_counter()
-            jax.device_get(jax.device_put(probe_buf, dev)[:8])
-            best_bw = max(best_bw, 8.0 / (time.perf_counter() - t0))
+
+        def _bw_probe() -> float:
+            jax.device_get(jax.device_put(probe_buf[: 1 << 20], dev)[:8])  # warm the path
+            best = 0.0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                jax.device_get(jax.device_put(probe_buf, dev)[:8])
+                best = max(best, 8.0 / (time.perf_counter() - t0))
+            return best
+
+        best_bw = _retry("link probe", _bw_probe)
         print(f"[bench] relay upload bandwidth ~{best_bw:.1f} MB/s", file=sys.stderr)
 
     # Three distinct durations -> three padded buckets -> three compiled
@@ -132,14 +161,17 @@ def main() -> None:
     # The single-track "ms" path dispatches through the SAME batched
     # executables the sweep uses (batch of 1 on this one-chip host), so
     # the sweep's bucket warmup covers it — nothing else to compile.
+    def _warmup():
+        with ThreadPoolExecutor(max_workers=2) as warm_pool:
+            fused_fut = warm_pool.submit(analyse_track_fused, tracks[0])
+            # warms every bucket's batched executable (device_batch=2: two
+            # same-bucket tracks per dispatch — the production setting for
+            # library sweeps; measured ~25% per-track over batch 1)
+            analyse_library(tracks, device_batch=2)
+            return fused_fut.result()
+
     t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=2) as warm_pool:
-        fused_fut = warm_pool.submit(analyse_track_fused, tracks[0])
-        # warms every bucket's batched executable (device_batch=2: two
-        # same-bucket tracks per dispatch — the production setting for
-        # library sweeps; measured ~25% per-track over batch 1)
-        analyse_library(tracks, device_batch=2)
-        result = fused_fut.result()
+    result = _retry("warmup", _warmup, delay_s=30.0)
     warm = time.perf_counter() - t0
     print(
         f"[bench] warmup (fused + all sweep buckets, concurrent) {warm:.1f} s "
@@ -156,7 +188,7 @@ def main() -> None:
     lat = []
     for _ in range(4):
         t0 = time.perf_counter()
-        analyse_track_fused(tracks[0], transport="ms")
+        _retry("single-track", lambda: analyse_track_fused(tracks[0], transport="ms"))
         lat.append(time.perf_counter() - t0)
     print(
         f"[bench] single-track (ms) latency ms: {[round(x*1e3,1) for x in lat]}",
@@ -166,12 +198,25 @@ def main() -> None:
     # Headline: pipelined sweep over the mixed-duration library, best-of-5
     # (relay throughput varies ~2x run to run), normalised to 180 s/track.
     sweeps = []
+    failures = 0
     for _ in range(5):
         t0 = time.perf_counter()
-        out = analyse_library(tracks, device_batch=2)
+        try:
+            out = analyse_library(tracks, device_batch=2)
+        except Exception as exc:  # noqa: BLE001 — tolerate isolated relay faults
+            failures += 1
+            print(
+                f"[bench] sweep failed ({type(exc).__name__}: {exc}) — continuing",
+                file=sys.stderr,
+            )
+            if failures >= 4:  # a persistent fault is a real failure
+                raise
+            time.sleep(10.0)
+            continue
         sweeps.append(time.perf_counter() - t0)
         assert len(out) == len(tracks)
         assert all(hasattr(r, "beat") for r in out), "sweep produced failures"
+    assert len(sweeps) >= 2, "too few successful sweeps for a best-of headline"
     elapsed = min(sweeps)
     ms = elapsed / (total_audio_s / 180.0) * 1e3
     print(
