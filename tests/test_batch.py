@@ -428,3 +428,41 @@ def test_library_sweep_isolates_undecodable_tracks(tmp_path) -> None:
 
     with pytest.raises(RuntimeError):
         analyse_library([str(bad)], on_error="raise")
+
+
+def test_library_device_batch_isolates_failures(tmp_path) -> None:
+    """Failure isolation composes with per-device batching: a corrupt
+    source inside a device_batch=2 sweep must not poison its chunk's
+    lane packing — outcomes stay source-aligned and the good tracks
+    match a clean batch-1 sweep."""
+
+    from synth import sine, write_pcm16_wav
+    from track_analyser_tpu.parallel.batch import TrackFailure, analyse_library
+    from track_analyser_tpu.pipeline import TrackAnalysisResult
+
+    sr = 22_050
+    paths = []
+    for i, freq in enumerate((220.0, 262.0, 330.0)):
+        paths.append(
+            str(write_pcm16_wav(tmp_path / f"t{i}.wav", 0.3 * sine(freq, 1.2, sr), sr))
+        )
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"RIFFnope")
+    sources = [paths[0], str(bad), paths[1], paths[2]]
+
+    out = analyse_library(sources, device_batch=2)
+    assert [type(o) for o in out] == [
+        TrackAnalysisResult,
+        TrackFailure,
+        TrackAnalysisResult,
+        TrackAnalysisResult,
+    ]
+    assert out[1].source == str(bad)
+
+    clean = analyse_library([paths[0], paths[1], paths[2]])
+    for got, want in zip((out[0], out[2], out[3]), clean):
+        assert got.beat.bpm == pytest.approx(want.beat.bpm, abs=1e-9)
+        assert got.loudness.integrated_lufs == pytest.approx(
+            want.loudness.integrated_lufs, abs=1e-9
+        )
+        assert got.harmonic.primary_key.key == want.harmonic.primary_key.key
