@@ -185,11 +185,14 @@ def main() -> None:
     # Single-track latency (includes host quantise+upload); "ms" is the
     # default transport. (The int8/int16 transports share the accuracy
     # gates in tests but are not warmed here — fewer relay compiles.)
-    lat = []
-    for _ in range(4):
+    def _timed_single() -> float:
         t0 = time.perf_counter()
-        _retry("single-track", lambda: analyse_track_fused(tracks[0], transport="ms"))
-        lat.append(time.perf_counter() - t0)
+        analyse_track_fused(tracks[0], transport="ms")
+        return time.perf_counter() - t0
+
+    # Timing happens inside the retried callable so a transient fault's
+    # failed attempt + backoff sleep never inflates the reported sample.
+    lat = [_retry("single-track", _timed_single) for _ in range(4)]
     print(
         f"[bench] single-track (ms) latency ms: {[round(x*1e3,1) for x in lat]}",
         file=sys.stderr,

@@ -129,6 +129,39 @@ def test_native_ms_quantiser_matches_numpy(native_lib) -> None:
                 np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-12, err_msg=name)
 
 
+def test_native_quantise_mid_matches_ms_and_numpy(native_lib) -> None:
+    """ta_quantise_mid (the production ms staging kernel) must be
+    bitwise identical to the mid/scales/stats of ta_quantise_ms and
+    match the numpy _quantise_mid_range fallback."""
+
+    if not getattr(binding._load(), "ta_has_mid", False):
+        if not build(verbose=False):
+            pytest.skip("no C++ toolchain available")
+        binding._lib = None
+    if not getattr(binding._load(), "ta_has_mid", False):
+        pytest.skip("native mid kernel unavailable")
+
+    from track_analyser_tpu.parallel import batch as B
+
+    rng = np.random.default_rng(11)
+    block = B._I8_BLOCK
+    for n_ch, n in [(2, 2 * block + 54_321), (1, block + 7)]:
+        n_bucket = ((n + block - 1) // block) * block
+        x = (rng.normal(0, 0.3, (n_ch, n)) * np.linspace(1.0, 0.1, n)).astype(np.float32)
+        mid = binding.quantise_mid(x, n_bucket, block)
+        full = binding.quantise_ms(x, n_bucket, block)
+        assert mid is not None and full is not None
+        np.testing.assert_array_equal(mid[0], full[0], err_msg="mid codes")
+        np.testing.assert_array_equal(mid[1], full[1], err_msg="mid scales")
+        np.testing.assert_array_equal(mid[2], full[5], err_msg="stats")
+
+        ref_mid, ref_scales, ref_stats = B._quantise_mid_range(x, n, 0, n_bucket)
+        deltas = np.abs(mid[0].astype(np.int32) - ref_mid.astype(np.int32))
+        assert deltas.max() <= 1 and np.mean(mid[0] != ref_mid) < 1e-3
+        np.testing.assert_allclose(mid[1], ref_scales, rtol=1e-6, atol=0)
+        np.testing.assert_allclose(mid[2], ref_stats, rtol=1e-9, atol=1e-12)
+
+
 def test_native_flac_matches_python_bitwise(native_lib, tmp_path) -> None:
     """The native FLAC fast path must decode byte-identically to the
     numpy reference decoder across subframe types and stereo modes."""

@@ -82,11 +82,14 @@ def decode(path: str) -> Optional[Tuple[np.ndarray, int, Dict[str, object]]]:
     if rc != 0:
         return None
     try:
-        n = frames.value * channels.value
-        flat = np.ctypeslib.as_array(buf, shape=(n,)).copy()
+        # One copy straight to channel-major: the transpose view of the
+        # ctypes buffer materialises during .copy(), so no full-size flat
+        # intermediate is allocated (this tier feeds concurrent decode
+        # workers where allocator churn is measurable).
+        interleaved = np.ctypeslib.as_array(buf, shape=(frames.value, channels.value))
+        data = interleaved.T.copy()
     finally:
         lib.ta_ffmpeg_free(buf)
-    data = flat.reshape(frames.value, channels.value).T.copy()
     codec_name = codec.value.decode(errors="replace").upper()
     meta: Dict[str, object] = {
         "channels": channels.value,

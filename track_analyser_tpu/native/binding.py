@@ -92,6 +92,21 @@ def _load() -> "ctypes.CDLL | None":
                 lib.ta_has_ms = True
             except AttributeError:
                 lib.ta_has_ms = False
+            try:
+                lib.ta_quantise_mid.restype = None
+                lib.ta_quantise_mid.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_double),
+                ]
+                lib.ta_has_mid = True
+            except AttributeError:
+                lib.ta_has_mid = False
             _lib = lib
         except OSError:
             _lib = False
@@ -241,6 +256,41 @@ def quantise_ms(
         stats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return mid, mid_scales, side, side_scales, np.float32(noise[0]), stats
+
+
+def quantise_mid(
+    channels: np.ndarray, n_bucket: int, block: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Mid-only fused pad + quantise + exact stereo stats in ONE pass.
+
+    The production "ms" transport ships only the mid channel, so this
+    skips ta_quantise_ms's retired int4 side passes. Returns
+    (mid_i8 (n_bucket,), mid_scales (n_bucket/block,) f32, stats (8,)
+    f64) — bitwise identical to the corresponding ta_quantise_ms
+    outputs — or None when the library lacks the kernel.
+    """
+
+    lib = _load()
+    if lib is None or not getattr(lib, "ta_has_mid", False):
+        return None
+    channels = np.ascontiguousarray(channels, dtype=np.float32)
+    if channels.ndim == 1:
+        channels = channels[None, :]
+    n_ch, n_in = channels.shape
+    mid = np.empty(n_bucket, dtype=np.int8)
+    mid_scales = np.empty(n_bucket // block, dtype=np.float32)
+    stats = np.empty(8, dtype=np.float64)
+    lib.ta_quantise_mid(
+        _as_c_float(channels),
+        ctypes.c_longlong(n_ch),
+        ctypes.c_longlong(n_in),
+        ctypes.c_longlong(n_bucket),
+        ctypes.c_longlong(block),
+        mid.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        mid_scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return mid, mid_scales, stats
 
 
 def decode_flac(path: str) -> Optional[Tuple[np.ndarray, int, Dict[str, object]]]:

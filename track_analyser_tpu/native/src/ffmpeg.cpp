@@ -98,17 +98,41 @@ int ta_ffmpeg_decode(const char* path, float** out, int64_t* out_frames,
   std::vector<float> samples;
   samples.reserve(static_cast<size_t>(sr) * channels);  // ~1 s head start
 
+  // Corrupt packets must not be silently dropped: skipped audio shifts
+  // every later beat/boundary time while still reporting success. A tiny
+  // tolerance absorbs the odd mangled packet real-world streams carry;
+  // past it the decode fails so the ladder raises its RuntimeError.
+  int64_t audio_packets = 0;
+  int64_t bad_packets = 0;
+
   while (av_read_frame(s.fmt, s.pkt) >= 0) {
-    if (s.pkt->stream_index == sidx && avcodec_send_packet(s.ctx, s.pkt) == 0) {
-      while (avcodec_receive_frame(s.ctx, s.frame) == 0) {
-        if (!append_frame(s, samples, channels)) {
-          av_packet_unref(s.pkt);
-          return 11;
+    if (s.pkt->stream_index == sidx) {
+      ++audio_packets;
+      int sret = avcodec_send_packet(s.ctx, s.pkt);
+      if (sret == AVERROR(EAGAIN)) {
+        // Decoder wants draining first; drain, then retry the packet.
+        while (avcodec_receive_frame(s.ctx, s.frame) == 0) {
+          if (!append_frame(s, samples, channels)) {
+            av_packet_unref(s.pkt);
+            return 11;
+          }
+        }
+        sret = avcodec_send_packet(s.ctx, s.pkt);
+      }
+      if (sret < 0) {
+        ++bad_packets;
+      } else {
+        while (avcodec_receive_frame(s.ctx, s.frame) == 0) {
+          if (!append_frame(s, samples, channels)) {
+            av_packet_unref(s.pkt);
+            return 11;
+          }
         }
       }
     }
     av_packet_unref(s.pkt);
   }
+  if (bad_packets > 2 && bad_packets * 50 > audio_packets) return 14;
   // flush the decoder
   if (avcodec_send_packet(s.ctx, nullptr) == 0) {
     while (avcodec_receive_frame(s.ctx, s.frame) == 0) {

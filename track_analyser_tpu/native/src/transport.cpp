@@ -195,4 +195,62 @@ void ta_quantise_ms(const float* in, int64_t n_ch_in, int64_t n_in,
       static_cast<float>(noise_acc / static_cast<double>(valid_blocks) / 12.0);
 }
 
+// Mid-only variant of ta_quantise_ms: the production "ms" transport
+// ships ONLY the mid channel (the side-derived scalars are host-exact
+// from the stats), so the staging path should not pay the retired int4
+// side quantise/packing/noise passes. Outputs are bitwise identical to
+// the mid/scales/stats of ta_quantise_ms over the same range.
+void ta_quantise_mid(const float* in, int64_t n_ch_in, int64_t n_in,
+                     int64_t n_bucket, int64_t block, int8_t* out_mid,
+                     float* out_mid_scales, double* out_stats) {
+  const int64_t n_blocks = n_bucket / block;
+  const float* lsrc = in;
+  const float* rsrc = n_ch_in == 2 ? in + n_in : in;
+
+  double sl = 0.0, sr = 0.0, sll = 0.0, srr = 0.0, slr = 0.0, sal = 0.0,
+         sar = 0.0;
+
+  float* mid_buf = new float[block];
+
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int64_t start = b * block;
+    const int64_t valid =
+        n_in > start ? (n_in - start < block ? n_in - start : block) : 0;
+
+    float mid_peak = 0.0f;
+    for (int64_t i = 0; i < valid; ++i) {
+      const float l = lsrc[start + i];
+      const float r = rsrc[start + i];
+      const float m = 0.5f * (l + r);
+      mid_buf[i] = m;
+      const float am = std::fabs(m);
+      if (am > mid_peak) mid_peak = am;
+      sl += l;
+      sr += r;
+      sll += static_cast<double>(l) * l;
+      srr += static_cast<double>(r) * r;
+      slr += static_cast<double>(l) * r;
+      sal += std::fabs(l);
+      sar += std::fabs(r);
+    }
+
+    out_mid_scales[b] = mid_peak;
+    const float mid_inv = 127.0f / (mid_peak > 0.0f ? mid_peak : 1.0f);
+    int8_t* mid_out = out_mid + start;
+    for (int64_t i = 0; i < valid; ++i)
+      mid_out[i] = quantise_one_i8(mid_buf[i], mid_inv);
+    if (valid < block) std::memset(mid_out + valid, 0, block - valid);
+  }
+  delete[] mid_buf;
+
+  out_stats[0] = static_cast<double>(n_in);
+  out_stats[1] = sl;
+  out_stats[2] = sr;
+  out_stats[3] = sll;
+  out_stats[4] = srr;
+  out_stats[5] = slr;
+  out_stats[6] = sal;
+  out_stats[7] = sar;
+}
+
 }  // extern "C"

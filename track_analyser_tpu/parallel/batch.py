@@ -343,29 +343,15 @@ def _core_graph(stereo, n_valid, *, sr):
 
 
 @partial(jax.jit, static_argnames=("sr",))
-def _single_graph(stereo, n_valid, *, sr):
-    return _core_graph(stereo, n_valid, sr=sr)
+def _batched_graph_f32(parts, n_valid, *, sr):
+    """Exact-samples transport, batched calling convention. Not a sweep
+    transport; exists so single-track float32 dispatches share the one
+    batched code path (batch of 1) with every other transport."""
 
+    def one(p, nv):
+        return _core_graph(p[0], nv, sr=sr)
 
-@partial(jax.jit, static_argnames=("sr",))
-def _single_graph_i16(stereo_i16, n_valid, *, sr):
-    """int16 transport: halves host->device bandwidth; the f32 conversion
-    happens on device (free against HBM bandwidth)."""
-
-    stereo = stereo_i16.astype(jnp.float32) / 32768.0
-    return _core_graph(stereo, n_valid, sr=sr)
-
-
-@partial(jax.jit, static_argnames=("sr",))
-def _single_graph_from_mono_i16(y_i16, n_valid, *, sr):
-    """Mono int16 fast path: upload bucket-padded (n_bucket,) int16 and
-    duplicate to stereo on device. The buffer is padded on HOST so the
-    executable only ever sees bucket lengths — arbitrary track lengths
-    would otherwise each cost a retrace (minutes of axon compile)."""
-
-    y = y_i16.astype(jnp.float32) / 32768.0
-    stereo = jnp.stack([y, y])
-    return _core_graph(stereo, n_valid, sr=sr)
+    return jax.vmap(one)(parts, n_valid)
 
 
 @partial(jax.jit, static_argnames=("sr",))
@@ -702,15 +688,14 @@ def _stage_payload_ms(
     try:
         from ..native import binding as native_binding
 
-        native = native_binding.quantise_ms(channels, n_bucket, _I8_BLOCK)
+        native = native_binding.quantise_mid(channels, n_bucket, _I8_BLOCK)
     except Exception:
         native = None
     if native is not None:
-        mid_i8, mid_scales, _side, _sscales, _noise, stats = native
+        mid_i8, mid_scales, stats = native
     else:
-        # Mid-only fallback: _quantise_mid_range over the full bucket
-        # produces exactly the shipped payload (mid int8 + f64 stereo
-        # sums) without the retired int4 side pass _quantise_ms pays.
+        # Mid-only numpy fallback: exactly the shipped payload (mid int8
+        # + f64 stereo sums), just not fused into one pass.
         mid_i8, mid_scales, stats = _quantise_mid_range(channels, n, 0, n_bucket)
     widths = None
     if audio.stereo_samples is not None:
@@ -781,17 +766,6 @@ def _apply_host_stereo_stats(
     out["side_rms"] = np.float64(np.sqrt(max(sll - 2 * slr + srr, 0.0) / (4.0 * n)))
 
 
-@partial(jax.jit, static_argnames=("sr",))
-def _single_graph_i8_split(vals_a, vals_b, scales, n_valid, *, sr):
-    """int8 single-track graph taking the payload in two time-halves:
-    the halves upload on two concurrent streams (the tunnelled relay
-    aggregates ~40 -> ~50 MB/s across connections) and are rejoined on
-    device, where the concat is one cheap HBM pass."""
-
-    vals = jnp.concatenate([vals_a, vals_b], axis=-1)
-    return _core_graph(_dequantise_i8(vals, scales), n_valid, sr=sr)
-
-
 _single_upload_pool: "ThreadPoolExecutor | None" = None
 _single_upload_pool_lock = threading.Lock()
 
@@ -816,7 +790,13 @@ def _single_mesh():
 
     global _single_mesh_cache
     if _single_mesh_cache is None:
-        _single_mesh_cache = make_mesh((1,), ("data",), devices=[jax.devices()[0]])
+        # Same check-then-set race as _upload_pool: both upload workers
+        # hit this on the first ms dispatch.
+        with _single_upload_pool_lock:
+            if _single_mesh_cache is None:
+                _single_mesh_cache = make_mesh(
+                    (1,), ("data",), devices=[jax.devices()[0]]
+                )
     return _single_mesh_cache
 
 
@@ -862,15 +842,12 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int):
         try:
             from ..native import binding as native_binding
 
-            res = native_binding.quantise_ms(
+            res = native_binding.quantise_mid(
                 np.ascontiguousarray(channels[:, s : min(e, n)]), e - s, _I8_BLOCK
             )
         except Exception:
             res = None
-        if res is None:
-            return None
-        mc, m_sc, _side, _sscales, _noise, st = res
-        return mc, m_sc, st
+        return res
 
     # Chunked quantise (native per chunk, numpy fallback): chunk k's
     # upload is in flight while chunk k+1 quantises, so the first
@@ -895,13 +872,34 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int):
     vb = jax.device_put(np.asarray([n]), data_sharding(_single_mesh()))
 
     out = _batched_graph_ms(parts, vb, sr=sr)
-    # On single-chip hosts this executable IS the sweep's bucket
-    # executable; record it so library prewarm skips a redundant compile.
-    mesh_ids = tuple(int(d.id) for d in _single_mesh().devices.flat)
-    # lane count 1 (batch of 1 on the one-device mesh) matches the
-    # sweep's n_lane for the default device_batch=1.
-    _WARMED_EXECUTABLES.add(("ms", sr, mesh_ids, 1, n_bucket, len(parts)))
+    _record_single_warm("ms", sr, n_bucket, len(parts))
     return out, (stats, widths)
+
+
+def _record_single_warm(tag: str, sr: int, n_bucket: int, arity: int) -> None:
+    # On single-chip hosts the batch-of-1 executable IS the sweep's
+    # bucket executable (lane count 1 == the sweep's n_lane at the
+    # default device_batch=1); record it so library prewarm skips a
+    # redundant compile.
+    mesh_ids = tuple(int(d.id) for d in _single_mesh().devices.flat)
+    _WARMED_EXECUTABLES.add((tag, sr, mesh_ids, 1, n_bucket, arity))
+
+
+def _dispatch_single_batched(tag: str, graph, parts_np, n_valid: int, sr: int, n_bucket: int):
+    """Dispatch ONE track through a sweep-convention batched executable
+    (batch of 1 on the one-device mesh): single-track calls and library
+    sweeps share one compiled executable per (transport, bucket), so a
+    user mixing analyse_track_fused with analyse_library never pays a
+    second relay compile. Payload parts upload concurrently on the
+    2-stream pool."""
+
+    pool = _upload_pool()
+    futs = [pool.submit(_put_batched, np.asarray(p)) for p in parts_np]
+    vb = jax.device_put(np.asarray([n_valid]), data_sharding(_single_mesh()))
+    parts = tuple(f.result() for f in futs)
+    out = graph(parts, vb, sr=sr)
+    _record_single_warm(tag, sr, n_bucket, len(parts))
+    return out
 
 
 def analyse_track_fused(
@@ -921,8 +919,12 @@ def analyse_track_fused(
         stereo scalars from f64 sums, the per-band widths from an f64
         strided-frame STFT with the device's own band formula.
       - "int16": -96 dBFS quantisation, lossless for PCM16 sources.
-      - "int8": blockwise-scaled per-channel int8 on two relay streams.
+      - "int8": blockwise-scaled per-channel int8.
       - "float32": the exact samples.
+
+    Every transport dispatches through the sweep's batched executable at
+    batch 1, so single-track and library use share one compile per
+    (transport, bucket).
     """
 
     audio = source if isinstance(source, AudioInput) else coerce_audio(source)
@@ -940,36 +942,27 @@ def analyse_track_fused(
         out, host_exact = _dispatch_single_ms(audio, n_bucket)
     elif transport == "int8":
         (vals, scales), n_valid = _stage_payload_i8(audio, n_bucket)
-        half = vals.shape[-1] // 2
-        pool = _upload_pool()
-        fut_a = pool.submit(jax.device_put, vals[:, :half])
-        fut_b = pool.submit(jax.device_put, vals[:, half:])
-        sc = jax.device_put(scales)
-        out = _single_graph_i8_split(
-            fut_a.result(), fut_b.result(), sc, jnp.asarray(n_valid),
-            sr=audio.sample_rate,
-        )
-    elif audio.stereo_samples is None and transport == "int16":
-        mono_i16 = np.zeros(n_bucket, dtype=np.int16)
-        mono_i16[:n] = _quantise_i16(np.asarray(audio.samples, dtype=np.float32))
-        out = _single_graph_from_mono_i16(
-            jnp.asarray(mono_i16), jnp.asarray(n), sr=audio.sample_rate
+        out = _dispatch_single_batched(
+            "int8", _batched_graph_i8, (vals, scales), n_valid,
+            audio.sample_rate, n_bucket,
         )
     elif transport == "int16":
         payload, n_valid = _stage_payload_i16(audio, n_bucket)
-        out = _single_graph_i16(
-            jnp.asarray(payload), jnp.asarray(n_valid), sr=audio.sample_rate
+        out = _dispatch_single_batched(
+            "int16", _batched_graph_i16, (payload,), n_valid,
+            audio.sample_rate, n_bucket,
         )
     else:
         stereo, n_valid = _pad_track(audio, n_bucket)
         # copy: _pad_track hands out a reusable scratch, and on the CPU
-        # backend jnp.asarray may alias the numpy buffer zero-copy
-        out = _single_graph(
-            jnp.asarray(stereo.copy()), jnp.asarray(n_valid), sr=audio.sample_rate
+        # backend device_put may alias the numpy buffer zero-copy
+        out = _dispatch_single_batched(
+            "float32", _batched_graph_f32, (stereo.copy(),), n_valid,
+            audio.sample_rate, n_bucket,
         )
     fetched = jax.device_get(out)
-    if transport == "ms":  # batched executable: strip the batch-of-1 axis
-        fetched = tuple(np.asarray(f)[0] for f in fetched)
+    # every transport dispatches the batched executable: strip batch-of-1
+    fetched = tuple(np.asarray(f)[0] for f in fetched)
     out_dict = unpack_outputs(*fetched[:3])
     if len(fetched) > 3:
         out_dict["net_prob"] = np.asarray(fetched[3])
