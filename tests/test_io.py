@@ -111,3 +111,42 @@ def test_truncated_wav_raises(tmp_path) -> None:
     path.write_bytes(b"RIFF\x04\x00\x00\x00WAVE")
     with pytest.raises(RuntimeError, match="Could not decode audio file"):
         load_audio(path)
+
+
+def test_fuzzed_codec_inputs_never_escape_the_ladder(tmp_path) -> None:
+    """Truncated and byte-flipped WAV/FLAC inputs must either decode
+    (a partially-valid file is a valid outcome, matching the reference's
+    audioread fallthrough) or raise the descriptive RuntimeError — never
+    a raw struct.error/IndexError/ValueError from a parser, and never a
+    native-tier crash."""
+
+    from track_analyser_tpu.io import flac as flacmod
+    from track_analyser_tpu.io.codecs import decode_file
+
+    sr = 22_050
+    t = np.arange(int(0.25 * sr)) / sr
+    y = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    wav = tmp_path / "a.wav"
+    write_wav(wav, y, sr)
+    fl = tmp_path / "a.flac"
+    flacmod.encode_flac(
+        str(fl), (np.clip(y, -1, 1) * 32767).astype(np.int16)[None, :], sr
+    )
+
+    rng = np.random.default_rng(7)
+    for src in (wav, fl):
+        raw = src.read_bytes()
+        cases = [raw[: int(len(raw) * f)] for f in (0.05, 0.4, 0.9)]
+        for _ in range(12):
+            b = bytearray(raw)
+            for _ in range(int(rng.integers(1, 8))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            cases.append(bytes(b))
+        for i, c in enumerate(cases):
+            p = tmp_path / f"m_{src.suffix[1:]}_{i}{src.suffix}"
+            p.write_bytes(c)
+            try:
+                data, rate, _meta = decode_file(str(p))
+            except RuntimeError:
+                continue  # the documented failure mode
+            assert rate > 0 and data.ndim == 2  # or a genuine decode

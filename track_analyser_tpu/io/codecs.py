@@ -208,6 +208,7 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
     except Exception:
         pass  # native tier is optional; numpy codecs are authoritative
 
+    sniff_error: "Exception | None" = None
     try:
         if head[0:4] == b"RIFF":
             return decode_wav(file_path)
@@ -225,8 +226,14 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
             from . import flac
 
             return flac.decode_flac(file_path)
-    except AudioDecodeError as exc:
-        raise RuntimeError(f"Could not decode audio file: {file_path}") from exc
+    except Exception as exc:
+        # Not just AudioDecodeError: a truncated/fuzzed header can crash
+        # a parser with struct.error/IndexError/ValueError before it
+        # reaches a validity check. Don't raise yet — a valid container
+        # the first-party codec doesn't cover (e.g. ADPCM-in-WAV) may
+        # still decode through the ffmpeg tier below, exactly like the
+        # reference's soundfile -> audioread fallthrough (io.py:91-116).
+        sniff_error = exc
 
     # Ogg Vorbis via the system libvorbisfile.
     if head[0:4] == b"OggS":
@@ -235,8 +242,8 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
 
             if vorbis.available():
                 return vorbis.decode_ogg(file_path)
-        except RuntimeError:
-            pass
+        except Exception:
+            pass  # fall through to the ffmpeg tier / final RuntimeError
 
     # MPEG audio (ID3 tag or frame sync) via the system libmpg123.
     looks_mpeg = head[0:3] == b"ID3" or (
@@ -249,8 +256,8 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
 
             if mpg123.available():
                 return mpg123.decode_mp3(file_path)
-        except RuntimeError:
-            pass
+        except Exception:
+            pass  # fall through to the ffmpeg tier / final RuntimeError
 
     # Catch-all: the native FFmpeg tier decodes anything the system's
     # libavformat/libavcodec handle (M4A/AAC/WMA/...) — the equivalent of
@@ -265,7 +272,10 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
     except Exception:
         pass
 
-    raise RuntimeError(f"Could not decode audio file: {file_path}")
+    # Every tier declined or failed; surface the reference's descriptive
+    # RuntimeError, with the first-party codec's failure (when the
+    # container matched one) attached as __cause__ for diagnosis.
+    raise RuntimeError(f"Could not decode audio file: {file_path}") from sniff_error
 
 
 def write_wav(
