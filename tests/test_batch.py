@@ -466,3 +466,38 @@ def test_library_device_batch_isolates_failures(tmp_path) -> None:
             want.loudness.integrated_lufs, abs=1e-9
         )
         assert got.harmonic.primary_key.key == want.harmonic.primary_key.key
+
+
+def test_library_shard_striping_covers_all_sources(tmp_path) -> None:
+    """Multi-process sweeps stripe sources deterministically: shard i/n
+    analyses sources[i::n] and marks the rest SkippedTrack(reason=
+    "other-shard"). Two shards over the same manifest must cover every
+    source exactly once, and a rerun skips everything via the manifest."""
+
+    from synth import sine, write_pcm16_wav
+    from track_analyser_tpu.parallel.batch import SkippedTrack, analyse_library
+    from track_analyser_tpu.pipeline import TrackAnalysisResult
+
+    sr = 22_050
+    paths = [
+        str(write_pcm16_wav(tmp_path / f"t{i}.wav", 0.3 * sine(f, 1.0, sr), sr))
+        for i, f in enumerate((220.0, 262.0, 330.0))
+    ]
+    manifest = tmp_path / "sweep.jsonl"
+
+    out0 = analyse_library(paths, shard=(0, 2), manifest_path=manifest)
+    out1 = analyse_library(paths, shard=(1, 2), manifest_path=manifest)
+
+    assert isinstance(out0[0], TrackAnalysisResult)
+    assert isinstance(out0[1], SkippedTrack) and out0[1].reason == "other-shard"
+    assert isinstance(out0[2], TrackAnalysisResult)
+    assert isinstance(out1[0], SkippedTrack) and out1[0].reason == "other-shard"
+    assert isinstance(out1[1], TrackAnalysisResult)
+    assert isinstance(out1[2], SkippedTrack) and out1[2].reason == "other-shard"
+
+    # the shared manifest now lists all three; a rerun analyses nothing
+    rerun = analyse_library(paths, manifest_path=manifest)
+    assert all(isinstance(r, SkippedTrack) and r.reason == "manifest" for r in rerun)
+
+    with pytest.raises(ValueError):
+        analyse_library(paths, shard=(2, 2))

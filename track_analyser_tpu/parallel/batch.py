@@ -68,10 +68,13 @@ class TrackFailure:
 
 @dataclass(slots=True)
 class SkippedTrack:
-    """Marker for a source skipped because the manifest already lists it
-    as completed in an earlier (resumed) sweep."""
+    """Marker for a source this process did not analyse: the manifest
+    already lists it as completed in an earlier (resumed) sweep
+    (``reason="manifest"``), or a multi-process sweep assigned it to a
+    different shard (``reason="other-shard"``)."""
 
     source: str
+    reason: str = "manifest"
 
 # Bucket executables already seeded by a prewarm dispatch this process
 # (keys: transport, target_sr, mesh device ids, bucket length, payload
@@ -987,6 +990,7 @@ def analyse_library(
     on_error: str = "skip",
     prewarm: Optional[bool] = None,
     device_batch: int = 1,
+    shard: Optional[tuple] = None,
 ) -> "List[TrackAnalysisResult | TrackFailure | SkippedTrack]":
     """Analyse a library of tracks through a bounded streaming pipeline.
 
@@ -1038,8 +1042,24 @@ def analyse_library(
     (bucket, batch) and zero-lane padding when a bucket's track count
     is not a multiple. Default 1 = one executable per bucket, shared
     with the single-track path.
+
+    ``shard``: ``(index, count)`` for multi-process sweeps. Track-level
+    data parallelism needs NO cross-slice communication (every track is
+    independent), so the multi-slice story is deterministic source
+    striping: process ``index`` of ``count`` analyses ``sources[i]``
+    where ``i % count == index`` and returns ``SkippedTrack(reason=
+    "other-shard")`` for the rest. Launch one process per slice/host
+    with the same source list and distinct ``shard`` indices; give each
+    its own manifest file (or share one on a POSIX filesystem — appends
+    are line-atomic). Within each process the sweep still spreads its
+    chunks over that process's ``mesh`` (ICI); nothing ever crosses DCN,
+    which is the right design, not a limitation.
     """
 
+    if shard is not None:
+        shard_index, shard_count = int(shard[0]), int(shard[1])
+        if not (0 <= shard_index < shard_count):
+            raise ValueError(f"shard index {shard_index} not in [0, {shard_count})")
     mesh = mesh or make_mesh()
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     n_lane = n_dev * max(1, int(device_batch))
@@ -1060,7 +1080,9 @@ def analyse_library(
     ] * len(sources)
     todo: List[tuple[int, "str | AudioInput"]] = []
     for i, s in enumerate(sources):
-        if isinstance(s, (str, Path)) and str(s) in done:
+        if shard is not None and i % shard_count != shard_index:
+            results[i] = SkippedTrack(source=str(s), reason="other-shard")
+        elif isinstance(s, (str, Path)) and str(s) in done:
             results[i] = SkippedTrack(source=str(s))
         else:
             todo.append((i, s))
