@@ -280,3 +280,38 @@ def test_dryrun_multichip_entrypoint():
     assert "onset_env" in out
 
     graft.dryrun_multichip(8)
+
+
+def test_sharded_true_peak_exact_across_shard_boundaries():
+    """A smooth plateau crossing an internal shard boundary must not ring:
+    zeroing the *input* outside a shard's own range fabricated a step
+    the polyphase interpolator overshot by ~1 dB (vs the ±0.2 dB gate).
+    The own-range claim is an output mask; the interpolation reads the
+    true halo samples."""
+
+    from track_analyser_tpu.ops.resample import oversampled_peak
+    from track_analyser_tpu.parallel.sharded import sharded_track_outputs
+
+    sr = 22_050
+    n = sr * 30
+    y = (0.02 * np.sin(2 * np.pi * 220.0 * np.arange(n) / sr)).astype(np.float32)
+    ramp = 2000
+    env = np.concatenate(
+        [
+            0.5 - 0.5 * np.cos(np.pi * np.arange(ramp) / ramp),
+            np.ones(2000),
+            0.5 + 0.5 * np.cos(np.pi * np.arange(ramp) / ramp),
+        ]
+    )
+    # place a smooth full-scale plateau across every eighth of the track —
+    # one of them straddles an internal shard boundary for any own-range split
+    for k in range(1, 8):
+        pos = k * n // 8
+        seg = slice(pos - len(env) // 2, pos - len(env) // 2 + len(env))
+        y[seg] = (0.9 * env).astype(np.float32)
+
+    mesh = make_mesh((8,), ("seq",))
+    out = sharded_track_outputs(np.stack([y, y]), n, sr, mesh)
+    ref = float(jnp.asarray(oversampled_peak(jnp.asarray(y), 8)))
+    got = float(out["true_peak"])
+    assert got == pytest.approx(ref, rel=1e-5)

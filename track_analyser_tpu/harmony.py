@@ -487,8 +487,17 @@ def _generate_midi(
 
 
 def _spectral_balance(audio: AudioInput) -> SpectralBalance:
+    from .substrate import bucket_length
+
+    # Bucket-pad like every other per-module graph: zero frames add zero
+    # magnitude to the band sums (exact), and repeated calls over a
+    # mixed-length library share one executable per bucket instead of
+    # retracing per track length (an axon compile costs minutes).
+    y = np.asarray(audio.samples, dtype=np.float32)
+    padded = np.zeros(bucket_length(y.size), dtype=np.float32)
+    padded[: y.size] = y
     total, low, mid, high = _balance_graph(
-        jnp.asarray(audio.samples, dtype=jnp.float32),
+        jnp.asarray(padded),
         sr=audio.sample_rate,
         n_fft=DEFAULT_CONFIG.balance_n_fft,
         hop_length=DEFAULT_CONFIG.balance_hop,
@@ -504,21 +513,26 @@ def _spectral_balance(audio: AudioInput) -> SpectralBalance:
 
 
 @jax.jit
-def _stereo_image_graph(lr: jnp.ndarray):
+def _stereo_image_graph(lr: jnp.ndarray, n_valid: jnp.ndarray):
     """Centered L/R correlation + |L|-|R| balance on device — the same
     formulation the fused substrate uses (substrate.py stereo image block),
-    so both execution paths agree bit-for-bit on degenerate inputs."""
+    so both execution paths agree bit-for-bit on degenerate inputs.
+    ``n_valid`` masks bucket padding so mixed-length libraries share one
+    executable per bucket."""
 
-    left, right = lr[0], lr[1]
-    lc = left - jnp.mean(left)
-    rc = right - jnp.mean(right)
-    denom = jnp.linalg.norm(lc) * jnp.linalg.norm(rc)
+    mask = jnp.arange(lr.shape[-1]) < n_valid
+    nn = jnp.maximum(n_valid.astype(jnp.float32), 1.0)
+    left = jnp.where(mask, lr[0], 0.0)
+    right = jnp.where(mask, lr[1], 0.0)
+    lc = jnp.where(mask, left - jnp.sum(left) / nn, 0.0)
+    rc = jnp.where(mask, right - jnp.sum(right) / nn, 0.0)
+    denom = jnp.sqrt(jnp.sum(lc * lc)) * jnp.sqrt(jnp.sum(rc * rc))
     corr = jnp.where(
         denom > 1e-12,
         jnp.clip(jnp.dot(lc, rc) / jnp.where(denom > 1e-12, denom, 1.0), -1.0, 1.0),
         1.0,
     )
-    balance = jnp.mean(jnp.abs(left)) - jnp.mean(jnp.abs(right))
+    balance = (jnp.sum(jnp.abs(left)) - jnp.sum(jnp.abs(right))) / nn
     return corr, balance
 
 
@@ -529,7 +543,13 @@ def _stereo_image(audio: AudioInput) -> StereoImage:
     samples = np.asarray(samples, dtype=np.float32)
     if samples.ndim != 2 or samples.shape[0] < 2 or samples.shape[-1] == 0:
         return StereoImage(correlation=1.0, balance=0.0)
-    corr, balance = _stereo_image_graph(jnp.asarray(samples[:2]))
+    from .substrate import bucket_length
+
+    lr = np.asarray(samples[:2], dtype=np.float32)
+    n = lr.shape[-1]
+    padded = np.zeros((2, bucket_length(n)), dtype=np.float32)
+    padded[:, :n] = lr
+    corr, balance = _stereo_image_graph(jnp.asarray(padded), jnp.asarray(n))
     return StereoImage(correlation=float(corr), balance=float(balance))
 
 

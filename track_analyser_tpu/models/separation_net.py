@@ -135,13 +135,35 @@ def _mixing_block(params, blk: int, h: jnp.ndarray) -> jnp.ndarray:
     return h + jax.nn.gelu(bm)
 
 
-def forward_masks(params, spec: jnp.ndarray, *, n_bands: int = 16) -> Dict[str, jnp.ndarray]:
-    """Complex masks per stem, each (bins, T)."""
+def forward_masks(
+    params,
+    spec: jnp.ndarray,
+    *,
+    n_bands: int = 16,
+    f_valid: "jnp.ndarray | None" = None,
+) -> Dict[str, jnp.ndarray]:
+    """Complex masks per stem, each (bins, T).
+
+    ``f_valid`` (optional, dynamic): number of valid frames when ``spec``
+    is bucket-padded. Invalid frames are zeroed after the encoder and
+    after every mixing block, which makes them indistinguishable from
+    the conv's own zero padding — the valid frames' masks are then
+    bitwise what an exact-shape dispatch produces (time mixing is a
+    local kernel-5 conv; nothing else crosses frames)."""
 
     bands = band_edges(n_bands)
+    fmask = (
+        None
+        if f_valid is None
+        else (jnp.arange(spec.shape[1]) < f_valid)[:, None, None]
+    )
     h = _encode(params, spec, bands)
+    if fmask is not None:
+        h = jnp.where(fmask, h, 0.0)
     for blk in range(_n_blocks(params)):
         h = _mixing_block(params, blk, h)
+        if fmask is not None:
+            h = jnp.where(fmask, h, 0.0)
 
     masks: Dict[str, jnp.ndarray] = {}
     t_frames = spec.shape[1]
@@ -163,22 +185,27 @@ def forward_masks(params, spec: jnp.ndarray, *, n_bands: int = 16) -> Dict[str, 
     return masks
 
 
-def _separate_body(params, y: jnp.ndarray, n_samples: int) -> jnp.ndarray:
+def _separate_body(params, y: jnp.ndarray, n_samples: int, f_valid=None) -> jnp.ndarray:
     spec = stft(y, N_FFT, HOP)
-    masks = forward_masks(params, spec)
-    stems = [istft(spec * masks[s], N_FFT, HOP, n_samples) for s in STEMS]
+    masks = forward_masks(params, spec, f_valid=f_valid)
+    stems = [
+        istft(spec * masks[s], N_FFT, HOP, n_samples, f_valid=f_valid) for s in STEMS
+    ]
     return jnp.stack(stems)
 
 
 @partial(jax.jit, static_argnames=("n_samples",))
-def separate_signal(params, y: jnp.ndarray, *, n_samples: int) -> jnp.ndarray:
-    """Mono signal -> (4, n_samples) stems via masked ISTFT."""
+def separate_signal(params, y: jnp.ndarray, *, n_samples: int, f_valid=None) -> jnp.ndarray:
+    """Mono signal -> (4, n_samples) stems via masked ISTFT.
 
-    return _separate_body(params, y, n_samples)
+    ``f_valid`` masks bucket padding (see :func:`forward_masks`) so
+    mixed-length serving shares one compiled executable per bucket."""
+
+    return _separate_body(params, y, n_samples, f_valid)
 
 
 @partial(jax.jit, static_argnames=("n_samples",))
-def separate_signal_multi(params, y: jnp.ndarray, *, n_samples: int) -> jnp.ndarray:
+def separate_signal_multi(params, y: jnp.ndarray, *, n_samples: int, f_valid=None) -> jnp.ndarray:
     """(C, n) channels -> (C, 4, n_samples) stems, one vmapped dispatch.
 
     The stereo-native serving path (analysis/stems.py): each channel is
@@ -186,7 +213,7 @@ def separate_signal_multi(params, y: jnp.ndarray, *, n_samples: int) -> jnp.ndar
     stereo-in/stereo-out stems
     (reference analysis/stems.py:46-57)."""
 
-    return jax.vmap(lambda ch: _separate_body(params, ch, n_samples))(y)
+    return jax.vmap(lambda ch: _separate_body(params, ch, n_samples, f_valid))(y)
 
 
 def save_checkpoint(params: Dict[str, jnp.ndarray], path: "str | Path") -> None:
@@ -207,11 +234,23 @@ def run_from_checkpoint(
     input's channel layout ((n,) or (C, n) per stem)."""
 
     del sample_rate, seed  # model is sample-rate agnostic at 44.1k training
+    from ..substrate import bucket_length
+
     params = load_checkpoint(path)
-    y = jnp.asarray(np.asarray(samples, dtype=np.float32))
-    n = int(y.shape[-1])
+    arr = np.asarray(samples, dtype=np.float32)
+    n = int(arr.shape[-1])
+    # Bucket-pad so mixed-length serving shares one compiled executable
+    # per bucket (an axon compile costs minutes per distinct shape);
+    # f_valid masking makes the first n output samples exact.
+    nb = bucket_length(n, hop=HOP)
+    padded = np.zeros(arr.shape[:-1] + (nb,), dtype=np.float32)
+    padded[..., :n] = arr
+    y = jnp.asarray(padded)
+    f_valid = jnp.asarray(np.int32(1 + n // HOP))
     if y.ndim == 2:
-        out = np.asarray(separate_signal_multi(params, y, n_samples=n))  # (C, 4, n)
+        out = np.asarray(
+            separate_signal_multi(params, y, n_samples=nb, f_valid=f_valid)
+        )[..., :n]  # (C, 4, n)
         return {s: out[:, i] for i, s in enumerate(STEMS)}
-    out = np.asarray(separate_signal(params, y, n_samples=n))
+    out = np.asarray(separate_signal(params, y, n_samples=nb, f_valid=f_valid))[..., :n]
     return dict(zip(STEMS, out))

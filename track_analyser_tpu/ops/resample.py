@@ -163,10 +163,19 @@ def true_peak_oversample_matrix(up: int) -> np.ndarray:
     return hpad.reshape(n_rows, up).astype(np.float32)
 
 
-def oversampled_peak(x: jnp.ndarray, up: int = 8) -> jnp.ndarray:
+def oversampled_peak(
+    x: jnp.ndarray, up: int = 8, *, mask: "jnp.ndarray | None" = None
+) -> jnp.ndarray:
     """Return max |polyphase-upsampled x| (device, jittable).
 
     Derivation: y[up*n + p] = sum_q x[n + half//up - q] * h[up*q + p].
+
+    ``mask`` (optional, bool (n,)): restrict the max to OUTPUT rows whose
+    leading input sample n is masked, while the interpolation still reads
+    the true neighbouring samples. This is how a sequence-sharded caller
+    claims only its own sample range without fabricating a zero step at
+    shard boundaries — zeroing the *input* outside the range rings the
+    interpolator (~1 dB overshoot on a plateau crossing the boundary).
     """
 
     hmat = jnp.asarray(true_peak_oversample_matrix(up))
@@ -180,5 +189,7 @@ def oversampled_peak(x: jnp.ndarray, up: int = 8) -> jnp.ndarray:
         [xp[(n_rows - 1 - q) : (n_rows - 1 - q) + n] for q in range(n_rows)],
         axis=-1,
     )
-    y = jnp.dot(frames, hmat, preferred_element_type=jnp.float32)
-    return jnp.max(jnp.abs(y))
+    y = jnp.abs(jnp.dot(frames, hmat, preferred_element_type=jnp.float32))
+    if mask is not None:
+        y = jnp.where(mask[:, None], y, 0.0)
+    return jnp.max(y)

@@ -3,8 +3,9 @@
 Semantics follow the conventions the reference inherits from librosa 0.10
 (hann window, centred frames, zero pad): stft(y, n_fft, hop)[k, t] analyses
 samples around t*hop. Everything here is shape-static and jit/vmap/pjit
-friendly; the frame gather lowers to one XLA gather and the FFT to the TPU
-FFT custom call.
+friendly; framing assembles from contiguous shifted reshapes (no XLA
+gather — slow on TPU) and the transform lowers to an MXU DFT matmul
+(<= 4096 points on accelerators) or the TPU FFT custom call.
 """
 
 from __future__ import annotations
@@ -161,11 +162,18 @@ def istft(
     n_samples: int,
     *,
     window: np.ndarray | None = None,
+    f_valid: "jnp.ndarray | None" = None,
 ) -> jnp.ndarray:
     """Inverse STFT via windowed overlap-add with squared-window norm.
 
     Inverts :func:`stft` (centred, hann) back to ``n_samples`` samples.
     The scatter-add lowers to one XLA scatter.
+
+    ``f_valid`` (optional, dynamic): number of valid frames. Frames at or
+    beyond it are excluded from BOTH the overlap-add and the window-sum
+    normalisation, so a bucket-padded spectrogram inverts to exactly the
+    samples an exact-shape spectrogram would (the padding frames'
+    windows would otherwise inflate the normaliser near the tail).
     """
 
     win = jnp.asarray(hann_window(n_fft) if window is None else window)
@@ -174,11 +182,15 @@ def istft(
     pad = n_fft // 2
     out_len = total_frames * hop_length + n_fft
 
+    wsq = jnp.broadcast_to(win * win, (total_frames, n_fft))
+    if f_valid is not None:
+        fmask = jnp.arange(total_frames) < f_valid
+        frames = jnp.where(fmask[:, None], frames, 0.0)
+        wsq = jnp.where(fmask[:, None], wsq, 0.0)
+
     starts = jnp.arange(total_frames) * hop_length
     idx = (starts[:, None] + jnp.arange(n_fft)[None, :]).reshape(-1)
     signal = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(frames.reshape(-1))
-    wss = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(
-        jnp.tile(win * win, (total_frames,))
-    )
+    wss = jnp.zeros(out_len, dtype=frames.dtype).at[idx].add(wsq.reshape(-1))
     signal = signal / jnp.maximum(wss, 1e-8)
     return signal[pad : pad + n_samples]

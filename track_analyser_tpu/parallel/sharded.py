@@ -5,7 +5,7 @@ serially (SURVEY.md section 5 "long-context: none"). Here a track's STFT
 frame axis is sharded over the mesh's ``seq`` axis with ``shard_map``:
 
 * per-frame ops (window, FFT, filterbank matmuls, flux) are local;
-* the sample gather needs a one-hop halo of ``n_fft - hop`` samples from
+* the sample framing needs a one-hop halo of ``n_fft - hop`` samples from
   the right neighbour — exchanged with ``ppermute`` over ICI;
 * global reductions (min/max normalisation, gated loudness means) use
   ``psum``/``pmax``/``pmin``;
@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import DEFAULT_CONFIG
 from ..ops.mel import mel_filterbank, power_to_db
-from ..ops.stft import hann_window
+from ..ops.stft import frame_signal, hann_window
 
 __all__ = [
     "sharded_onset_envelope",
@@ -87,11 +87,11 @@ def _local_envelope(
     from_left = jnp.where(shard_id == 0, jnp.zeros_like(from_left), from_left)
     y_full = jnp.concatenate([from_left, y_ext], axis=-1)
 
-    # Local frames: +1 extra frame for the flux lag.
+    # Local frames: +1 extra frame for the flux lag. Slice-stack framing
+    # (frame_signal's gather-free fast path) — XLA gathers are slow on
+    # TPU and this runs on every sequence-parallel dispatch.
     win = jnp.asarray(hann_window(n_fft))
-    starts = jnp.arange(frames_per_shard + 1) * hop
-    idx = starts[:, None] + jnp.arange(n_fft)[None, :]
-    frames = y_full[idx] * win
+    frames = frame_signal(y_full, n_fft, hop, center=False)[: frames_per_shard + 1] * win
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     power = jnp.abs(spec) ** 2
     fb = jnp.asarray(mel_filterbank(sr, n_fft, DEFAULT_CONFIG.n_mels))
@@ -197,23 +197,6 @@ def _exchange_sample_halos(x: jnp.ndarray, halo: int, axis_name: str) -> jnp.nda
     from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
     from_right = jnp.where(idx == n_shards - 1, jnp.zeros_like(from_right), from_right)
     return jnp.concatenate([from_left, x, from_right], axis=-1)
-
-
-def _pminmax_normalise(curve_ext, own_mask_ext, axis_name, keep_mask_ext=None):
-    """Min-max normalisation with GLOBAL extrema over owned+valid frames.
-
-    ``keep_mask_ext`` controls which extended frames keep their normalised
-    value (halo frames must survive for downstream smoothing); extrema are
-    always taken over owned frames only so every shard agrees.
-    """
-
-    big = jnp.float32(3.4e38)
-    lo = jax.lax.pmin(jnp.min(jnp.where(own_mask_ext, curve_ext, big)), axis_name)
-    hi = jax.lax.pmax(jnp.max(jnp.where(own_mask_ext, curve_ext, -big)), axis_name)
-    span = hi - lo
-    out = jnp.where(span < 1e-9, jnp.zeros_like(curve_ext), (curve_ext - lo) / jnp.where(span < 1e-9, 1.0, span))
-    keep = own_mask_ext if keep_mask_ext is None else keep_mask_ext
-    return jnp.where(keep, out, 0.0)
 
 
 def _masked_pmean(x, mask, axis_name):
@@ -348,7 +331,6 @@ def _local_track_analysis(
         axis=1,
     )
     harmonic, percussive = hpss(mag_hpss, kernel_size=cfg.hpss_kernel, power=cfg.hpss_power)
-    spectral_flux_ext = env_ext
 
     log_mel = power_to_db(mel_power + 1e-9, top_db=None)
     gmax2 = jax.lax.pmax(jnp.max(jnp.where(ext_valid[None, :], log_mel, -jnp.inf)), axis_name)
@@ -372,31 +354,43 @@ def _local_track_analysis(
     harm_raw = jnp.sum(harmonic, axis=0)
     perc_col_ext = jnp.where(ext_valid, perc_raw, 0.0)
     harm_col_ext = jnp.where(ext_valid, harm_raw, 0.0)
-    # Ratio chain: the fused graph's smoothing REFLECTS the masked curve
-    # at both edges of the padded array (frame 0 and frame L). The mag was
-    # mirrored above, so the raw cols already carry mirrored values in the
-    # out-of-range halo; the validity mask must mirror the same way.
+
+    # Novelty chain on FULL gathered curves. Each component is 1-D,
+    # ~4 B/frame — tiny next to the mel gather above — so every shard
+    # all-gathers the three curves and runs the substrate's EXACT code
+    # on the exact full-length arrays (including the _smooth_valid
+    # treatment of the padded tail). Semantics identical to the fused
+    # path by construction, not by halo bookkeeping.
+    from ..substrate import _minmax_normalise, _smooth_valid
+
     n_sh_ = jax.lax.psum(1, axis_name)
-    last_frame = n_sh_ * fs_own  # index L of the padded array's last frame
-    g_ref = jnp.abs(ext_global)
-    g_eff = jnp.where(g_ref > last_frame, 2 * last_frame - g_ref, g_ref)
-    chain_ok = g_eff < f_valid
-    perc_chain = jnp.where(chain_ok, perc_raw, 0.0)
-    harm_chain = jnp.where(chain_ok, harm_raw, 0.0)
-    ratio = perc_chain / (perc_chain + harm_chain + 1e-9)
+
+    def _gather_full(own_curve: jnp.ndarray) -> jnp.ndarray:
+        return jax.lax.all_gather(own_curve, axis_name).reshape(-1)
+
+    perc_full = _gather_full(jnp.where(own_mask, perc_raw[own_sel], 0.0))
+    harm_full = _gather_full(jnp.where(own_mask, harm_raw[own_sel], 0.0))
+    sim_full = _gather_full(jnp.where(own_mask, self_similarity_ext[own_sel], 0.0))
+    fmask_full = jnp.arange(perc_full.shape[0]) < f_valid
+
+    ratio_full = perc_full / (perc_full + harm_full + 1e-9)
     ratio_sigma = max(1.0, 0.5 * sr / float(hop))
-    ratio_smooth = gaussian_filter1d(ratio, sigma=ratio_sigma)
-    energy_novelty_ext = jnp.abs(jnp.diff(ratio_smooth, prepend=ratio_smooth[0:1]))
+    ratio_smooth = _smooth_valid(ratio_full, f_valid, ratio_sigma)
+    energy_novelty_full = jnp.abs(jnp.diff(ratio_smooth, prepend=ratio_smooth[0:1]))
 
     w_flux, w_sim, w_energy = cfg.novelty_weights
-    combined = (
-        w_flux * _pminmax_normalise(spectral_flux_ext, own_valid_ext, axis_name, ext_valid)
-        + w_sim * _pminmax_normalise(self_similarity_ext, own_valid_ext, axis_name, ext_valid)
-        + w_energy * _pminmax_normalise(energy_novelty_ext, own_valid_ext, axis_name, ext_valid)
+    combined_full = (
+        w_flux * _minmax_normalise(env_full, fmask_full)
+        + w_sim * _minmax_normalise(sim_full, fmask_full)
+        + w_energy * _minmax_normalise(energy_novelty_full, fmask_full)
     )
-    novelty_ext = gaussian_filter1d(combined, sigma=cfg.novelty_smooth_sigma)
-    out["novelty"] = jnp.where(own_mask, novelty_ext[own_sel], 0.0)
-    out["energy_novelty"] = _pminmax_normalise(energy_novelty_ext, own_valid_ext, axis_name)[own_sel]
+    novelty_full = jnp.where(
+        fmask_full, _smooth_valid(combined_full, f_valid, cfg.novelty_smooth_sigma), 0.0
+    )
+    out["novelty"] = novelty_full.reshape(n_sh_, fs_own)[shard]
+    out["energy_novelty"] = _minmax_normalise(energy_novelty_full, fmask_full).reshape(
+        n_sh_, fs_own
+    )[shard]
     out["perc_col"] = perc_col_ext[own_sel]
     out["harm_col"] = harm_col_ext[own_sel]
 
@@ -500,7 +494,14 @@ def _local_track_analysis(
     smask_ext = (jnp.arange(y_ext.shape[-1]) >= halo_samples) & (
         jnp.arange(y_ext.shape[-1]) < halo_samples + own_samples
     )
-    peak_local = oversampled_peak(jnp.where(smask_ext, y_ext, 0.0), cfg.true_peak_oversample)
+    # Own-range claim via the OUTPUT mask: the interpolator reads the
+    # true halo samples, so no zero step is fabricated at internal shard
+    # boundaries (zeroing the input rang ~+1 dB on a plateau crossing a
+    # boundary — past the ±0.2 dB gate). Own ranges partition the track,
+    # so each intersample position is claimed exactly once; padding
+    # beyond n_valid is genuinely zero, matching the fused path's
+    # end-of-track behaviour.
+    peak_local = oversampled_peak(y_ext, cfg.true_peak_oversample, mask=smask_ext)
     out["true_peak"] = jax.lax.pmax(peak_local, axis_name)
     glob_idx = jnp.arange(y_ext.shape[-1]) - halo_samples + own_start
     sval = smask_ext & (glob_idx < n_valid)

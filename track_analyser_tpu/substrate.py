@@ -27,7 +27,7 @@ import numpy as np
 from .config import DEFAULT_CONFIG
 from .ops.chroma import chroma_from_power, chroma_stft_filterbank, cq_chroma_tribank
 from .ops.filters import gaussian_filter1d, hpss
-from .ops.loudness import integrated_lufs, k_weighted, rms_db_curve
+from .ops.loudness import integrated_lufs, rms_db_curve
 from .ops.mel import (
     mel_filterbank,
     melspectrogram_from_power,
@@ -38,7 +38,6 @@ from .ops.onset import autocorrelate, onset_strength_from_mel
 from .ops.resample import oversampled_peak
 from .ops.spectral import (
     balance_band_weights,
-    ltas as ltas_op,
     spectral_centroid,
     spectral_rolloff,
 )
@@ -62,6 +61,36 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=None) -> jnp.ndarray:
     num = jnp.sum(jnp.where(mask, x, 0.0), axis=axis)
     den = jnp.maximum(jnp.sum(mask, axis=axis), 1)
     return num / den
+
+
+def _smooth_valid(curve: jnp.ndarray, f_valid, sigma: float) -> jnp.ndarray:
+    """Gaussian-smooth a framewise curve as if it ended at ``f_valid``.
+
+    Smoothing a masked curve whose padding is zero smears those zeros
+    back into the last ~4*sigma valid frames — an exact-shape run (which
+    the reference always is) reflects real values at its end instead.
+    The curve is re-indexed so every position at or beyond ``f_valid``
+    reads its mirror across the last valid frame, AND the array is
+    extended by the kernel radius so the result over ``[0, f_valid)``
+    equals the exact-shape reflect-boundary smoothing for ANY padding
+    length (a padding shorter than the radius would otherwise let the
+    smoother's own array-end reflection leak in). Values at padded
+    positions of the returned array are meaningless — callers mask them.
+    1-D take of a frame curve is tiny — not the TPU-hostile frame-matrix
+    gather."""
+
+    from .ops.filters import gaussian_kernel
+
+    radius = int(gaussian_kernel(float(sigma)).shape[0] // 2)
+    total = curve.shape[-1]
+    ext_idx = jnp.arange(total + radius)
+    idx = jnp.where(
+        ext_idx < f_valid,
+        jnp.minimum(ext_idx, total - 1),
+        jnp.clip(2 * f_valid - 2 - ext_idx, 0, total - 1),
+    )
+    ext = jnp.take(curve, idx, axis=-1)
+    return gaussian_filter1d(ext, sigma=sigma)[..., :total]
 
 
 def _minmax_normalise(curve: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -151,8 +180,12 @@ def full_track_graph(
     perc_col = jnp.where(fmask, jnp.sum(percussive, axis=0), 0.0)
     harm_col = jnp.where(fmask, jnp.sum(harmonic, axis=0), 0.0)
     ratio_curve = perc_col / (perc_col + harm_col + 1e-9)
+    # _smooth_valid: sigma here is ~43 frames, so zeros in the padding
+    # would otherwise contaminate the last ~2 s of energy_novelty (and,
+    # through min-max normalisation, rescale the whole curve) relative
+    # to an exact-shape run — violating the n_valid-masking contract.
     ratio_sigma = max(1.0, 0.5 * sr / float(hop))
-    ratio_smooth = gaussian_filter1d(ratio_curve, sigma=ratio_sigma)
+    ratio_smooth = _smooth_valid(ratio_curve, f_valid, ratio_sigma)
     energy_novelty = jnp.abs(jnp.diff(ratio_smooth, prepend=ratio_smooth[0:1]))
 
     w_flux, w_sim, w_energy = cfg.novelty_weights
@@ -162,7 +195,7 @@ def full_track_graph(
         + w_energy * _minmax_normalise(energy_novelty, fmask)
     )
     out["novelty"] = jnp.where(
-        fmask, gaussian_filter1d(combined, sigma=cfg.novelty_smooth_sigma), 0.0
+        fmask, _smooth_valid(combined, f_valid, cfg.novelty_smooth_sigma), 0.0
     )
     out["energy_novelty"] = _minmax_normalise(energy_novelty, fmask)
     out["perc_col"] = perc_col
@@ -229,28 +262,19 @@ def full_track_graph(
     out["balance_high"] = bal_sums[2]
 
     # ---- loudness ------------------------------------------------------
+    # ops.loudness.integrated_lufs is the single implementation of the
+    # BS.1770 gate (its n_valid parameter exists for exactly this padded
+    # dispatch) — keeping a second inline copy here invited silent drift.
     smask = jnp.arange(y.shape[-1]) < n_valid
-    yk = k_weighted(y, sr)
     block = cfg.loudness_block_seconds
-    frame_len = int(round(block * sr))
-    hop_g = int(round(block * 0.25 * sr))
-    from .ops.stft import frame_signal
-
-    if y.shape[-1] >= frame_len:
-        g_frames = frame_signal(yk, frame_len, hop_g, center=False)
-        starts = jnp.arange(g_frames.shape[0]) * hop_g
-        block_ok = (starts + frame_len) <= n_valid
-        z = jnp.mean(g_frames * g_frames, axis=-1)
-    else:
-        z = jnp.mean(yk * yk, axis=-1, keepdims=True)
-        block_ok = jnp.ones(1, dtype=bool)
-    eps = 1e-20
-    loud = -0.691 + 10.0 * jnp.log10(z + eps)
-    abs_mask = block_ok & (loud > cfg.gate_absolute_lufs)
-    z_abs = _masked_mean(z, abs_mask)
-    gamma_r = -0.691 + 10.0 * jnp.log10(z_abs + eps) + cfg.gate_relative_lu
-    both = abs_mask & (loud > gamma_r)
-    out["integrated_lufs"] = -0.691 + 10.0 * jnp.log10(_masked_mean(z, both) + eps)
+    out["integrated_lufs"] = integrated_lufs(
+        y,
+        sr,
+        block_seconds=block,
+        absolute_gate=cfg.gate_absolute_lufs,
+        relative_gate_lu=cfg.gate_relative_lu,
+        n_valid=n_valid,
+    )
 
     def _rms_params(seconds: float) -> tuple[int, int]:
         fl = max(1024, int(round(sr * seconds)))
@@ -279,7 +303,9 @@ def full_track_graph(
     out["stereo_balance"] = _masked_mean(jnp.abs(left), smask) - _masked_mean(
         jnp.abs(right), smask
     )
-    out["mid_rms"] = jnp.sqrt(_masked_mean(y * y, smask))
+    # y IS the mid channel, so mid_rms == rms; alias rather than
+    # recompute so a reader never wonders whether they may differ.
+    out["mid_rms"] = out["rms"]
     out["side_rms"] = jnp.sqrt(_masked_mean(side * side, smask))
 
     mid_e = jnp.where(fmask[None, :], power, 0.0)
