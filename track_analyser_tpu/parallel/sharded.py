@@ -231,7 +231,7 @@ def _local_track_analysis(
     from ..ops.mel import melspectrogram_from_power, mfcc_from_log_mel, power_to_db
     from ..ops.onset import autocorrelate, onset_strength_from_mel
     from ..ops.resample import oversampled_peak
-    from ..ops.spectral import ltas as ltas_op, spectral_centroid, spectral_rolloff
+    from ..ops.spectral import spectral_centroid, spectral_rolloff
     from ..ops.stft import fft_frequencies, magnitude, stft as stft_op
 
     hop = cfg.hop_length
