@@ -25,6 +25,7 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG
 from ..ops.filters import gaussian_filter1d, hpss
+from ..substrate import _smooth_valid
 from ..ops.mel import (
     mel_filterbank,
     melspectrogram_from_power,
@@ -128,7 +129,10 @@ def _structure_graph(
     harm_curve = jnp.where(fmask, jnp.sum(harmonic, axis=0), 0.0)
     ratio_curve = perc_curve / (perc_curve + harm_curve + 1e-9)
     ratio_sigma = max(1.0, 0.5 * sr / float(hop_length))
-    ratio_smooth = gaussian_filter1d(ratio_curve, sigma=ratio_sigma)
+    # _smooth_valid: identical padded-tail semantics to the fused
+    # substrate (mirror at f_valid + kernel-radius extension), so bucket
+    # padding never contaminates the last ~2 s of energy novelty.
+    ratio_smooth = _smooth_valid(ratio_curve, f_valid, ratio_sigma)
     energy_novelty = jnp.abs(jnp.diff(ratio_smooth, prepend=ratio_smooth[0:1]))
 
     w_flux, w_sim, w_energy = DEFAULT_CONFIG.novelty_weights
@@ -138,7 +142,7 @@ def _structure_graph(
         + w_energy * _normalise_curve(energy_novelty, fmask)
     )
     novelty = jnp.where(
-        fmask, gaussian_filter1d(combined, sigma=DEFAULT_CONFIG.novelty_smooth_sigma), 0.0
+        fmask, _smooth_valid(combined, f_valid, DEFAULT_CONFIG.novelty_smooth_sigma), 0.0
     )
     return novelty, _normalise_curve(energy_novelty, fmask), perc_curve, harm_curve
 
