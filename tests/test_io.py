@@ -150,3 +150,73 @@ def test_fuzzed_codec_inputs_never_escape_the_ladder(tmp_path) -> None:
             except RuntimeError:
                 continue  # the documented failure mode
             assert rate > 0 and data.ndim == 2  # or a genuine decode
+
+
+def _write_aiff(path, samples_f32, sr, *, form=b"AIFF", comp=None, bits=16):
+    """Minimal AIFF/AIFF-C writer for decoder tests."""
+
+    import struct
+
+    n = samples_f32.shape[-1]
+    ch = 1 if samples_f32.ndim == 1 else samples_f32.shape[0]
+    inter = samples_f32.reshape(ch, n).T.reshape(-1)
+    if comp in (b"fl32",):
+        sound = inter.astype(">f4").tobytes()
+    elif comp == b"sowt":
+        sound = (np.clip(inter, -1, 1) * 32767).astype("<i2").tobytes()
+    else:
+        sound = (np.clip(inter, -1, 1) * 32767).astype(">i2").tobytes()
+    # 80-bit extended float sample rate
+    exp = 16383 + 63
+    mant = sr << 63 - sr.bit_length() + 1 if False else None
+    import math
+
+    e = math.floor(math.log2(sr))
+    mantissa = int(sr / 2.0 ** (e - 63))
+    ext = struct.pack(">HQ", 16383 + e, mantissa)
+    comm = struct.pack(">hIh", ch, n, 32 if comp == b"fl32" else bits) + ext
+    if comp is not None:
+        comm += comp + b"\x00"  # pascal-string name omitted past padding
+    ssnd = struct.pack(">II", 0, 0) + sound
+    chunks = b""
+    for cid, body in ((b"COMM", comm), (b"SSND", ssnd)):
+        chunks += cid + struct.pack(">I", len(body)) + body
+        if len(body) % 2:
+            chunks += b"\x00"
+    form_body = form + chunks
+    Path(path).write_bytes(b"FORM" + struct.pack(">I", len(form_body)) + form_body)
+    return path
+
+
+def test_aifc_sowt_and_float_decode_correctly(tmp_path) -> None:
+    """AIFF-C compressionType must be honoured: 'sowt' (little-endian PCM,
+    the macOS default) and 'fl32' are NOT big-endian integers — reading
+    them as such decodes byte-swapped noise with no error. Unknown codecs
+    must raise so the ladder can try the ffmpeg tier."""
+
+    from track_analyser_tpu.io.codecs import decode_file
+
+    sr = 22_050
+    t = np.arange(int(0.2 * sr)) / sr
+    y = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+
+    ref, sr_be, _ = decode_file(_write_aiff(tmp_path / "be.aiff", y, sr))
+    assert sr_be == sr
+    np.testing.assert_allclose(ref[0], y, atol=1e-4)
+
+    sowt, _, _ = decode_file(
+        _write_aiff(tmp_path / "le.aifc", y, sr, form=b"AIFC", comp=b"sowt")
+    )
+    np.testing.assert_allclose(sowt[0], y, atol=1e-4)
+
+    fl, _, meta = decode_file(
+        _write_aiff(tmp_path / "f.aifc", y, sr, form=b"AIFC", comp=b"fl32")
+    )
+    np.testing.assert_allclose(fl[0], y, atol=1e-6)
+    assert meta["subtype"] == "FLOAT"
+
+    # unsupported codec: raises (ffmpeg tier may pick it up in decode_file's
+    # caller ladder; absent that, the descriptive RuntimeError)
+    bad = _write_aiff(tmp_path / "ima.aifc", y, sr, form=b"AIFC", comp=b"ima4")
+    with pytest.raises(RuntimeError):
+        decode_file(bad)

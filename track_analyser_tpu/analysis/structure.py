@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import DEFAULT_CONFIG
 from ..ops.filters import gaussian_filter1d, hpss
-from ..substrate import _smooth_valid
+from ..substrate import _minmax_normalise, _smooth_valid
 from ..ops.mel import (
     mel_filterbank,
     melspectrogram_from_power,
@@ -64,18 +64,10 @@ class StructureAnalysis:
     novelty_curve: List[float]
 
 
-def _normalise_curve(curve: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Min-max normalise over the valid frames only (bucket padding must
-    not enter the min/max — same contract as the fused substrate)."""
-
-    big = jnp.float32(3.4e38)
-    min_val = jnp.min(jnp.where(mask, curve, big))
-    max_val = jnp.max(jnp.where(mask, curve, -big))
-    span = max_val - min_val
-    out = jnp.where(
-        span < 1e-9, jnp.zeros_like(curve), (curve - min_val) / jnp.where(span < 1e-9, 1.0, span)
-    )
-    return jnp.where(mask, out, 0.0)
+# Min-max normalisation over valid frames: the SAME function the fused
+# substrate uses — two copies would have to stay bit-identical for the
+# fused and per-module novelty curves to agree.
+_normalise_curve = _minmax_normalise
 
 
 @partial(jax.jit, static_argnames=("sr", "frame_length", "hop_length"))
@@ -110,7 +102,9 @@ def _structure_graph(
     # --- MFCC self-similarity ------------------------------------------
     log_mel = power_to_db(mel_power + 1e-9)
     mfcc = mfcc_from_log_mel(log_mel, DEFAULT_CONFIG.n_mfcc)
-    mfcc = gaussian_filter1d(mfcc, sigma=1.0, axis=1)
+    # _smooth_valid: keep the -80 dB-floor padding MFCCs out of the last
+    # valid frames (same treatment as the fused substrate).
+    mfcc = _smooth_valid(mfcc, f_valid, 1.0)
     context = max(2, int(round(DEFAULT_CONFIG.novelty_context_seconds * sr / float(hop_length))))
     # Moving window means via cumulative sums: left = [f-c, f), right = [f, f+c)
     cs = jnp.concatenate([jnp.zeros((mfcc.shape[0], 1)), jnp.cumsum(mfcc, axis=1)], axis=1)
@@ -370,14 +364,14 @@ def _enforce_min_time_spacing(
 
 
 # (condition, category) rules for interior segments, first match wins;
-# thresholds are the reference's (structure.py:311-342). e = energy
-# relative to the median, r = percussive ratio.
+# thresholds are the reference's (structure.py:311-342). e = segment
+# energy, m = median segment energy, r = percussive ratio.
 _CATEGORY_RULES = (
-    (lambda r, e: e < 0.5 and r < 0.35, "breakdown"),
-    (lambda r, e: r > 0.65 and e >= 0.75, "drop"),
-    (lambda r, e: r > 0.45, "groove"),
-    (lambda r, e: r < 0.35, "breakdown"),
-    (lambda r, e: True, "bridge"),
+    (lambda r, e, m: e < 0.5 * m and r < 0.35, "breakdown"),
+    (lambda r, e, m: r > 0.65 and e >= 0.75 * m, "drop"),
+    (lambda r, e, m: r > 0.45, "groove"),
+    (lambda r, e, m: r < 0.35, "breakdown"),
+    (lambda r, e, m: True, "bridge"),
 )
 
 
@@ -394,13 +388,21 @@ def _classify_segments(
     )
     if total.size == 0:
         return []
-    rel_energy = total / (float(np.median(total)) or 1.0)
+    # Compare energies against the median directly (reference
+    # structure.py:322,332-334): substituting 1.0 for a zero median
+    # would flip drop/breakdown decisions on near-silent tracks where
+    # 'e >= 0.75 * 0' is trivially true in the reference.
+    median_energy = float(np.median(total))
 
     def interior(r: float, e: float) -> str:
-        return next(cat for rule, cat in _CATEGORY_RULES if rule(r, e))
+        return next(
+            cat
+            for rule, cat in _CATEGORY_RULES
+            if rule(r, e, median_energy)
+        )
 
     last = ratios.size - 1
     return [
         "intro" if i == 0 else "outro" if i == last else interior(r, e)
-        for i, (r, e) in enumerate(zip(ratios, rel_energy))
+        for i, (r, e) in enumerate(zip(ratios, total))
     ]

@@ -140,7 +140,9 @@ def _decode_aiff(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
     raw = Path(path).read_bytes()
     if len(raw) < 12 or raw[0:4] != b"FORM" or raw[8:12] not in (b"AIFF", b"AIFC"):
         raise AudioDecodeError(f"Not an AIFF file: {path}")
+    is_aifc = raw[8:12] == b"AIFC"
     channels = sr = bits = None
+    comp = b"NONE"
     sound = None
     pos = 12
     while pos + 8 <= len(raw):
@@ -153,21 +155,47 @@ def _decode_aiff(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
             exponent = struct.unpack_from(">H", body, 8)[0] & 0x7FFF
             mantissa = struct.unpack_from(">Q", body, 10)[0]
             sr = int(mantissa * 2.0 ** (exponent - 16383 - 63))
+            if is_aifc and chunk_size >= 22:
+                comp = body[18:22]  # AIFF-C compressionType
         elif chunk_id == b"SSND":
             (offset, _blocksize) = struct.unpack_from(">II", body, 0)
             sound = body[8 + offset :]
         pos += 8 + chunk_size + (chunk_size & 1)
     if channels is None or sr is None or sound is None:
         raise AudioDecodeError(f"Malformed AIFF file: {path}")
-    if bits == 16:
-        flat = np.frombuffer(sound, dtype=">i2").astype(np.float32) / 32768.0
-    elif bits == 24:
-        swapped = np.frombuffer(sound, dtype=np.uint8)
-        usable = (swapped.size // 3) * 3
-        swapped = swapped[:usable].reshape(-1, 3)[:, ::-1].reshape(-1)
-        flat = _pcm24_to_float32(swapped.tobytes())
-    elif bits == 32:
-        flat = np.frombuffer(sound, dtype=">i4").astype(np.float32) / 2147483648.0
+    # AIFF-C compressionType decides the sample encoding. 'sowt'
+    # (little-endian PCM, the macOS/iTunes default) and float types MUST
+    # NOT be read as big-endian integers — that silently decodes
+    # byte-swapped noise. Unknown codecs raise so decode_file's ladder
+    # routes the file to the ffmpeg tier.
+    comp_s = comp.decode("ascii", errors="replace").strip().lower()
+    if comp_s in ("none", "twos", ""):
+        endian = ">"
+        is_float = False
+    elif comp_s == "sowt":
+        endian = "<"
+        is_float = False
+    elif comp_s in ("fl32", "fl64"):
+        endian = ">"
+        is_float = True
+    else:
+        raise AudioDecodeError(f"Unsupported AIFF-C codec {comp!r} in {path}")
+    if is_float and bits == 32:
+        flat = np.frombuffer(sound, dtype=">f4").astype(np.float32)
+    elif is_float and bits == 64:
+        flat = np.frombuffer(sound, dtype=">f8").astype(np.float32)
+    elif not is_float and bits == 16:
+        flat = np.frombuffer(sound, dtype=f"{endian}i2").astype(np.float32) / 32768.0
+    elif not is_float and bits == 24:
+        buf = np.frombuffer(sound, dtype=np.uint8)
+        usable = (buf.size // 3) * 3
+        if endian == ">":  # big-endian packed: swap each triplet
+            buf = buf[:usable].reshape(-1, 3)[:, ::-1].reshape(-1)
+        else:
+            buf = buf[:usable]
+        flat = _pcm24_to_float32(buf.tobytes())
+    elif not is_float and bits == 32:
+        flat = np.frombuffer(sound, dtype=f"{endian}i4").astype(np.float32) / 2147483648.0
     else:
         raise AudioDecodeError(f"Unsupported AIFF bit depth {bits} in {path}")
     frames = flat.size // channels
@@ -178,7 +206,7 @@ def _decode_aiff(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
         "channels": int(channels),
         "duration": frames / float(sr),
         "file_type": "AIFF",
-        "subtype": f"PCM_{bits}",
+        "subtype": "FLOAT" if is_float else f"PCM_{bits}",
     }
     return data, int(sr), meta
 
@@ -193,7 +221,8 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
 
     file_path = str(path)
     try:
-        head = Path(file_path).read_bytes()[:12]
+        with open(file_path, "rb") as fh:  # sniff only — decoders re-read
+            head = fh.read(12)
     except OSError as exc:
         raise RuntimeError(f"Could not decode audio file: {file_path}") from exc
 

@@ -249,9 +249,10 @@ def _read_residual(reader: _BitReader, block_size: int, pred_order: int) -> np.n
     escape = (1 << param_bits) - 1
     part_order = reader.read(4)
     n_parts = 1 << part_order
-    if block_size % n_parts or (block_size >> part_order) <= pred_order and n_parts > 1:
-        # first partition must still have >0 samples
-        pass
+    if block_size % n_parts or ((block_size >> part_order) <= pred_order and n_parts > 1):
+        # spec: block size must divide evenly, and the first partition
+        # (which is pred_order samples short) must still have >0 samples
+        raise AudioDecodeError("Invalid FLAC partition layout")
     pieces = []
     for part in range(n_parts):
         count = (block_size >> part_order) - (pred_order if part == 0 else 0)

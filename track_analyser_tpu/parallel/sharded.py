@@ -332,23 +332,36 @@ def _local_track_analysis(
     )
     harmonic, percussive = hpss(mag_hpss, kernel_size=cfg.hpss_kernel, power=cfg.hpss_power)
 
+    from ..substrate import _minmax_normalise, _smooth_valid
+
     log_mel = power_to_db(mel_power + 1e-9, top_db=None)
     gmax2 = jax.lax.pmax(jnp.max(jnp.where(ext_valid[None, :], log_mel, -jnp.inf)), axis_name)
     log_mel = jnp.maximum(log_mel, gmax2 - 80.0)
-    mfcc = mfcc_from_log_mel(log_mel, cfg.n_mfcc)
-    mfcc = gaussian_filter1d(mfcc, sigma=1.0, axis=1)
+    mfcc_ext = mfcc_from_log_mel(log_mel, cfg.n_mfcc)
+    # Self-similarity on the FULL gathered MFCC matrix (n_mfcc x frames,
+    # ~50 B/frame — small next to the mel gather above): the substrate's
+    # exact chain incl. the _smooth_valid padded-tail treatment, so the
+    # two execution paths agree by construction.
+    mfcc_own = jnp.where(own_mask[None, :], mfcc_ext[:, own_sel], 0.0)
+    mfcc_full = jnp.moveaxis(jax.lax.all_gather(mfcc_own, axis_name), 0, 1).reshape(
+        mfcc_own.shape[0], -1
+    )
+    mfcc_full = _smooth_valid(mfcc_full, f_valid, 1.0)
+    t_full = mfcc_full.shape[1]
     context = max(2, int(round(cfg.novelty_context_seconds * sr / float(hop))))
-    cs = jnp.concatenate([jnp.zeros((mfcc.shape[0], 1)), jnp.cumsum(mfcc, axis=1)], axis=1)
-    fidx = jnp.arange(f_ext)
-    lo_i = jnp.clip(fidx - context, 0, f_ext)
-    hi_i = jnp.clip(fidx + context, 0, f_ext)
+    cs = jnp.concatenate(
+        [jnp.zeros((mfcc_full.shape[0], 1)), jnp.cumsum(mfcc_full, axis=1)], axis=1
+    )
+    fidx = jnp.arange(t_full)
+    lo_i = jnp.clip(fidx - context, 0, t_full)
+    hi_i = jnp.clip(fidx + context, 0, t_full)
     left_mean = (cs[:, fidx] - cs[:, lo_i]) / jnp.maximum(fidx - lo_i, 1)
     right_mean = (cs[:, hi_i] - cs[:, fidx]) / jnp.maximum(hi_i - fidx, 1)
     ln = left_mean / (jnp.linalg.norm(left_mean, axis=0) + 1e-9)
     rn = right_mean / (jnp.linalg.norm(right_mean, axis=0) + 1e-9)
     sim = 1.0 - jnp.sum(ln * rn, axis=0)
-    sim_valid = (ext_global >= context) & (ext_global < f_valid - context)
-    self_similarity_ext = jnp.where(sim_valid, sim, 0.0)
+    sim_valid_full = (fidx >= context) & (fidx < f_valid - context)
+    sim_full = jnp.where(sim_valid_full, sim, 0.0)
 
     perc_raw = jnp.sum(percussive, axis=0)
     harm_raw = jnp.sum(harmonic, axis=0)
@@ -361,8 +374,6 @@ def _local_track_analysis(
     # on the exact full-length arrays (including the _smooth_valid
     # treatment of the padded tail). Semantics identical to the fused
     # path by construction, not by halo bookkeeping.
-    from ..substrate import _minmax_normalise, _smooth_valid
-
     n_sh_ = jax.lax.psum(1, axis_name)
 
     def _gather_full(own_curve: jnp.ndarray) -> jnp.ndarray:
@@ -370,7 +381,6 @@ def _local_track_analysis(
 
     perc_full = _gather_full(jnp.where(own_mask, perc_raw[own_sel], 0.0))
     harm_full = _gather_full(jnp.where(own_mask, harm_raw[own_sel], 0.0))
-    sim_full = _gather_full(jnp.where(own_mask, self_similarity_ext[own_sel], 0.0))
     fmask_full = jnp.arange(perc_full.shape[0]) < f_valid
 
     ratio_full = perc_full / (perc_full + harm_full + 1e-9)

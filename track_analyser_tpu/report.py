@@ -25,6 +25,7 @@ import matplotlib
 
 matplotlib.use("Agg")
 import jax
+import jax.numpy as jnp
 import matplotlib.pyplot as plt
 import numpy as np
 from matplotlib.colors import LinearSegmentedColormap
@@ -216,7 +217,11 @@ def _flag_downbeats(beat_times: np.ndarray, downbeat_times: np.ndarray) -> np.nd
         return np.zeros(0, dtype=bool)
     if downbeat_times.size == 0:
         return np.zeros_like(beat_times, dtype=bool)
-    close = np.abs(beat_times[:, None] - downbeat_times[None, :]) <= 1e-2
+    # np.isclose, not a bare atol: the reference's isclose(atol=1e-2)
+    # keeps its default rtol=1e-5, which adds time-proportional slack —
+    # a 12 ms-off model downbeat at t=600 s flags True there (tolerance
+    # 1e-2 + 1e-5*600) and must flag True here too (report.py:206-215).
+    close = np.isclose(beat_times[:, None], downbeat_times[None, :], atol=1e-2)
     return np.any(close, axis=1)
 
 
@@ -329,13 +334,14 @@ def _plot_waveform_beats(result: TrackAnalysisResult, output_dir: Path) -> Path:
 
 
 @partial(jax.jit, static_argnames=("sr", "hop_length"))
-def _tempogram_graph(y, *, sr, hop_length):
+def _tempogram_graph(y, n_valid, *, sr, hop_length):
     power = magnitude(y, 2048, hop_length, power=2.0)
     fb = mel_filterbank(sr, 2048, 128)
     env = onset_strength_from_mel(
         melspectrogram_from_power(power, fb), n_fft=2048, hop_length=hop_length
     )
-    return tempogram_op(env)
+    fmask = jnp.arange(env.shape[-1]) < 1 + n_valid // hop_length
+    return tempogram_op(jnp.where(fmask, env, 0.0))
 
 
 def _plot_tempogram(result: TrackAnalysisResult, output_dir: Path) -> Path:
@@ -344,11 +350,22 @@ def _plot_tempogram(result: TrackAnalysisResult, output_dir: Path) -> Path:
     if y.ndim > 1:
         y = y.mean(axis=0)
     sr, hop = result.audio.sample_rate, 512
-    tgram = (
-        np.asarray(_tempogram_graph(y, sr=sr, hop_length=hop), dtype=float)
-        if y.size
-        else np.zeros((2, 1))
-    )
+    if y.size:
+        # Bucket-pad like every other device graph: one compiled
+        # executable per bucket instead of one per distinct track length
+        # (a tunnelled compile costs minutes); padded tempogram columns
+        # beyond the valid frames are trimmed here.
+        from .substrate import bucket_length
+
+        padded = np.zeros(bucket_length(y.size, hop=hop), dtype=np.float32)
+        padded[: y.size] = y
+        f_valid = 1 + y.size // hop
+        tgram = np.asarray(
+            _tempogram_graph(jnp.asarray(padded), jnp.asarray(y.size), sr=sr, hop_length=hop),
+            dtype=float,
+        )[:, :f_valid]
+    else:
+        tgram = np.zeros((2, 1))
     if tgram.shape[0] < 2 or tgram.shape[1] < 1:
         tgram = np.zeros((2, 1))
     with _panel(path, title="Tempogram", xlabel="Time (s)", ylabel="Tempo (BPM)") as ax:

@@ -164,7 +164,11 @@ def full_track_graph(
 
     log_mel = power_to_db(mel_power + 1e-9)
     mfcc = mfcc_from_log_mel(log_mel, cfg.n_mfcc)
-    mfcc = gaussian_filter1d(mfcc, sigma=1.0, axis=1)
+    # _smooth_valid, not a plain gaussian: the padding frames' MFCCs sit
+    # at the -80 dB mel floor (c0 hundreds of units off), and a plain
+    # smooth pulls them into the last ~4 valid frames — frames that
+    # valid self-similarity windows DO read.
+    mfcc = _smooth_valid(mfcc, f_valid, 1.0)
     context = max(2, int(round(cfg.novelty_context_seconds * sr / float(hop))))
     cs = jnp.concatenate([jnp.zeros((mfcc.shape[0], 1)), jnp.cumsum(mfcc, axis=1)], axis=1)
     lo = jnp.clip(frame_idx - context, 0, total_frames)
