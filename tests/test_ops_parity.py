@@ -121,3 +121,33 @@ def test_matmul_dft_matches_rfft():
         ref = np.asarray(jnp.fft.rfft(frames, n=n_fft, axis=-1))
         scale = np.max(np.abs(ref))
         np.testing.assert_allclose(mine / scale, ref / scale, atol=5e-5)
+
+
+def test_istft_f_valid_matches_exact_shape() -> None:
+    """istft(f_valid=...) on a bucket-padded spectrogram must reproduce
+    the exact-shape inversion bitwise over the valid samples — the
+    contract the bucket-padded separation serving path relies on (the
+    padding frames' windows must not inflate the overlap-add
+    normaliser)."""
+
+    rng = np.random.default_rng(9)
+    n_fft, hop = 2048, 512
+    n = 70_000  # not a bucket multiple
+    y = rng.normal(0, 0.3, n).astype(np.float32)
+
+    exact = np.asarray(stft.istft(stft.stft(jnp.asarray(y), n_fft, hop), n_fft, hop, n))
+
+    nb = 131_072
+    padded = np.zeros(nb, np.float32)
+    padded[:n] = y
+    f_valid = 1 + n // hop
+    inv = np.asarray(
+        stft.istft(
+            stft.stft(jnp.asarray(padded), n_fft, hop),
+            n_fft,
+            hop,
+            nb,
+            f_valid=jnp.asarray(f_valid),
+        )
+    )[:n]
+    np.testing.assert_array_equal(inv, exact)
