@@ -167,8 +167,6 @@ def _write_aiff(path, samples_f32, sr, *, form=b"AIFF", comp=None, bits=16):
     else:
         sound = (np.clip(inter, -1, 1) * 32767).astype(">i2").tobytes()
     # 80-bit extended float sample rate
-    exp = 16383 + 63
-    mant = sr << 63 - sr.bit_length() + 1 if False else None
     import math
 
     e = math.floor(math.log2(sr))
