@@ -218,3 +218,47 @@ def test_aifc_sowt_and_float_decode_correctly(tmp_path) -> None:
     bad = _write_aiff(tmp_path / "ima.aifc", y, sr, form=b"AIFC", comp=b"ima4")
     with pytest.raises(RuntimeError):
         decode_file(bad)
+
+
+def test_wav_codec_cross_validates_against_scipy_fixtures() -> None:
+    """Decode scipy's own exotic WAV fixtures (RIFX big-endian containers,
+    EXTENSIBLE doubles, unsigned 8-bit) and compare against
+    scipy.io.wavfile — independent ground truth for container/endianness
+    handling. RIFX matters: at least one libavformat build silently
+    misparses RIFX samples as little-endian, so the first-party codec
+    must handle it before the ladder ever reaches that tier."""
+
+    import os
+
+    import scipy.io.tests as scipy_tests
+    from scipy.io import wavfile
+
+    from track_analyser_tpu.io.codecs import decode_file
+
+    data_dir = Path(os.path.dirname(scipy_tests.__file__)) / "data"
+    cases = [
+        "test-8000Hz-be-3ch-5S-24bit.wav",  # RIFX, 24-bit packed
+        "test-44100Hz-be-1ch-4bytes.wav",  # RIFX, int32
+        "test-44100Hz-2ch-32bit-float-be.wav",  # RIFX, float32
+        "test-48000Hz-2ch-64bit-float-le-wavex.wav",  # EXTENSIBLE double
+        "test-8000Hz-le-2ch-1byteu.wav",  # unsigned 8-bit
+        "test-8000Hz-le-3ch-5S-24bit.wav",  # little-endian 24-bit
+    ]
+    ran = 0
+    for name in cases:
+        p = data_dir / name
+        if not p.exists():
+            continue
+        sr_ref, ref = wavfile.read(str(p))
+        r = np.asarray(ref, dtype=np.float64)
+        if ref.dtype.kind == "i":  # dtype may be big-endian ('>i4')
+            r /= float(2 ** (8 * ref.dtype.itemsize - 1))
+        elif ref.dtype.kind == "u":
+            r = (r - 128.0) / 128.0
+        r = r[None, :] if r.ndim == 1 else r.T
+
+        data, sr, _meta = decode_file(str(p))
+        assert sr == sr_ref, name
+        np.testing.assert_allclose(np.asarray(data, np.float64), r, atol=2e-7, err_msg=name)
+        ran += 1
+    assert ran >= 4, "scipy fixture corpus unexpectedly missing"

@@ -59,8 +59,14 @@ def decode_wav(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
     """
 
     raw = Path(path).read_bytes()
-    if len(raw) < 12 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+    # 'RIFX' is the big-endian RIFF variant (scipy/matlab write it for
+    # be data): same structure with big-endian chunk sizes, fmt fields
+    # and samples. First-party support matters because at least one
+    # libavformat build misparses RIFX sample data as little-endian —
+    # silent byte-swapped garbage, not an error.
+    if len(raw) < 12 or raw[0:4] not in (b"RIFF", b"RIFX") or raw[8:12] != b"WAVE":
         raise AudioDecodeError(f"Not a RIFF/WAVE file: {path}")
+    e = ">" if raw[0:4] == b"RIFX" else "<"
 
     fmt = None
     data_bytes = None
@@ -68,17 +74,20 @@ def decode_wav(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
     n = len(raw)
     while pos + 8 <= n:
         chunk_id = raw[pos : pos + 4]
-        (chunk_size,) = struct.unpack_from("<I", raw, pos + 4)
+        (chunk_size,) = struct.unpack_from(f"{e}I", raw, pos + 4)
         body = raw[pos + 8 : pos + 8 + chunk_size]
         if chunk_id == b"fmt ":
             if chunk_size < 16:
                 raise AudioDecodeError(f"Malformed fmt chunk in {path}")
             audio_format, channels, sr, _byte_rate, block_align, bits = (
-                struct.unpack_from("<HHIIHH", body, 0)
+                struct.unpack_from(f"{e}HHIIHH", body, 0)
             )
             if audio_format == _WAVE_FORMAT_EXTENSIBLE and chunk_size >= 40:
-                # SubFormat GUID: first two bytes carry the real format tag.
-                (audio_format,) = struct.unpack_from("<H", body, 24)
+                # SubFormat GUID: Data1 carries the real format tag, and
+                # follows the container's endianness (RIFX stores it
+                # big-endian).
+                (audio_format,) = struct.unpack_from(f"{e}I", body, 24)
+                audio_format &= 0xFFFF
             fmt = (audio_format, channels, sr, block_align, bits)
         elif chunk_id == b"data":
             data_bytes = body
@@ -93,14 +102,19 @@ def decode_wav(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
 
     if audio_format == _WAVE_FORMAT_PCM:
         if bits == 16:
-            flat = np.frombuffer(data_bytes, dtype="<i2").astype(np.float32) / 32768.0
+            flat = np.frombuffer(data_bytes, dtype=f"{e}i2").astype(np.float32) / 32768.0
             subtype = "PCM_16"
         elif bits == 24:
-            flat = _pcm24_to_float32(data_bytes)
+            buf = data_bytes
+            if e == ">":  # swap each packed triplet to little-endian
+                b24 = np.frombuffer(buf, dtype=np.uint8)
+                usable = (b24.size // 3) * 3
+                buf = b24[:usable].reshape(-1, 3)[:, ::-1].reshape(-1).tobytes()
+            flat = _pcm24_to_float32(buf)
             subtype = "PCM_24"
         elif bits == 32:
             flat = (
-                np.frombuffer(data_bytes, dtype="<i4").astype(np.float32) / 2147483648.0
+                np.frombuffer(data_bytes, dtype=f"{e}i4").astype(np.float32) / 2147483648.0
             )
             subtype = "PCM_32"
         elif bits == 8:
@@ -112,10 +126,10 @@ def decode_wav(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
             raise AudioDecodeError(f"Unsupported PCM bit depth {bits} in {path}")
     elif audio_format == _WAVE_FORMAT_IEEE_FLOAT:
         if bits == 32:
-            flat = np.frombuffer(data_bytes, dtype="<f4").astype(np.float32)
+            flat = np.frombuffer(data_bytes, dtype=f"{e}f4").astype(np.float32)
             subtype = "FLOAT"
         elif bits == 64:
-            flat = np.frombuffer(data_bytes, dtype="<f8").astype(np.float32)
+            flat = np.frombuffer(data_bytes, dtype=f"{e}f8").astype(np.float32)
             subtype = "DOUBLE"
         else:
             raise AudioDecodeError(f"Unsupported float bit depth {bits} in {path}")
@@ -239,7 +253,7 @@ def decode_file(path: str | Path) -> Tuple[np.ndarray, int, Dict[str, object]]:
 
     sniff_error: "Exception | None" = None
     try:
-        if head[0:4] == b"RIFF":
+        if head[0:4] in (b"RIFF", b"RIFX"):
             return decode_wav(file_path)
         if head[0:4] == b"FORM":
             return _decode_aiff(file_path)
