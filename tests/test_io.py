@@ -262,3 +262,39 @@ def test_wav_codec_cross_validates_against_scipy_fixtures() -> None:
         np.testing.assert_allclose(np.asarray(data, np.float64), r, atol=2e-7, err_msg=name)
         ran += 1
     assert ran >= 4, "scipy fixture corpus unexpectedly missing"
+
+
+_CPYTHON_AUDIO = Path(
+    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/test/audiodata"
+)
+
+
+@pytest.mark.skipif(not _CPYTHON_AUDIO.exists(), reason="CPython audio fixtures absent")
+def test_decoder_cross_format_consistency_on_cpython_fixtures() -> None:
+    """The same recording shipped as WAV/AIFF/AU at 16/24/32 bit must
+    decode to the same audio across containers (within one 16-bit LSB of
+    dither): first-party WAV+AIFF vs the ffmpeg tier's AU decode give a
+    three-way independent cross-check of sample layout and endianness."""
+
+    from track_analyser_tpu.io.codecs import decode_file
+
+    decoded = {}
+    for depth in ("16", "24", "32"):
+        for ext in ("wav", "aiff", "au"):
+            p = _CPYTHON_AUDIO / f"pluck-pcm{depth}.{ext}"
+            if not p.exists():
+                continue
+            try:
+                data, sr, _ = decode_file(str(p))
+            except RuntimeError:
+                continue  # e.g. no ffmpeg tier for .au in this environment
+            assert sr == 11_025
+            decoded[(depth, ext)] = np.asarray(data)
+    assert ("16", "wav") in decoded and ("16", "aiff") in decoded
+    for depth in ("16", "24", "32"):
+        group = [v for (d, _), v in decoded.items() if d == depth]
+        for other in group[1:]:
+            m = min(group[0].shape[1], other.shape[1])
+            np.testing.assert_allclose(
+                group[0][:, :m], other[:, :m], atol=6e-4, err_msg=f"pcm{depth}"
+            )
