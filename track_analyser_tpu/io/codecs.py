@@ -6,11 +6,13 @@ inherently host work (reference: io.py:72-116 keeps it on CPU too); the
 hot path is a zero-copy numpy parse of RIFF/WAVE with an optional native
 C++ fast path (see track_analyser_tpu/native).
 
-Supported today: WAV (PCM 8/16/24/32, IEEE float32/64, WAVE_FORMAT_EXTENSIBLE),
-AIFF (PCM 16/24/32), and FLAC (first-party decoder, io/flac.py). Other
-formats fall through to the system-decoder ladder (MP3/Ogg) and finally
-raise the same descriptive ``RuntimeError`` the reference raises when
-every backend fails (io.py:115-116).
+Supported today: WAV (PCM 8/16/24/32, IEEE float32/64,
+WAVE_FORMAT_EXTENSIBLE, both RIFF and big-endian RIFX containers),
+AIFF/AIFF-C (PCM 16/24/32 big-endian, 'sowt' little-endian, fl32/fl64
+floats), and FLAC (first-party decoder, io/flac.py). Other formats fall
+through to the system-decoder ladder (MP3/Ogg, then the ffmpeg catch-all
+tier) and finally raise the same descriptive ``RuntimeError`` the
+reference raises when every backend fails (io.py:115-116).
 """
 
 from __future__ import annotations
