@@ -56,12 +56,13 @@ def main() -> None:
     from track_analyser_tpu.models.separation import _checkpoint_path
 
     ckpt = args.init or _checkpoint_path()
+    if ckpt is None:
+        raise SystemExit("no bundled separation checkpoint found — pass --init CKPT")
     print(f"checkpoint: {ckpt}", flush=True)
     params = {k: jnp.asarray(v) for k, v in net.load_checkpoint(ckpt).items()}
 
     # per family, per stem, per weight: list of SI-SDRs
     table = {f: {s: {w: [] for w in WEIGHTS} for s in net.STEMS} for f, _, _ in FAMILIES}
-    dsp_ref = {f: {s: [] for s in net.STEMS} for f, _, _ in FAMILIES}
     for fam, synth, seed in FAMILIES:
         for k in range(args.examples):
             rng = np.random.default_rng(seed + k)
@@ -72,7 +73,6 @@ def main() -> None:
             )
             dsp = separate_stems_arrays(mix, SR)
             for i, s in enumerate(net.STEMS):
-                dsp_ref[fam][s].append(si_sdr(np.asarray(dsp[s]), stems[i]))
                 for w in WEIGHTS:
                     est = w * pred[i] + (1 - w) * np.asarray(dsp[s])
                     table[fam][s][w].append(si_sdr(est, stems[i]))

@@ -29,6 +29,7 @@ Usage: python scripts/train_separation_v2.py [--steps 4000] [--out PATH]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from functools import partial
@@ -595,7 +596,11 @@ def main() -> None:
         # (observed round 3) — keep a resumable partial checkpoint so a
         # kill+restart with --init loses at most a minute of training.
         if time.time() - last_partial > 60.0:
-            net.save_checkpoint(jax.device_get(params), partial_path)
+            # atomic: a kill mid-write must not corrupt the only resume
+            # point this insurance exists to provide
+            tmp = partial_path.with_suffix(".tmp.npz")
+            net.save_checkpoint(jax.device_get(params), tmp)
+            os.replace(tmp, partial_path)
             last_partial = time.time()
 
     params_h = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), params)

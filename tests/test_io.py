@@ -264,9 +264,27 @@ def test_wav_codec_cross_validates_against_scipy_fixtures() -> None:
     assert ran >= 4, "scipy fixture corpus unexpectedly missing"
 
 
-_CPYTHON_AUDIO = Path(
-    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/test/audiodata"
-)
+def _cpython_audiodata() -> "Path | None":
+    """Locate CPython's test/audiodata fixtures (any interpreter on the
+    machine — the running one first, then other installs)."""
+
+    import glob
+    import sysconfig
+
+    candidates = [Path(sysconfig.get_path("stdlib")) / "test" / "audiodata"]
+    for pattern in (
+        "/usr/local/lib/python3.*/test/audiodata",
+        "/usr/lib/python3.*/test/audiodata",
+        "/mnt/*/model_tools_env/*/python/install/lib/python3.*/test/audiodata",
+    ):
+        candidates.extend(Path(p) for p in glob.glob(pattern))
+    for c in candidates:
+        if (c / "pluck-pcm16.wav").exists():
+            return c
+    return None
+
+
+_CPYTHON_AUDIO = _cpython_audiodata() or Path("/nonexistent")
 
 
 @pytest.mark.skipif(not _CPYTHON_AUDIO.exists(), reason="CPython audio fixtures absent")

@@ -155,16 +155,13 @@ def analyse_structure(
         raise TypeError("analyse_structure expects an AudioInput instance")
     seed_everything(seed)
 
-    from ..substrate import bucket_length
+    from ..substrate import pad_to_bucket
 
     y = np.asarray(audio.samples, dtype=np.float32)
-    n = y.size
-    padded = np.zeros(bucket_length(n, hop=hop_length), dtype=np.float32)
-    padded[:n] = y
-    f_valid = 1 + n // hop_length
+    padded, f_valid = pad_to_bucket(y, hop=hop_length)
     outs = _structure_graph(
         jnp.asarray(padded),
-        jnp.asarray(n),
+        jnp.asarray(y.size),
         sr=audio.sample_rate,
         frame_length=frame_length,
         hop_length=hop_length,

@@ -177,14 +177,10 @@ def _compute_chromas(y: np.ndarray, sr: int, hop_length: int = 512) -> Tuple[np.
     the padded tail reproduces the exact-shape result.
     """
 
-    from .substrate import bucket_length
+    from .substrate import pad_to_bucket
 
-    y = np.asarray(y, dtype=np.float32)
-    n = y.size
-    padded = np.zeros(bucket_length(n, hop=hop_length), dtype=np.float32)
-    padded[:n] = y
+    padded, f_valid = pad_to_bucket(y, hop=hop_length)
     cq, st = _chroma_graph(jnp.asarray(padded), sr=sr, hop_length=hop_length)
-    f_valid = 1 + n // hop_length
     return (
         np.asarray(cq, dtype=np.float64)[:, :f_valid],
         np.asarray(st, dtype=np.float64)[:, :f_valid],
@@ -487,15 +483,13 @@ def _generate_midi(
 
 
 def _spectral_balance(audio: AudioInput) -> SpectralBalance:
-    from .substrate import bucket_length
+    from .substrate import pad_to_bucket
 
     # Bucket-pad like every other per-module graph: zero frames add zero
     # magnitude to the band sums (exact), and repeated calls over a
     # mixed-length library share one executable per bucket instead of
     # retracing per track length (an axon compile costs minutes).
-    y = np.asarray(audio.samples, dtype=np.float32)
-    padded = np.zeros(bucket_length(y.size), dtype=np.float32)
-    padded[: y.size] = y
+    padded, _ = pad_to_bucket(audio.samples)
     total, low, mid, high = _balance_graph(
         jnp.asarray(padded),
         sr=audio.sample_rate,
@@ -543,12 +537,11 @@ def _stereo_image(audio: AudioInput) -> StereoImage:
     samples = np.asarray(samples, dtype=np.float32)
     if samples.ndim != 2 or samples.shape[0] < 2 or samples.shape[-1] == 0:
         return StereoImage(correlation=1.0, balance=0.0)
-    from .substrate import bucket_length
+    from .substrate import pad_to_bucket
 
     lr = np.asarray(samples[:2], dtype=np.float32)
     n = lr.shape[-1]
-    padded = np.zeros((2, bucket_length(n)), dtype=np.float32)
-    padded[:, :n] = lr
+    padded, _ = pad_to_bucket(lr)
     corr, balance = _stereo_image_graph(jnp.asarray(padded), jnp.asarray(n))
     return StereoImage(correlation=float(corr), balance=float(balance))
 

@@ -234,7 +234,7 @@ def run_from_checkpoint(
     input's channel layout ((n,) or (C, n) per stem)."""
 
     del sample_rate, seed  # model is sample-rate agnostic at 44.1k training
-    from ..substrate import bucket_length
+    from ..substrate import pad_to_bucket
 
     params = load_checkpoint(path)
     arr = np.asarray(samples, dtype=np.float32)
@@ -242,11 +242,10 @@ def run_from_checkpoint(
     # Bucket-pad so mixed-length serving shares one compiled executable
     # per bucket (an axon compile costs minutes per distinct shape);
     # f_valid masking makes the first n output samples exact.
-    nb = bucket_length(n, hop=HOP)
-    padded = np.zeros(arr.shape[:-1] + (nb,), dtype=np.float32)
-    padded[..., :n] = arr
+    padded, fv = pad_to_bucket(arr, hop=HOP)
+    nb = padded.shape[-1]
     y = jnp.asarray(padded)
-    f_valid = jnp.asarray(np.int32(1 + n // HOP))
+    f_valid = jnp.asarray(np.int32(fv))
     if y.ndim == 2:
         out = np.asarray(
             separate_signal_multi(params, y, n_samples=nb, f_valid=f_valid)

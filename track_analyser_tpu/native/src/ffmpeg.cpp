@@ -102,8 +102,25 @@ int ta_ffmpeg_decode(const char* path, float** out, int64_t* out_frames,
   // every later beat/boundary time while still reporting success. A tiny
   // tolerance absorbs the odd mangled packet real-world streams carry;
   // past it the decode fails so the ladder raises its RuntimeError.
+  // Both SEND-side rejections and RECEIVE-side decode errors count —
+  // many codecs accept the packet and only report corruption when the
+  // frame is retrieved.
   int64_t audio_packets = 0;
   int64_t bad_packets = 0;
+
+  // Drain available frames; returns false on the append-failure hard
+  // error, increments bad_packets on a receive-side decode error.
+  auto drain = [&]() -> bool {
+    for (;;) {
+      const int rret = avcodec_receive_frame(s.ctx, s.frame);
+      if (rret == 0) {
+        if (!append_frame(s, samples, channels)) return false;
+        continue;
+      }
+      if (rret != AVERROR(EAGAIN) && rret != AVERROR_EOF) ++bad_packets;
+      return true;
+    }
+  };
 
   while (av_read_frame(s.fmt, s.pkt) >= 0) {
     if (s.pkt->stream_index == sidx) {
@@ -111,23 +128,17 @@ int ta_ffmpeg_decode(const char* path, float** out, int64_t* out_frames,
       int sret = avcodec_send_packet(s.ctx, s.pkt);
       if (sret == AVERROR(EAGAIN)) {
         // Decoder wants draining first; drain, then retry the packet.
-        while (avcodec_receive_frame(s.ctx, s.frame) == 0) {
-          if (!append_frame(s, samples, channels)) {
-            av_packet_unref(s.pkt);
-            return 11;
-          }
+        if (!drain()) {
+          av_packet_unref(s.pkt);
+          return 11;
         }
         sret = avcodec_send_packet(s.ctx, s.pkt);
       }
       if (sret < 0) {
         ++bad_packets;
-      } else {
-        while (avcodec_receive_frame(s.ctx, s.frame) == 0) {
-          if (!append_frame(s, samples, channels)) {
-            av_packet_unref(s.pkt);
-            return 11;
-          }
-        }
+      } else if (!drain()) {
+        av_packet_unref(s.pkt);
+        return 11;
       }
     }
     av_packet_unref(s.pkt);
@@ -135,9 +146,7 @@ int ta_ffmpeg_decode(const char* path, float** out, int64_t* out_frames,
   if (bad_packets > 2 && bad_packets * 50 > audio_packets) return 14;
   // flush the decoder
   if (avcodec_send_packet(s.ctx, nullptr) == 0) {
-    while (avcodec_receive_frame(s.ctx, s.frame) == 0) {
-      if (!append_frame(s, samples, channels)) return 11;
-    }
+    if (!drain()) return 11;
   }
 
   const int64_t frames = static_cast<int64_t>(samples.size()) / channels;

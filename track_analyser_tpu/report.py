@@ -340,8 +340,18 @@ def _tempogram_graph(y, n_valid, *, sr, hop_length):
     env = onset_strength_from_mel(
         melspectrogram_from_power(power, fb), n_fft=2048, hop_length=hop_length
     )
-    fmask = jnp.arange(env.shape[-1]) < 1 + n_valid // hop_length
-    return tempogram_op(jnp.where(fmask, env, 0.0))
+    # The exact-shape tempogram pads the envelope with a linear ramp from
+    # its LAST VALID value (ops/onset.tempogram, mode="linear_ramp");
+    # hard zeros beyond f_valid instead would change the final ~pad
+    # columns (measured 0.92 max divergence on the inf-normalised
+    # columns for an envelope that is strong at the track end). Recreate
+    # the ramp at f_valid so the bucket-padded dispatch matches.
+    f_valid = 1 + n_valid // hop_length
+    fi = jnp.arange(env.shape[-1])
+    pad = 384 // 2  # tempogram win_length // 2
+    last = env[jnp.maximum(f_valid - 1, 0)]
+    ramp = last * jnp.clip(1.0 - (fi - (f_valid - 1)) / pad, 0.0, 1.0)
+    return tempogram_op(jnp.where(fi < f_valid, env, ramp))
 
 
 def _plot_tempogram(result: TrackAnalysisResult, output_dir: Path) -> Path:
@@ -355,11 +365,9 @@ def _plot_tempogram(result: TrackAnalysisResult, output_dir: Path) -> Path:
         # executable per bucket instead of one per distinct track length
         # (a tunnelled compile costs minutes); padded tempogram columns
         # beyond the valid frames are trimmed here.
-        from .substrate import bucket_length
+        from .substrate import pad_to_bucket
 
-        padded = np.zeros(bucket_length(y.size, hop=hop), dtype=np.float32)
-        padded[: y.size] = y
-        f_valid = 1 + y.size // hop
+        padded, f_valid = pad_to_bucket(y, hop=hop)
         tgram = np.asarray(
             _tempogram_graph(jnp.asarray(padded), jnp.asarray(y.size), sr=sr, hop_length=hop),
             dtype=float,

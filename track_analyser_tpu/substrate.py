@@ -57,6 +57,20 @@ def bucket_length(n: int, *, hop: int = 512, min_bucket: int = 1 << 15) -> int:
     return int(np.ceil(candidate / quantum)) * quantum
 
 
+def pad_to_bucket(y: np.ndarray, *, hop: int = 512) -> "tuple[np.ndarray, int]":
+    """Zero-pad the last axis to its bucket length (host helper).
+
+    Returns ``(padded, f_valid)`` with ``f_valid = 1 + n // hop`` — the
+    one place that formula lives, so per-module graphs, the report
+    tempogram and the separation serving path cannot drift apart."""
+
+    y = np.asarray(y, dtype=np.float32)
+    n = y.shape[-1]
+    padded = np.zeros(y.shape[:-1] + (bucket_length(n, hop=hop),), dtype=np.float32)
+    padded[..., :n] = y
+    return padded, 1 + n // hop
+
+
 def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=None) -> jnp.ndarray:
     num = jnp.sum(jnp.where(mask, x, 0.0), axis=axis)
     den = jnp.maximum(jnp.sum(mask, axis=axis), 1)
