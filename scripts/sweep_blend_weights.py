@@ -30,6 +30,7 @@ from train_separation_v2 import (  # noqa: E402
     si_sdr,
     synth_stems_ood,
     synth_stems_ood3,
+    synth_stems_ood4,
     synth_stems_v2,
 )
 
@@ -38,6 +39,7 @@ FAMILIES = (
     ("held-out", synth_stems_v2, 50_000),
     ("OOD", synth_stems_ood, 90_000),
     ("OOD3", synth_stems_ood3, 130_000),
+    ("OOD4", synth_stems_ood4, 170_000),
 )
 
 

@@ -384,6 +384,91 @@ def synth_stems_ood3(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarr
     return stems / peak * 0.9
 
 
+def synth_stems_ood4(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray:
+    """FOURTH unseen family (round-3 late): physical-modelling flavour —
+    Karplus-Strong plucked strings for 'other', clicky 808-style kicks +
+    snappy noise snares, FM slap bass, and VOICED formant vowels (pulse
+    excitation, unlike OOD3's whisper). The generators share no code
+    path with the oscillator/noise recipes above — the point is a
+    structurally different synthesis approach, not new parameters."""
+
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    bpm = rng.uniform(85, 140)
+    beat = 60.0 / bpm
+
+    # drums: 808-ish pitched kick (exp-sweep sine with click) on beats,
+    # noise snare with a fast bandpass-ish comb on the off-beats
+    drums = np.zeros(n)
+    for k, b in enumerate(np.arange(0.0, seconds, beat / 2)):
+        s = int(b * SR)
+        e = min(n, s + int(0.1 * SR))
+        seg = np.arange(e - s) / SR
+        if k % 2 == 0:
+            f0 = rng.uniform(45, 65)
+            sweep = f0 * (1 + 6 * np.exp(-seg * 70))
+            body = np.sin(2 * np.pi * np.cumsum(sweep) / SR) * np.exp(-seg * 18)
+            click = rng.normal(0, 1, e - s) * np.exp(-seg * 900)
+            drums[s:e] += 0.9 * body + 0.25 * click
+        else:
+            nz = rng.normal(0, 1, e - s)
+            comb = nz.copy()
+            d = max(1, int(SR / rng.uniform(900, 1600)))
+            comb[d:] += 0.7 * nz[:-d]
+            drums[s:e] += 0.5 * comb * np.exp(-seg * 55)
+
+    # bass: 2-operator FM slap bass, one note per beat
+    bass = np.zeros(n)
+    f_b = rng.uniform(50, 90)
+    for b in np.arange(0.0, seconds, beat):
+        s = int(b * SR)
+        e = min(n, s + int(beat * SR * 0.9))
+        seg = np.arange(e - s) / SR
+        idx_env = 3.0 * np.exp(-seg * 12)  # decaying FM index = slap
+        mod = np.sin(2 * np.pi * 2.0 * f_b * seg)
+        bass[s:e] += 0.45 * np.sin(2 * np.pi * f_b * seg + idx_env * mod) * np.exp(-seg * 3)
+
+    # other: Karplus-Strong plucked strings (feedback delay line with
+    # averaging damper), a new pluck every half bar
+    other = np.zeros(n)
+    for b in np.arange(0.0, seconds, 2 * beat):
+        f_p = rng.uniform(180, 440)
+        period = max(2, int(round(SR / f_p)))
+        length = min(n - int(b * SR), int(2 * beat * SR))
+        if length <= period:
+            continue
+        buf = rng.uniform(-1, 1, period)
+        out = np.empty(length)
+        for i in range(length):  # classic KS recursion (host-side synth)
+            v = buf[i % period]
+            nxt = 0.996 * 0.5 * (buf[i % period] + buf[(i + 1) % period])
+            buf[i % period] = nxt
+            out[i] = v
+        s = int(b * SR)
+        other[s : s + length] += 0.35 * out
+
+    # vocals: VOICED vowels — glottal pulse train through two gliding
+    # formant resonators, vibrato + syllable gating
+    f0v = rng.uniform(110, 240)
+    vib = 1.0 + 0.02 * np.sin(2 * np.pi * 5.5 * t)
+    phase = np.cumsum(f0v * vib) / SR
+    pulses = np.clip(np.sin(2 * np.pi * phase) - 0.7, 0, None) ** 2  # glottal-ish
+    vowels = ((730, 1090), (270, 2290), (440, 1020), (570, 840))  # a,i,o,open-o
+    v1, v2 = vowels[rng.integers(0, len(vowels))]
+    f1 = v1 * (1 + 0.05 * np.sin(2 * np.pi * 0.7 * t))
+    f2 = v2 * (1 + 0.04 * np.sin(2 * np.pi * 0.5 * t + 0.7))
+    vocals = pulses * (
+        0.7 * np.sin(2 * np.pi * np.cumsum(f1) / SR)
+        + 0.5 * np.sin(2 * np.pi * np.cumsum(f2) / SR)
+    )
+    syllables = np.clip(np.sin(2 * np.pi * t * rng.uniform(1.8, 3.2) + rng.uniform(0, 6)), 0, 1)
+    vocals = 0.6 * vocals * syllables
+
+    stems = np.stack([drums, bass, other, vocals]).astype(np.float32)
+    peak = np.abs(stems.sum(axis=0)).max() + 1e-6
+    return stems / peak * 0.9
+
+
 # ---------------------------------------------------------------------------
 # Loss: transient-weighted waveform L1 + two STFT resolutions
 # ---------------------------------------------------------------------------
@@ -559,6 +644,7 @@ def main() -> None:
         evaluate(params_h, synth_stems_v2, args.eval_examples, seed=50_000, label="held-out")
         evaluate(params_h, synth_stems_ood, args.eval_examples, seed=90_000, label="OOD")
         evaluate(params_h, synth_stems_ood3, args.eval_examples, seed=130_000, label="OOD3")
+        evaluate(params_h, synth_stems_ood4, args.eval_examples, seed=170_000, label="OOD4")
         return
 
     rng = np.random.default_rng(args.seed)
@@ -613,14 +699,15 @@ def main() -> None:
     ok_id = evaluate(params_h, synth_stems_v2, args.eval_examples, seed=50_000, label="held-out")
     ok_ood = evaluate(params_h, synth_stems_ood, args.eval_examples, seed=90_000, label="OOD")
     ok_ood3 = evaluate(params_h, synth_stems_ood3, args.eval_examples, seed=130_000, label="OOD3")
+    ok_ood4 = evaluate(params_h, synth_stems_ood4, args.eval_examples, seed=170_000, label="OOD4")
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    if (ok_id and ok_ood and ok_ood3) or args.force_save:
+    if (ok_id and ok_ood and ok_ood3 and ok_ood4) or args.force_save:
         net.save_checkpoint(params_h, out)
         print(
             f"[save] checkpoint -> {out} (blend-beats-mixture: held-out "
-            f"{ok_id}, OOD {ok_ood}, OOD3 {ok_ood3})"
+            f"{ok_id}, OOD {ok_ood}, OOD3 {ok_ood3}, OOD4 {ok_ood4})"
         )
     else:
         print(

