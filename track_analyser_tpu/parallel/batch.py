@@ -980,7 +980,7 @@ def analyse_library(
     seed: int = DEFAULT_SEED,
     mesh=None,
     target_sr: int = DEFAULT_CONFIG.target_sr,
-    decode_workers: int = 4,
+    decode_workers: Optional[int] = None,
     upload_streams: int = 2,
     prefetch_tracks: Optional[int] = None,
     output_dir: "Optional[str | Path]" = None,
@@ -1215,9 +1215,22 @@ def analyse_library(
     prefetch = prefetch_tracks or max(2 * n_lane, 4)
     stage_depth = max(upload_streams, 2)
 
+    if decode_workers is None:
+        # Concurrency past the core count only time-slices CPU-bound
+        # decode+quantise work, which DELAYS the first finished payload
+        # (and so the first upload byte) without adding throughput: on a
+        # 1-vCPU host, 4 round-robined workers held the link idle ~0.2 s
+        # at sweep start vs ~0.06 s with serial decode (stage trace in
+        # RUNBOOK). One core is reserved for the dispatch/upload threads.
+        decode_workers = max(1, min(4, (os.cpu_count() or 4) - 1))
     decode_pool = ThreadPoolExecutor(max_workers=decode_workers)
     upload_pool = ThreadPoolExecutor(max_workers=upload_streams)
-    finish_pool = ThreadPoolExecutor(max_workers=2)
+    # One worker per in-flight chunk (stage_depth) plus one: a finisher
+    # must be free the moment a dispatch is issued so its device_get is
+    # already pending server-side when the chunk's compute completes —
+    # with exactly stage_depth workers the LAST chunk's readback waited
+    # for an earlier chunk's host assembly to release a worker.
+    finish_pool = ThreadPoolExecutor(max_workers=stage_depth + 1)
     # Executable pre-warming: the relay compiles server-side (~tens of
     # seconds per bucket executable) and handles concurrent compile
     # requests in parallel (measured ~2x for 2). As soon as a bucket key

@@ -47,12 +47,21 @@ __all__ = ["full_track_graph", "jitted_full_track_graph", "bucket_length"]
 
 
 def bucket_length(n: int, *, hop: int = 512, min_bucket: int = 1 << 15) -> int:
-    """Pad target: geometric buckets (~19% max waste) rounded to hop*128
-    so frame counts stay MXU-tile friendly."""
+    """Pad target: geometric buckets rounded to hop*128 so frame counts
+    stay MXU-tile friendly.
+
+    8 steps per octave (~9% max waste, was 4 steps / ~19%): the padding
+    is shipped over the relay link as quantised zeros, so on an
+    upload-bound sweep bucket waste is wall-clock — the finer grid cut
+    the bench library's shipped bytes ~5%. Cost: a maximally
+    length-diverse library compiles up to 2x more bucket executables
+    (the bench's three durations map to three buckets either way);
+    sweeps pre-warm buckets concurrently, so warmup grows sub-linearly.
+    """
 
     n = max(n, min_bucket)
-    exp = int(np.ceil(4.0 * np.log2(n)))
-    candidate = int(np.ceil(2.0 ** (exp / 4.0)))
+    exp = int(np.ceil(8.0 * np.log2(n)))
+    candidate = int(np.ceil(2.0 ** (exp / 8.0)))
     quantum = hop * 128
     return int(np.ceil(candidate / quantum)) * quantum
 
@@ -354,8 +363,14 @@ def jitted_full_track_graph(stereo, n_valid, *, sr):
 # ---------------------------------------------------------------------------
 
 _CURVE_ROWS = (
+    # Framewise rows only. Two former rows were readback dead weight on
+    # a relay link (~7% of sweep readback each): "autocorr" (the host
+    # finisher recomputes the autocorrelation in f64 from onset_env for
+    # path-bit-identity — tempo.grid_and_bpm_from_env(ac=None) — so the
+    # device row was never read, and dropping it from the pack lets XLA
+    # DCE the in-graph autocorrelation FFT), and "ltas" (1 + n_fft/2
+    # valid bins padded to the full frame width; it ships in ``vec``).
     "onset_env",
-    "autocorr",
     "novelty",
     "energy_novelty",
     "perc_col",
@@ -364,7 +379,6 @@ _CURVE_ROWS = (
     "low_energy",
     "centroid",
     "rolloff",
-    "ltas",
     "short_term_db",
     "momentary_db",
 )
@@ -385,10 +399,12 @@ _SCALARS = (
 
 
 def pack_outputs(out: Dict[str, jnp.ndarray]) -> tuple:
-    """(curves (13, W), chroma_coarse (12, F/4), vec) — 3 buffers instead
+    """(curves (11, W), chroma_coarse (12, F/4), vec) — 3 buffers instead
     of ~20. The chroma ships on its native cq_hop grid (the device-side
     repeat to hop resolution is pure redundancy — 4x the bytes for zero
-    information); unpack_outputs repeats on host, bit-identically."""
+    information); unpack_outputs repeats on host, bit-identically. The
+    short LTAS vector (1 + n_fft/2 bins) rides in ``vec`` instead of a
+    frame-width row that would be ~94% padding."""
 
     width = max(int(out[name].shape[-1]) for name in _CURVE_ROWS)
     rows = [
@@ -401,6 +417,7 @@ def pack_outputs(out: Dict[str, jnp.ndarray]) -> tuple:
             jnp.stack([out[name].astype(jnp.float32) for name in _SCALARS]),
             out["stereo_widths"].astype(jnp.float32),
             out["key_scores"].astype(jnp.float32),
+            out["ltas"].astype(jnp.float32),
         ]
     )
     return curves, out["chroma_cq_coarse"], vec
@@ -418,5 +435,6 @@ def unpack_outputs(curves: np.ndarray, chroma_coarse: np.ndarray, vec: np.ndarra
     for i, name in enumerate(_SCALARS):
         out[name] = np.asarray(vec[i])
     out["stereo_widths"] = np.asarray(vec[len(_SCALARS) : len(_SCALARS) + 3])
-    out["key_scores"] = np.asarray(vec[len(_SCALARS) + 3 :])
+    out["key_scores"] = np.asarray(vec[len(_SCALARS) + 3 : len(_SCALARS) + 27])
+    out["ltas"] = np.asarray(vec[len(_SCALARS) + 27 :])
     return out
