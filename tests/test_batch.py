@@ -272,6 +272,127 @@ def test_ms_transport_holds_tempo_contract() -> None:
     assert float(np.max(np.abs(actual - expected[: actual.size]))) <= 0.005
 
 
+def test_ms6_pack_roundtrip_and_native_parity() -> None:
+    """The 6-bit transport's three layers must agree bitwise: the numpy
+    pack (_quantise_mid6_range), the native kernel (ta_quantise_mid6)
+    and the device unpack (_dequantise_mono_i6), whose output must be
+    EXACTLY codes * scale / 31 — packing adds zero extra error."""
+
+    import jax.numpy as jnp
+
+    from track_analyser_tpu.parallel.batch import (
+        _I8_BLOCK,
+        _dequantise_mono_i6,
+        _quantise_mid6_range,
+    )
+
+    rng = np.random.default_rng(7)
+    n_in = 150_000  # not a block multiple: exercises the padded tail
+    n_bucket = 3 * _I8_BLOCK
+    channels = rng.normal(0, 0.3, (2, n_in)).astype(np.float32)
+
+    packed, scales, stats = _quantise_mid6_range(channels, n_in, 0, n_bucket)
+    assert packed.dtype == np.uint8 and packed.size == 3 * n_bucket // 4
+    assert float(stats[0]) == float(n_in)
+
+    try:
+        from track_analyser_tpu.native import binding
+
+        native = binding.quantise_mid6(channels, n_bucket, _I8_BLOCK)
+    except Exception:
+        native = None
+    if native is not None:
+        p_nat, s_nat, st_nat = native
+        np.testing.assert_array_equal(packed, p_nat)
+        np.testing.assert_array_equal(scales, s_nat)
+        np.testing.assert_allclose(stats, st_nat, rtol=1e-12)
+
+    got = np.asarray(_dequantise_mono_i6(jnp.asarray(packed), jnp.asarray(scales)))
+    mid = np.zeros(n_bucket, np.float32)
+    mid[:n_in] = 0.5 * (channels[0] + channels[1])
+    blocks = mid.reshape(-1, _I8_BLOCK)
+    want_scales = np.abs(blocks).max(axis=-1).astype(np.float32)
+    inv = np.float32(31.0) / np.where(want_scales > 0, want_scales, np.float32(1.0))
+    codes = np.rint(np.clip(blocks * inv[:, None], -31.0, 31.0))
+    want = (codes * (want_scales[:, None] / np.float32(31.0))).reshape(-1)
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+
+def test_ms6_transport_holds_tempo_contract() -> None:
+    """+-0.1 BPM / 5 ms gates on the 6-bit mid exactly as the device
+    reconstructs it — the sub-8-bit analogue of the ms contract test."""
+
+    import jax.numpy as jnp
+
+    from synth import click_grid
+    from track_analyser_tpu.parallel.batch import (
+        _I8_BLOCK,
+        _dequantise_mono_i6,
+        _quantise_mid6_range,
+    )
+    from track_analyser_tpu.tempo import beat_grid, estimate_bpm
+
+    sr = 48_000
+    y, expected = click_grid(120.0, 32 * 4, sr, noise_db=-34.0, seed=1234)
+    n_pad = -(-y.size // _I8_BLOCK) * _I8_BLOCK
+    channels = np.zeros((2, y.size), dtype=np.float32)
+    channels[0] = y * 1.3
+    channels[1] = y * 0.7
+    packed, scales, _stats = _quantise_mid6_range(channels, y.size, 0, n_pad)
+    yq = np.asarray(_dequantise_mono_i6(jnp.asarray(packed), jnp.asarray(scales)))[
+        : y.size
+    ]
+
+    assert abs(estimate_bpm(yq, sr) - 120.0) <= 0.1
+    grid = beat_grid(yq, sr)
+    actual = grid["time"].to_numpy()[: expected.size]
+    assert float(np.max(np.abs(actual - expected[: actual.size]))) <= 0.005
+
+
+def test_library_ms6_matches_ms_decisions() -> None:
+    """A small library under the packed 6-bit transport reaches the same
+    decisions as the int8 "ms" default, with host-exact stereo scalars
+    (both mid-only transports carry the identical f64 side stats)."""
+
+    from synth import click_grid, progression
+    from track_analyser_tpu.parallel.batch import analyse_library
+    from track_analyser_tpu.utils import AudioInput
+
+    sr = 44_100
+    tracks = []
+    # I-IV-V-I in C major / i-iv-v-i in A minor: a decisive key per
+    # track (a bare click grid has no harmonic content, so its "key"
+    # is noise-driven and legitimately flips under requantisation).
+    chords = {
+        1: [(60, "maj"), (65, "maj"), (67, "maj"), (60, "maj")],
+        2: [(57, "min"), (62, "min"), (64, "min"), (57, "min")],
+    }
+    for bpm, seed in ((118.0, 1), (126.0, 2)):
+        y, _ = click_grid(bpm, 48, sr, noise_db=-40.0, seed=seed)
+        h = np.tile(progression(chords[seed], 2.0, sr), 1 + y.size // (8 * sr))
+        y = (y + 0.4 * h[: y.size]).astype(np.float32)
+        tracks.append(
+            AudioInput(
+                samples=y, sample_rate=sr, stereo_samples=np.stack([y, 0.8 * y])
+            )
+        )
+
+    ms = analyse_library(tracks, transport="ms")
+    ms6 = analyse_library(tracks, transport="ms6")
+    for (a, b), true_bpm in zip(zip(ms, ms6), (118.0, 126.0)):
+        # each transport against its own documented BPM contract (the
+        # chords make this a dense mix, where ms6 holds +-0.25)
+        assert abs(a.beat.bpm - true_bpm) <= 0.1
+        assert abs(b.beat.bpm - true_bpm) <= 0.25
+        assert a.harmonic.primary_key.key == b.harmonic.primary_key.key
+        assert a.loudness.integrated_lufs == pytest.approx(
+            b.loudness.integrated_lufs, abs=0.15
+        )
+        # identical host-exact f64 stereo stats ride both payloads
+        assert a.stereo.correlation == pytest.approx(b.stereo.correlation, abs=1e-12)
+        assert a.stereo.mid_rms == pytest.approx(b.stereo.mid_rms, abs=1e-12)
+
+
 def test_host_stereo_widths_match_device_estimator() -> None:
     """The "ms" transport ships no side channel; the per-band widths are
     computed host-side in f64 over strided frames with the device graph's

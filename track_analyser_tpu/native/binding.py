@@ -107,6 +107,21 @@ def _load() -> "ctypes.CDLL | None":
                 lib.ta_has_mid = True
             except AttributeError:
                 lib.ta_has_mid = False
+            try:
+                lib.ta_quantise_mid6.restype = None
+                lib.ta_quantise_mid6.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_double),
+                ]
+                lib.ta_has_mid6 = True
+            except AttributeError:
+                lib.ta_has_mid6 = False
             _lib = lib
         except OSError:
             _lib = False
@@ -291,6 +306,38 @@ def quantise_mid(
         stats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return mid, mid_scales, stats
+
+
+def quantise_mid6(
+    channels: np.ndarray, n_bucket: int, block: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """int6 variant of :func:`quantise_mid`: mid codes in [-31, 31],
+    four samples packed into three bytes (0.75 B per stereo sample
+    pair). Returns (packed (3*n_bucket/4,) uint8, mid_scales
+    (n_bucket/block,) f32, stats (8,) f64) or None when unavailable.
+    """
+
+    lib = _load()
+    if lib is None or not getattr(lib, "ta_has_mid6", False):
+        return None
+    channels = np.ascontiguousarray(channels, dtype=np.float32)
+    if channels.ndim == 1:
+        channels = channels[None, :]
+    n_ch, n_in = channels.shape
+    packed = np.empty(3 * n_bucket // 4, dtype=np.uint8)
+    mid_scales = np.empty(n_bucket // block, dtype=np.float32)
+    stats = np.empty(8, dtype=np.float64)
+    lib.ta_quantise_mid6(
+        _as_c_float(channels),
+        ctypes.c_longlong(n_ch),
+        ctypes.c_longlong(n_in),
+        ctypes.c_longlong(n_bucket),
+        ctypes.c_longlong(block),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        mid_scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return packed, mid_scales, stats
 
 
 def decode_flac(path: str) -> Optional[Tuple[np.ndarray, int, Dict[str, object]]]:

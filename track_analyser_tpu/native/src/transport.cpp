@@ -253,4 +253,78 @@ void ta_quantise_mid(const float* in, int64_t n_ch_in, int64_t n_in,
   out_stats[7] = sar;
 }
 
+// int6 variant of ta_quantise_mid: codes in [-31, 31] biased to
+// [1, 63], FOUR samples packed big-endian-bitwise into THREE bytes —
+// 0.75 B per stereo sample pair on the wire. Blocks are multiples of 4
+// (block is 65536 in production), so pack groups never straddle a block
+// and the per-block scale applies to whole groups. The device unpack
+// (parallel/batch.py _dequantise_mono_i6) reverses the shifts exactly.
+void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
+                      int64_t n_bucket, int64_t block, uint8_t* out_packed,
+                      float* out_mid_scales, double* out_stats) {
+  const int64_t n_blocks = n_bucket / block;
+  const float* lsrc = in;
+  const float* rsrc = n_ch_in == 2 ? in + n_in : in;
+
+  double sl = 0.0, sr = 0.0, sll = 0.0, srr = 0.0, slr = 0.0, sal = 0.0,
+         sar = 0.0;
+
+  float* mid_buf = new float[block];
+  uint8_t* code_buf = new uint8_t[block];
+
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int64_t start = b * block;
+    const int64_t valid =
+        n_in > start ? (n_in - start < block ? n_in - start : block) : 0;
+
+    float mid_peak = 0.0f;
+    for (int64_t i = 0; i < valid; ++i) {
+      const float l = lsrc[start + i];
+      const float r = rsrc[start + i];
+      const float m = 0.5f * (l + r);
+      mid_buf[i] = m;
+      const float am = std::fabs(m);
+      if (am > mid_peak) mid_peak = am;
+      sl += l;
+      sr += r;
+      sll += static_cast<double>(l) * l;
+      srr += static_cast<double>(r) * r;
+      slr += static_cast<double>(l) * r;
+      sal += std::fabs(l);
+      sar += std::fabs(r);
+    }
+
+    out_mid_scales[b] = mid_peak;
+    const float inv = 31.0f / (mid_peak > 0.0f ? mid_peak : 1.0f);
+    for (int64_t i = 0; i < valid; ++i) {
+      float v = mid_buf[i] * inv;
+      if (v > 31.0f) v = 31.0f;
+      if (v < -31.0f) v = -31.0f;
+      code_buf[i] = static_cast<uint8_t>(nearbyintf(v) + 32.0f);
+    }
+    for (int64_t i = valid; i < block; ++i) code_buf[i] = 32;  // zero code
+
+    uint8_t* dst = out_packed + (start / 4) * 3;
+    for (int64_t g = 0; g < block; g += 4) {
+      const uint8_t c0 = code_buf[g], c1 = code_buf[g + 1];
+      const uint8_t c2 = code_buf[g + 2], c3 = code_buf[g + 3];
+      dst[0] = static_cast<uint8_t>((c0 << 2) | (c1 >> 4));
+      dst[1] = static_cast<uint8_t>(((c1 & 15u) << 4) | (c2 >> 2));
+      dst[2] = static_cast<uint8_t>(((c2 & 3u) << 6) | c3);
+      dst += 3;
+    }
+  }
+  delete[] mid_buf;
+  delete[] code_buf;
+
+  out_stats[0] = static_cast<double>(n_in);
+  out_stats[1] = sl;
+  out_stats[2] = sr;
+  out_stats[3] = sll;
+  out_stats[4] = srr;
+  out_stats[5] = slr;
+  out_stats[6] = sal;
+  out_stats[7] = sar;
+}
+
 }  // extern "C"

@@ -666,19 +666,71 @@ def _quantise_mid_range(
     return mid_i8[0], mid_scales[0], stats
 
 
-def _chunk_ms_payload(mid_i8: np.ndarray, mid_scales: np.ndarray, n_bucket: int) -> tuple:
+def _pack_i6(codes: np.ndarray) -> np.ndarray:
+    """Pack biased 6-bit codes (uint8 in [1, 63]) four-into-three bytes.
+    Exact mirror of the native ta_quantise_mid6 packing and the device
+    unpack in :func:`_dequantise_mono_i6`."""
+
+    g = codes.reshape(-1, 4)
+    out = np.empty((g.shape[0], 3), dtype=np.uint8)
+    out[:, 0] = (g[:, 0] << 2) | (g[:, 1] >> 4)
+    out[:, 1] = ((g[:, 1] & 15) << 4) | (g[:, 2] >> 2)
+    out[:, 2] = ((g[:, 2] & 3) << 6) | g[:, 3]
+    return out.reshape(-1)
+
+
+def _quantise_mid6_range(
+    channels: np.ndarray, n_in: int, start: int, end: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """int6 analogue of :func:`_quantise_mid_range`: blockwise [-31, 31]
+    mid codes packed 4->3 bytes (0.75 B per stereo sample pair).
+    Returns (packed (3L/4,) uint8, mid_scales (L/B,), stats (8,))."""
+
+    blocklen = end - start
+    valid = int(max(0, min(n_in - start, blocklen)))
+    l = channels[0, start : start + valid]
+    r = channels[-1, start : start + valid]
+    stats = _stereo_stats(l, r, valid)
+
+    mid = np.zeros(blocklen, dtype=np.float32)
+    np.multiply(np.add(l, r, dtype=np.float32), np.float32(0.5), out=mid[:valid])
+    blocks = mid.reshape(-1, _I8_BLOCK)
+    scales = np.abs(blocks).max(axis=-1).astype(np.float32)
+    inv = np.float32(31.0) / np.where(scales > 0, scales, np.float32(1.0))
+    buf = blocks * inv[:, None]
+    np.clip(buf, np.float32(-31.0), np.float32(31.0), out=buf)
+    np.rint(buf, out=buf)
+    codes = (buf + np.float32(32.0)).astype(np.uint8).reshape(-1)
+    return _pack_i6(codes), scales, stats
+
+
+def _ms_payload_bytes(s: int, e: int, bits: int) -> "tuple[int, int]":
+    """Byte range of the packed payload covering sample range [s, e)."""
+
+    if bits == 6:
+        return 3 * s // 4, 3 * e // 4
+    return s, e
+
+
+def _chunk_ms_payload(
+    mid_vals: np.ndarray, mid_scales: np.ndarray, n_bucket: int, bits: int = 8
+) -> tuple:
     """Assemble the chunked parts tuple the ms graph consumes:
-    (mid chunks..., mid_scales) — identical for mono and stereo."""
+    (mid chunks..., mid_scales) — identical for mono and stereo. For
+    ``bits=6`` the chunk slices are in packed-byte space (3/4 of the
+    sample range; block alignment guarantees divisibility)."""
 
     ranges = _ms_chunk_ranges(n_bucket)
-    return tuple(mid_i8[s:e] for s, e in ranges) + (mid_scales,)
+    return tuple(
+        mid_vals[slice(*_ms_payload_bytes(s, e, bits))] for s, e in ranges
+    ) + (mid_scales,)
 
 
 def _stage_payload_ms(
-    audio: AudioInput, n_bucket: int
+    audio: AudioInput, n_bucket: int, bits: int = 8
 ) -> tuple[tuple, tuple, int]:
-    """(device_parts, host_exact, n_valid) for the "ms" transport. Uses
-    the fused native kernel (one pass, GIL released) when built.
+    """(device_parts, host_exact, n_valid) for the "ms"/"ms6" transports.
+    Uses the fused native kernel (one pass, GIL released) when built.
 
     ``host_exact`` is (stats (8,), widths (3,) | None): the f64 stereo
     sums plus, for stereo sources, the host-computed per-band widths —
@@ -691,19 +743,23 @@ def _stage_payload_ms(
     try:
         from ..native import binding as native_binding
 
-        native = native_binding.quantise_mid(channels, n_bucket, _I8_BLOCK)
+        kernel = (
+            native_binding.quantise_mid6 if bits == 6 else native_binding.quantise_mid
+        )
+        native = kernel(channels, n_bucket, _I8_BLOCK)
     except Exception:
         native = None
     if native is not None:
-        mid_i8, mid_scales, stats = native
+        mid_vals, mid_scales, stats = native
     else:
-        # Mid-only numpy fallback: exactly the shipped payload (mid int8
+        # Mid-only numpy fallback: exactly the shipped payload (mid codes
         # + f64 stereo sums), just not fused into one pass.
-        mid_i8, mid_scales, stats = _quantise_mid_range(channels, n, 0, n_bucket)
+        quantise = _quantise_mid6_range if bits == 6 else _quantise_mid_range
+        mid_vals, mid_scales, stats = quantise(channels, n, 0, n_bucket)
     widths = None
     if audio.stereo_samples is not None:
         widths = _host_stereo_widths(channels, audio.sample_rate)
-    payload = _chunk_ms_payload(mid_i8, mid_scales, n_bucket)
+    payload = _chunk_ms_payload(mid_vals, mid_scales, n_bucket, bits)
     return payload, (stats, widths), n
 
 
@@ -712,6 +768,26 @@ def _dequantise_mono_i8(vals, scales):
     return (
         vals.astype(jnp.float32).reshape(n // _I8_BLOCK, _I8_BLOCK)
         * (scales[:, None] / 127.0)
+    ).reshape(n)
+
+
+def _dequantise_mono_i6(packed, scales):
+    """Unpack 4-in-3-byte biased 6-bit codes and dequantise — the exact
+    inverse of _pack_i6 / ta_quantise_mid6. Pure elementwise integer ops
+    (shifts, masks): a handful of VPU passes over the payload, fused by
+    XLA into the subsequent scale multiply."""
+
+    m = packed.shape[-1] // 3
+    b = packed.reshape(m, 3).astype(jnp.int32)
+    c0 = b[:, 0] >> 2
+    c1 = ((b[:, 0] & 3) << 4) | (b[:, 1] >> 4)
+    c2 = ((b[:, 1] & 15) << 2) | (b[:, 2] >> 6)
+    c3 = b[:, 2] & 63
+    codes = jnp.stack([c0, c1, c2, c3], axis=-1).reshape(4 * m) - 32
+    n = 4 * m
+    return (
+        codes.astype(jnp.float32).reshape(n // _I8_BLOCK, _I8_BLOCK)
+        * (scales[:, None] / 31.0)
     ).reshape(n)
 
 
@@ -740,6 +816,25 @@ def _batched_graph_ms(parts, n_valid, *, sr):
     def one(p, nv):
         c = len(p) - 1
         y = _dequantise_mono_i8(jnp.concatenate(p[:c], axis=-1), p[c])
+        return _core_graph(jnp.stack([y, y]), nv, sr=sr)
+
+    return jax.vmap(one)(parts, n_valid)
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def _batched_graph_ms6(parts, n_valid, *, sr):
+    """int6 variant of _batched_graph_ms: packed 6-bit mid chunks,
+    0.75 B per stereo sample pair on the upload-bound relay link. Gate
+    margins measured by scripts/sweep_transport_bits.py --robust:
+    quantisation ADDS <=3.5 ms worst-case beat-grid error over the float
+    analysis (vs int8's own 1.2-2.8 ms on the same adversarial
+    fixtures), LUFS +-0.072, true peak +-0.018 dB, key exact; BPM holds
+    +-0.25 (not the full +-0.1) on dense mixes, where the 6-bit noise
+    floor wobbles the autocorrelation peak refinement."""
+
+    def one(p, nv):
+        c = len(p) - 1
+        y = _dequantise_mono_i6(jnp.concatenate(p[:c], axis=-1), p[c])
         return _core_graph(jnp.stack([y, y]), nv, sr=sr)
 
     return jax.vmap(one)(parts, n_valid)
@@ -811,9 +906,9 @@ def _put_batched(arr: np.ndarray):
     return jax.device_put(batched, data_sharding(_single_mesh(), rank=batched.ndim))
 
 
-def _dispatch_single_ms(audio: AudioInput, n_bucket: int):
-    """Single-track "ms" dispatch through the BATCHED executable (batch
-    of 1 on a one-device mesh).
+def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8):
+    """Single-track "ms"/"ms6" dispatch through the BATCHED executable
+    (batch of 1 on a one-device mesh).
 
     The mid payload uploads as block-aligned chunks on the 2-stream
     pool; without the native kernel, chunk k+1 is quantised while chunk
@@ -837,15 +932,21 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int):
         sums. Returns None when the kernel is unavailable."""
 
         if s >= n:  # fully past the valid samples: all-zero padding
+            pb, pe = _ms_payload_bytes(s, e, bits)
             return (
-                np.zeros(e - s, np.int8),
+                np.zeros(pe - pb, np.uint8 if bits == 6 else np.int8),
                 np.zeros((e - s) // _I8_BLOCK, np.float32),
                 np.zeros(8),
             )
         try:
             from ..native import binding as native_binding
 
-            res = native_binding.quantise_mid(
+            kernel = (
+                native_binding.quantise_mid6
+                if bits == 6
+                else native_binding.quantise_mid
+            )
+            res = kernel(
                 np.ascontiguousarray(channels[:, s : min(e, n)]), e - s, _I8_BLOCK
             )
         except Exception:
@@ -855,13 +956,14 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int):
     # Chunked quantise (native per chunk, numpy fallback): chunk k's
     # upload is in flight while chunk k+1 quantises, so the first
     # device_put issues ~4x sooner than after a full-bucket pass.
+    quantise_range = _quantise_mid6_range if bits == 6 else _quantise_mid_range
     mid_futs = []
     msc = []
     stats = np.zeros(8)
     for s, e in ranges:
         out3 = _native_chunk(s, e)
         if out3 is None:
-            out3 = _quantise_mid_range(channels, n, s, e)
+            out3 = quantise_range(channels, n, s, e)
         mc, m_sc, st = out3
         mid_futs.append(pool.submit(_put_batched, mc))
         msc.append(m_sc)
@@ -874,8 +976,9 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int):
     parts = tuple(f.result() for f in mid_futs) + (_put_batched(np.asarray(mscales)),)
     vb = jax.device_put(np.asarray([n]), data_sharding(_single_mesh()))
 
-    out = _batched_graph_ms(parts, vb, sr=sr)
-    _record_single_warm("ms", sr, n_bucket, len(parts))
+    graph = _batched_graph_ms6 if bits == 6 else _batched_graph_ms
+    out = graph(parts, vb, sr=sr)
+    _record_single_warm("ms6" if bits == 6 else "ms", sr, n_bucket, len(parts))
     return out, (stats, widths)
 
 
@@ -917,10 +1020,19 @@ def analyse_track_fused(
     ``transport`` picks the host->device representation:
       - "auto" (default): alias for "ms".
       - "ms": ONLY the mid channel ships, as blockwise int8 chunks —
-        1 B per stereo sample pair (or per mono sample), the least
-        bytes. Every side-derived output is host-exact: the time-domain
-        stereo scalars from f64 sums, the per-band widths from an f64
+        1 B per stereo sample pair (or per mono sample). Every
+        side-derived output is host-exact: the time-domain stereo
+        scalars from f64 sums, the per-band widths from an f64
         strided-frame STFT with the device's own band formula.
+      - "ms6": as "ms" but 6-bit mid codes packed 4-into-3 bytes —
+        0.75 B per stereo sample pair, the least bytes. Measured
+        contract (scripts/sweep_transport_bits.py --robust + the
+        decision-margin tests): the BPM gate widens to +-0.25 on dense
+        mixes (the 6-bit noise floor perturbs the autocorrelation peak
+        refinement); beat-grid quantisation adds <=3.5 ms worst-case
+        over the float analysis (int8 itself adds 1.2-2.8 ms on the
+        same adversarial fixtures); LUFS/true-peak/key/downbeat/
+        segment gates hold at full strength.
       - "int16": -96 dBFS quantisation, lossless for PCM16 sources.
       - "int8": blockwise-scaled per-channel int8.
       - "float32": the exact samples.
@@ -935,14 +1047,16 @@ def analyse_track_fused(
     n_bucket = bucket_length(n) if bucket else n
     if transport == "auto":
         transport = "ms"
-    if transport in ("ms", "int8") and n_bucket % _I8_BLOCK:
+    if transport in ("ms", "ms6", "int8") and n_bucket % _I8_BLOCK:
         # Blockwise transports reshape the payload into _I8_BLOCK blocks;
         # bucket lengths always divide (hop*128 == _I8_BLOCK) but
         # bucket=False lengths need rounding up (padding is masked out).
         n_bucket = -(-n_bucket // _I8_BLOCK) * _I8_BLOCK
     host_exact = None
-    if transport == "ms":
-        out, host_exact = _dispatch_single_ms(audio, n_bucket)
+    if transport in ("ms", "ms6"):
+        out, host_exact = _dispatch_single_ms(
+            audio, n_bucket, bits=6 if transport == "ms6" else 8
+        )
     elif transport == "int8":
         (vals, scales), n_valid = _stage_payload_i8(audio, n_bucket)
         out = _dispatch_single_batched(
@@ -1018,10 +1132,13 @@ def analyse_library(
     already-listed sources are skipped.
 
     ``transport``: "ms" (default — mid-only blockwise int8, 1 B per
-    stereo sample pair, the least host->device bandwidth; stereo scalars
-    and per-band widths are host-exact, and mono/stereo tracks share
-    chunks and executables), "int8" (per-channel blockwise int8, ~45 dB
-    SNR) or "int16" (~96 dB SNR).
+    stereo sample pair; stereo scalars and per-band widths are
+    host-exact, and mono/stereo tracks share chunks and executables),
+    "ms6" (6-bit mid codes packed 4-into-3 bytes, 0.75 B per stereo
+    sample pair — the least host->device bandwidth; BPM gate widens to
+    +-0.25 on dense mixes, all other gates hold, see RUNBOOK), "int8"
+    (per-channel
+    blockwise int8, ~45 dB SNR) or "int16" (~96 dB SNR).
 
     ``on_error``: "skip" (default) isolates per-track decode/coerce
     failures — the sweep continues, the failure is recorded in the
@@ -1116,8 +1233,10 @@ def analyse_library(
             audio = coerce_audio(src, target_sr=target_sr)
             n_bucket = bucket_length(len(audio.samples))
             stats = None  # ms: (stereo sums, widths | None) host-exact pair
-            if transport == "ms":
-                payload, stats, nv = _stage_payload_ms(audio, n_bucket)
+            if transport in ("ms", "ms6"):
+                payload, stats, nv = _stage_payload_ms(
+                    audio, n_bucket, bits=6 if transport == "ms6" else 8
+                )
             elif transport == "int8":
                 payload, nv = _stage_payload_i8(audio, n_bucket)
             else:
@@ -1157,6 +1276,8 @@ def analyse_library(
 
         if transport == "ms":
             return partial(_batched_graph_ms, sr=target_sr)
+        if transport == "ms6":
+            return partial(_batched_graph_ms6, sr=target_sr)
         if transport == "int8":
             return partial(_batched_graph_i8, sr=target_sr)
         return partial(_batched_graph_i16, sr=target_sr)
