@@ -273,10 +273,13 @@ def test_ms_transport_holds_tempo_contract() -> None:
 
 
 def test_ms6_pack_roundtrip_and_native_parity() -> None:
-    """The 6-bit transport's three layers must agree bitwise: the numpy
-    pack (_quantise_mid6_range), the native kernel (ta_quantise_mid6)
-    and the device unpack (_dequantise_mono_i6), whose output must be
-    EXACTLY codes * scale / 31 — packing adds zero extra error."""
+    """The 6-bit transport's three layers must agree: the numpy encoder
+    (_quantise_mid6_range), the native kernel (ta_quantise_mid6 — must
+    match the numpy encoder BITWISE, including per-block raw/delta mode
+    choices and carry threading) and the device unpack
+    (_dequantise_mono_i6), whose output must reproduce the decode law
+    the encoders tracked (exact up to XLA's fma contraction on the
+    base + cumsum*step multiply-add)."""
 
     import jax.numpy as jnp
 
@@ -289,11 +292,22 @@ def test_ms6_pack_roundtrip_and_native_parity() -> None:
     rng = np.random.default_rng(7)
     n_in = 150_000  # not a block multiple: exercises the padded tail
     n_bucket = 3 * _I8_BLOCK
-    channels = rng.normal(0, 0.3, (2, n_in)).astype(np.float32)
+    # smooth band-limited content so at least one block picks DELTA,
+    # plus a click so at least one block picks RAW
+    t = np.arange(n_in) / 44_100.0
+    smooth = 0.4 * np.sin(2 * np.pi * 220.0 * t) + 0.2 * np.sin(2 * np.pi * 330.0 * t)
+    click = np.zeros(n_in, np.float32)
+    click[140_000:140_050] = rng.normal(0, 0.8, 50)
+    base_sig = (smooth + click).astype(np.float32)
+    channels = np.stack([base_sig * 1.2, base_sig * 0.8]).astype(np.float32)
 
-    packed, scales, stats = _quantise_mid6_range(channels, n_in, 0, n_bucket)
+    packed, scales, bases, stats, carry = _quantise_mid6_range(
+        channels, n_in, 0, n_bucket
+    )
     assert packed.dtype == np.uint8 and packed.size == 3 * n_bucket // 4
     assert float(stats[0]) == float(n_in)
+    assert (scales < 0).any(), "no block picked delta on smooth content"
+    assert (scales >= 0).any(), "no block picked raw"
 
     try:
         from track_analyser_tpu.native import binding
@@ -302,20 +316,39 @@ def test_ms6_pack_roundtrip_and_native_parity() -> None:
     except Exception:
         native = None
     if native is not None:
-        p_nat, s_nat, st_nat = native
-        np.testing.assert_array_equal(packed, p_nat)
+        p_nat, s_nat, b_nat, st_nat, c_nat = native
         np.testing.assert_array_equal(scales, s_nat)
+        np.testing.assert_array_equal(bases, b_nat)
+        np.testing.assert_array_equal(packed, p_nat)
         np.testing.assert_allclose(stats, st_nat, rtol=1e-12)
+        assert carry == c_nat
 
-    got = np.asarray(_dequantise_mono_i6(jnp.asarray(packed), jnp.asarray(scales)))
+    got = np.asarray(
+        _dequantise_mono_i6(jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(bases))
+    )
+    # reference decode law in numpy (int cumsum is exact; float ops f32)
+    m = packed.reshape(-1, 3).astype(np.int32)
+    c0 = m[:, 0] >> 2
+    c1 = ((m[:, 0] & 3) << 4) | (m[:, 1] >> 4)
+    c2 = ((m[:, 1] & 15) << 2) | (m[:, 2] >> 6)
+    c3 = m[:, 2] & 63
+    codes = np.stack([c0, c1, c2, c3], axis=-1).reshape(-1) - 32
+    cb = codes.reshape(-1, _I8_BLOCK)
+    step = (np.abs(scales) / np.float32(31.0)).astype(np.float32)
+    raw = cb.astype(np.float32) * step[:, None]
+    delta = bases[:, None] + np.cumsum(cb, axis=1).astype(np.float32) * step[:, None]
+    want = np.where((scales < 0)[:, None], delta, raw).reshape(-1)
+    np.testing.assert_allclose(got, want, atol=float(np.abs(scales).max()) * 1e-6)
+
+    # decode error bound: raw blocks sit within half a raw step
+    # (peak/62); delta blocks are only selected when strictly better
+    # than half that — so peak/31 bounds every block
     mid = np.zeros(n_bucket, np.float32)
     mid[:n_in] = 0.5 * (channels[0] + channels[1])
     blocks = mid.reshape(-1, _I8_BLOCK)
-    want_scales = np.abs(blocks).max(axis=-1).astype(np.float32)
-    inv = np.float32(31.0) / np.where(want_scales > 0, want_scales, np.float32(1.0))
-    codes = np.rint(np.clip(blocks * inv[:, None], -31.0, 31.0))
-    want = (codes * (want_scales[:, None] / np.float32(31.0))).reshape(-1)
-    np.testing.assert_array_equal(got, want.astype(np.float32))
+    per_block_err = np.abs(got - mid).reshape(-1, _I8_BLOCK).max(axis=-1)
+    bound = np.maximum(np.abs(blocks).max(axis=-1) / 31.0, 1e-6)
+    assert np.all(per_block_err <= bound)
 
 
 def test_ms6_transport_holds_tempo_contract() -> None:
@@ -338,10 +371,12 @@ def test_ms6_transport_holds_tempo_contract() -> None:
     channels = np.zeros((2, y.size), dtype=np.float32)
     channels[0] = y * 1.3
     channels[1] = y * 0.7
-    packed, scales, _stats = _quantise_mid6_range(channels, y.size, 0, n_pad)
-    yq = np.asarray(_dequantise_mono_i6(jnp.asarray(packed), jnp.asarray(scales)))[
-        : y.size
-    ]
+    packed, scales, bases, _stats, _carry = _quantise_mid6_range(
+        channels, y.size, 0, n_pad
+    )
+    yq = np.asarray(
+        _dequantise_mono_i6(jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(bases))
+    )[: y.size]
 
     assert abs(estimate_bpm(yq, sr) - 120.0) <= 0.1
     grid = beat_grid(yq, sr)
@@ -380,10 +415,10 @@ def test_library_ms6_matches_ms_decisions() -> None:
     ms = analyse_library(tracks, transport="ms")
     ms6 = analyse_library(tracks, transport="ms6")
     for (a, b), true_bpm in zip(zip(ms, ms6), (118.0, 126.0)):
-        # each transport against its own documented BPM contract (the
-        # chords make this a dense mix, where ms6 holds +-0.25)
+        # both transports hold the published +-0.1 BPM gate (ms6's
+        # per-block raw/delta coding covers dense mixes like this one)
         assert abs(a.beat.bpm - true_bpm) <= 0.1
-        assert abs(b.beat.bpm - true_bpm) <= 0.25
+        assert abs(b.beat.bpm - true_bpm) <= 0.1
         assert a.harmonic.primary_key.key == b.harmonic.primary_key.key
         assert a.loudness.integrated_lufs == pytest.approx(
             b.loudness.integrated_lufs, abs=0.15

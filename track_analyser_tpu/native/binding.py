@@ -115,9 +115,12 @@ def _load() -> "ctypes.CDLL | None":
                     ctypes.c_longlong,
                     ctypes.c_longlong,
                     ctypes.c_longlong,
+                    ctypes.c_float,
                     ctypes.POINTER(ctypes.c_uint8),
                     ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
                     ctypes.POINTER(ctypes.c_double),
+                    ctypes.POINTER(ctypes.c_float),
                 ]
                 lib.ta_has_mid6 = True
             except AttributeError:
@@ -309,13 +312,16 @@ def quantise_mid(
 
 
 def quantise_mid6(
-    channels: np.ndarray, n_bucket: int, block: int
-) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """int6 variant of :func:`quantise_mid`: mid codes in [-31, 31],
-    four samples packed into three bytes (0.75 B per stereo sample
-    pair). Returns (packed (3*n_bucket/4,) uint8, mid_scales
-    (n_bucket/block,) f32, stats (8,) f64) or None when unavailable.
-    """
+    channels: np.ndarray, n_bucket: int, block: int, carry: float = 0.0
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]]:
+    """int6 variant of :func:`quantise_mid`: per block, the better of
+    raw and delta-with-error-feedback 6-bit codes (mode in the scale's
+    sign; see transport.cpp), four samples packed into three bytes
+    (0.75 B per stereo sample pair). ``carry`` is the reconstruction
+    value entering the first block (threads across chunked calls).
+    Returns (packed (3*n_bucket/4,) uint8, mid_scales (n_bucket/block,)
+    f32, bases (n_bucket/block,) f32, stats (8,) f64, carry_out) or
+    None when unavailable."""
 
     lib = _load()
     if lib is None or not getattr(lib, "ta_has_mid6", False):
@@ -326,18 +332,23 @@ def quantise_mid6(
     n_ch, n_in = channels.shape
     packed = np.empty(3 * n_bucket // 4, dtype=np.uint8)
     mid_scales = np.empty(n_bucket // block, dtype=np.float32)
+    bases = np.empty(n_bucket // block, dtype=np.float32)
     stats = np.empty(8, dtype=np.float64)
+    carry_out = ctypes.c_float(0.0)
     lib.ta_quantise_mid6(
         _as_c_float(channels),
         ctypes.c_longlong(n_ch),
         ctypes.c_longlong(n_in),
         ctypes.c_longlong(n_bucket),
         ctypes.c_longlong(block),
+        ctypes.c_float(carry),
         packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         mid_scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bases.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         stats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.byref(carry_out),
     )
-    return packed, mid_scales, stats
+    return packed, mid_scales, bases, stats, float(carry_out.value)
 
 
 def decode_flac(path: str) -> Optional[Tuple[np.ndarray, int, Dict[str, object]]]:

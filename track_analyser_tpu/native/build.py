@@ -30,6 +30,11 @@ def _compile(cxx: str, srcs, out: Path, extra=(), verbose: bool = True) -> bool:
         cxx,
         "-O3",
         "-march=native",
+        # no FMA contraction: the ms6 transport's error-feedback encoder
+        # must track the decoder's float32 multiply-then-add law
+        # bit-for-bit against the numpy fallback (see transport.cpp
+        # ta_quantise_mid6); contracted a+b*c rounds differently
+        "-ffp-contract=off",
         "-shared",
         "-fPIC",
         "-std=c++17",

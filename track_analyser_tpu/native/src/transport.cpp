@@ -257,11 +257,25 @@ void ta_quantise_mid(const float* in, int64_t n_ch_in, int64_t n_in,
 // [1, 63], FOUR samples packed big-endian-bitwise into THREE bytes —
 // 0.75 B per stereo sample pair on the wire. Blocks are multiples of 4
 // (block is 65536 in production), so pack groups never straddle a block
-// and the per-block scale applies to whole groups. The device unpack
-// (parallel/batch.py _dequantise_mono_i6) reverses the shifts exactly.
+// and the per-block scale applies to whole groups.
+//
+// Each block ships in whichever of two codings reconstructs with the
+// smaller max error (the mode rides the SIGN of the per-block scale;
+// out_bases carries the reconstruction value entering the block so the
+// device decode stays block-parallel — no cross-block scan):
+//   scale >= 0 (raw):   y_i = code_i * (scale / 31)
+//   scale  < 0 (delta): y_i = base + cumsum(code)_i * (-scale / 31)
+// Delta (one-tap prediction with error feedback) wins on dense music,
+// where the residual peak is several times below the sample peak, and
+// restores the full +-0.1 BPM gate; raw wins on click-like transients,
+// where delta's high-pass-shaped error noise would smear onsets, so
+// delta is only taken when its max error is under HALF of raw's.
+// ``carry_in``/``out_carry`` thread the running reconstruction value
+// across independently-quantised chunks of one track.
 void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
-                      int64_t n_bucket, int64_t block, uint8_t* out_packed,
-                      float* out_mid_scales, double* out_stats) {
+                      int64_t n_bucket, int64_t block, float carry_in,
+                      uint8_t* out_packed, float* out_mid_scales,
+                      float* out_bases, double* out_stats, float* out_carry) {
   const int64_t n_blocks = n_bucket / block;
   const float* lsrc = in;
   const float* rsrc = n_ch_in == 2 ? in + n_in : in;
@@ -270,7 +284,9 @@ void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
          sar = 0.0;
 
   float* mid_buf = new float[block];
-  uint8_t* code_buf = new uint8_t[block];
+  uint8_t* raw_code = new uint8_t[block];
+  uint8_t* dlt_code = new uint8_t[block];
+  float carry = carry_in;
 
   for (int64_t b = 0; b < n_blocks; ++b) {
     const int64_t start = b * block;
@@ -278,6 +294,8 @@ void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
         n_in > start ? (n_in - start < block ? n_in - start : block) : 0;
 
     float mid_peak = 0.0f;
+    float diff_peak = 0.0f;
+    float prev_m = carry;
     for (int64_t i = 0; i < valid; ++i) {
       const float l = lsrc[start + i];
       const float r = rsrc[start + i];
@@ -285,6 +303,9 @@ void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
       mid_buf[i] = m;
       const float am = std::fabs(m);
       if (am > mid_peak) mid_peak = am;
+      const float ad = std::fabs(m - prev_m);
+      if (ad > diff_peak) diff_peak = ad;
+      prev_m = m;
       sl += l;
       sr += r;
       sll += static_cast<double>(l) * l;
@@ -293,21 +314,72 @@ void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
       sal += std::fabs(l);
       sar += std::fabs(r);
     }
+    for (int64_t i = valid; i < block; ++i) mid_buf[i] = 0.0f;
+    if (valid > 0 && valid < block) {
+      const float ad = std::fabs(mid_buf[valid - 1]);  // step down to pad
+      if (ad > diff_peak) diff_peak = ad;
+    } else if (valid == 0) {
+      const float ad = std::fabs(carry);
+      if (ad > diff_peak) diff_peak = ad;
+    }
 
-    out_mid_scales[b] = mid_peak;
-    const float inv = 31.0f / (mid_peak > 0.0f ? mid_peak : 1.0f);
-    for (int64_t i = 0; i < valid; ++i) {
-      float v = mid_buf[i] * inv;
+    // raw candidate: code = rint(clip(m * 31/peak)), y = code * step
+    const float rstep = (mid_peak > 0.0f ? mid_peak : 1.0f) / 31.0f;
+    const float rinv = 31.0f / (mid_peak > 0.0f ? mid_peak : 1.0f);
+    float rerr = 0.0f;
+    for (int64_t i = 0; i < block; ++i) {
+      float v = mid_buf[i] * rinv;
       if (v > 31.0f) v = 31.0f;
       if (v < -31.0f) v = -31.0f;
-      code_buf[i] = static_cast<uint8_t>(nearbyintf(v) + 32.0f);
+      const float c = nearbyintf(v);
+      raw_code[i] = static_cast<uint8_t>(c + 32.0f);
+      const float e = std::fabs(c * rstep - mid_buf[i]);
+      if (e > rerr) rerr = e;
     }
-    for (int64_t i = valid; i < block; ++i) code_buf[i] = 32;  // zero code
+
+    // delta candidate (error feedback, tracked with the DECODER's law:
+    // y = base + float(int_cumsum) * step — bit-identical either side)
+    float derr = 3.4e38f;
+    if (diff_peak > 0.0f) {
+      const float dstep = diff_peak / 31.0f;
+      const float dinv = 31.0f / diff_peak;
+      derr = 0.0f;
+      int32_t acc = 0;
+      float prev = carry;
+      for (int64_t i = 0; i < block; ++i) {
+        float v = (mid_buf[i] - prev) * dinv;
+        if (v > 31.0f) v = 31.0f;
+        if (v < -31.0f) v = -31.0f;
+        const float c = nearbyintf(v);
+        dlt_code[i] = static_cast<uint8_t>(c + 32.0f);
+        acc += static_cast<int32_t>(c);
+        prev = carry + static_cast<float>(acc) * dstep;
+        const float e = std::fabs(prev - mid_buf[i]);
+        if (e > derr) derr = e;
+      }
+    }
+
+    out_bases[b] = carry;
+    const uint8_t* codes;
+    if (diff_peak > 0.0f && derr < 0.5f * rerr) {
+      out_mid_scales[b] = -diff_peak;
+      codes = dlt_code;
+      // carry = decode law at the block's last sample
+      int32_t acc = 0;
+      for (int64_t i = 0; i < block; ++i)
+        acc += static_cast<int32_t>(dlt_code[i]) - 32;
+      carry = carry + static_cast<float>(acc) * (diff_peak / 31.0f);
+    } else {
+      out_mid_scales[b] = mid_peak;
+      codes = raw_code;
+      carry = (static_cast<int32_t>(raw_code[block - 1]) - 32) * rstep *
+              (mid_peak > 0.0f ? 1.0f : 0.0f);
+    }
 
     uint8_t* dst = out_packed + (start / 4) * 3;
     for (int64_t g = 0; g < block; g += 4) {
-      const uint8_t c0 = code_buf[g], c1 = code_buf[g + 1];
-      const uint8_t c2 = code_buf[g + 2], c3 = code_buf[g + 3];
+      const uint8_t c0 = codes[g], c1 = codes[g + 1];
+      const uint8_t c2 = codes[g + 2], c3 = codes[g + 3];
       dst[0] = static_cast<uint8_t>((c0 << 2) | (c1 >> 4));
       dst[1] = static_cast<uint8_t>(((c1 & 15u) << 4) | (c2 >> 2));
       dst[2] = static_cast<uint8_t>(((c2 & 3u) << 6) | c3);
@@ -315,8 +387,10 @@ void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
     }
   }
   delete[] mid_buf;
-  delete[] code_buf;
+  delete[] raw_code;
+  delete[] dlt_code;
 
+  *out_carry = carry;
   out_stats[0] = static_cast<double>(n_in);
   out_stats[1] = sl;
   out_stats[2] = sr;

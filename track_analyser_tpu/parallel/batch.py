@@ -680,11 +680,15 @@ def _pack_i6(codes: np.ndarray) -> np.ndarray:
 
 
 def _quantise_mid6_range(
-    channels: np.ndarray, n_in: int, start: int, end: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """int6 analogue of :func:`_quantise_mid_range`: blockwise [-31, 31]
-    mid codes packed 4->3 bytes (0.75 B per stereo sample pair).
-    Returns (packed (3L/4,) uint8, mid_scales (L/B,), stats (8,))."""
+    channels: np.ndarray, n_in: int, start: int, end: int, carry: float = 0.0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
+    """int6 analogue of :func:`_quantise_mid_range`: per block, the
+    better of raw and delta-with-error-feedback [-31, 31] codes (mode
+    rides the scale's SIGN; ``bases`` carries the reconstruction value
+    entering each block so the device decode is block-parallel), packed
+    4->3 bytes (0.75 B per stereo sample pair). Bit-identical to the
+    native ta_quantise_mid6 over the same range. Returns (packed (3L/4,)
+    uint8, mid_scales (L/B,), bases (L/B,), stats (8,), carry_out)."""
 
     blocklen = end - start
     valid = int(max(0, min(n_in - start, blocklen)))
@@ -695,13 +699,71 @@ def _quantise_mid6_range(
     mid = np.zeros(blocklen, dtype=np.float32)
     np.multiply(np.add(l, r, dtype=np.float32), np.float32(0.5), out=mid[:valid])
     blocks = mid.reshape(-1, _I8_BLOCK)
-    scales = np.abs(blocks).max(axis=-1).astype(np.float32)
-    inv = np.float32(31.0) / np.where(scales > 0, scales, np.float32(1.0))
-    buf = blocks * inv[:, None]
-    np.clip(buf, np.float32(-31.0), np.float32(31.0), out=buf)
-    np.rint(buf, out=buf)
-    codes = (buf + np.float32(32.0)).astype(np.uint8).reshape(-1)
-    return _pack_i6(codes), scales, stats
+    nb = blocks.shape[0]
+    scales = np.empty(nb, np.float32)
+    bases = np.empty(nb, np.float32)
+    codes_all = np.empty((nb, _I8_BLOCK), np.uint8)
+    carry = np.float32(carry)
+    f31 = np.float32(31.0)
+
+    for b in range(nb):
+        row = blocks[b]
+        v_here = max(0, min(valid - b * _I8_BLOCK, _I8_BLOCK))
+        peak = np.float32(np.abs(row).max()) if v_here else np.float32(0.0)
+        if v_here >= _I8_BLOCK:
+            dpk = np.float32(np.abs(np.diff(row, prepend=carry)).max())
+        elif v_here > 0:
+            dpk = np.float32(
+                max(
+                    np.abs(np.diff(row[:v_here], prepend=carry)).max(),
+                    np.abs(row[v_here - 1]),  # step down into the pad
+                )
+            )
+        else:
+            dpk = np.float32(np.abs(carry))
+
+        # raw candidate (vectorised; identical f32 ops to the kernel)
+        rstep = (peak if peak > 0 else np.float32(1.0)) / f31
+        rinv = f31 / (peak if peak > 0 else np.float32(1.0))
+        rcodes = np.rint(np.clip(row * rinv, -f31, f31)).astype(np.float32)
+        rerr = np.float32(np.abs(rcodes * rstep - row).max())
+
+        # delta candidate: error feedback tracked with the DECODER's law
+        # y = base + float(int_cumsum) * step (sequential — the native
+        # kernel is the production path; this mirrors it bit-for-bit)
+        take_delta = False
+        if dpk > 0:
+            dstep = dpk / f31
+            dinv = f31 / dpk
+            dcodes = np.empty(_I8_BLOCK, np.int32)
+            derr = np.float32(0.0)
+            acc = 0
+            prev = carry
+            for i in range(_I8_BLOCK):
+                v = np.float32((row[i] - prev) * dinv)
+                c = int(np.rint(min(max(v, -f31), f31)))
+                dcodes[i] = c
+                acc += c
+                prev = np.float32(carry + np.float32(acc) * dstep)
+                e = np.float32(abs(prev - row[i]))
+                if e > derr:
+                    derr = e
+            take_delta = bool(derr < np.float32(0.5) * rerr)
+
+        bases[b] = carry
+        if take_delta:
+            scales[b] = -dpk
+            codes_all[b] = (dcodes + 32).astype(np.uint8)
+            carry = np.float32(carry + np.float32(acc) * (dpk / f31))
+        else:
+            scales[b] = peak
+            codes_all[b] = (rcodes + np.float32(32.0)).astype(np.uint8)
+            carry = (
+                np.float32(np.float32(rcodes[-1]) * rstep)
+                if peak > 0
+                else np.float32(0.0)
+            )
+    return _pack_i6(codes_all.reshape(-1)), scales, bases, stats, float(carry)
 
 
 def _ms_payload_bytes(s: int, e: int, bits: int) -> "tuple[int, int]":
@@ -713,17 +775,25 @@ def _ms_payload_bytes(s: int, e: int, bits: int) -> "tuple[int, int]":
 
 
 def _chunk_ms_payload(
-    mid_vals: np.ndarray, mid_scales: np.ndarray, n_bucket: int, bits: int = 8
+    mid_vals: np.ndarray,
+    mid_scales: np.ndarray,
+    n_bucket: int,
+    bits: int = 8,
+    bases: "np.ndarray | None" = None,
 ) -> tuple:
     """Assemble the chunked parts tuple the ms graph consumes:
     (mid chunks..., mid_scales) — identical for mono and stereo. For
     ``bits=6`` the chunk slices are in packed-byte space (3/4 of the
-    sample range; block alignment guarantees divisibility)."""
+    sample range; block alignment guarantees divisibility) and the
+    per-block ``bases`` ride as one extra part."""
 
     ranges = _ms_chunk_ranges(n_bucket)
-    return tuple(
+    parts = tuple(
         mid_vals[slice(*_ms_payload_bytes(s, e, bits))] for s, e in ranges
     ) + (mid_scales,)
+    if bits == 6:
+        parts = parts + (bases,)
+    return parts
 
 
 def _stage_payload_ms(
@@ -749,17 +819,25 @@ def _stage_payload_ms(
         native = kernel(channels, n_bucket, _I8_BLOCK)
     except Exception:
         native = None
+    bases = None
     if native is not None:
-        mid_vals, mid_scales, stats = native
+        if bits == 6:
+            mid_vals, mid_scales, bases, stats, _carry = native
+        else:
+            mid_vals, mid_scales, stats = native
     else:
         # Mid-only numpy fallback: exactly the shipped payload (mid codes
         # + f64 stereo sums), just not fused into one pass.
-        quantise = _quantise_mid6_range if bits == 6 else _quantise_mid_range
-        mid_vals, mid_scales, stats = quantise(channels, n, 0, n_bucket)
+        if bits == 6:
+            mid_vals, mid_scales, bases, stats, _carry = _quantise_mid6_range(
+                channels, n, 0, n_bucket
+            )
+        else:
+            mid_vals, mid_scales, stats = _quantise_mid_range(channels, n, 0, n_bucket)
     widths = None
     if audio.stereo_samples is not None:
         widths = _host_stereo_widths(channels, audio.sample_rate)
-    payload = _chunk_ms_payload(mid_vals, mid_scales, n_bucket, bits)
+    payload = _chunk_ms_payload(mid_vals, mid_scales, n_bucket, bits, bases)
     return payload, (stats, widths), n
 
 
@@ -771,11 +849,15 @@ def _dequantise_mono_i8(vals, scales):
     ).reshape(n)
 
 
-def _dequantise_mono_i6(packed, scales):
+def _dequantise_mono_i6(packed, scales, bases):
     """Unpack 4-in-3-byte biased 6-bit codes and dequantise — the exact
-    inverse of _pack_i6 / ta_quantise_mid6. Pure elementwise integer ops
-    (shifts, masks): a handful of VPU passes over the payload, fused by
-    XLA into the subsequent scale multiply."""
+    inverse of _pack_i6 / ta_quantise_mid6. Per block, the scale's SIGN
+    selects the coding: scale >= 0 is raw (y = code * step), scale < 0
+    is delta with error feedback (y = base + int32-cumsum(code) * step,
+    step = |scale|/31). Shipping the per-block entry value ``bases``
+    keeps the decode block-parallel (reshape + one in-block cumsum) —
+    no cross-block scan; the unpack shifts/masks and the mode select
+    are cheap VPU passes XLA fuses."""
 
     m = packed.shape[-1] // 3
     b = packed.reshape(m, 3).astype(jnp.int32)
@@ -785,10 +867,11 @@ def _dequantise_mono_i6(packed, scales):
     c3 = b[:, 2] & 63
     codes = jnp.stack([c0, c1, c2, c3], axis=-1).reshape(4 * m) - 32
     n = 4 * m
-    return (
-        codes.astype(jnp.float32).reshape(n // _I8_BLOCK, _I8_BLOCK)
-        * (scales[:, None] / 31.0)
-    ).reshape(n)
+    cb = codes.reshape(n // _I8_BLOCK, _I8_BLOCK)
+    step = jnp.abs(scales) / 31.0
+    raw = cb.astype(jnp.float32) * step[:, None]
+    delta = bases[:, None] + jnp.cumsum(cb, axis=1).astype(jnp.float32) * step[:, None]
+    return jnp.where((scales < 0)[:, None], delta, raw).reshape(n)
 
 
 def _dequantise_ms(mid_i8, mid_scales, side_u4, side_scales):
@@ -828,13 +911,14 @@ def _batched_graph_ms6(parts, n_valid, *, sr):
     margins measured by scripts/sweep_transport_bits.py --robust:
     quantisation ADDS <=3.5 ms worst-case beat-grid error over the float
     analysis (vs int8's own 1.2-2.8 ms on the same adversarial
-    fixtures), LUFS +-0.072, true peak +-0.018 dB, key exact; BPM holds
-    +-0.25 (not the full +-0.1) on dense mixes, where the 6-bit noise
-    floor wobbles the autocorrelation peak refinement."""
+    fixtures), LUFS +-0.072, true peak +-0.018 dB, key exact; the
+    per-block best-of {raw, delta-with-error-feedback} coding (see
+    _dequantise_mono_i6) keeps dense-mix BPM at the float estimate, so
+    the full +-0.1 gate holds."""
 
     def one(p, nv):
-        c = len(p) - 1
-        y = _dequantise_mono_i6(jnp.concatenate(p[:c], axis=-1), p[c])
+        c = len(p) - 2
+        y = _dequantise_mono_i6(jnp.concatenate(p[:c], axis=-1), p[c], p[c + 1])
         return _core_graph(jnp.stack([y, y]), nv, sr=sr)
 
     return jax.vmap(one)(parts, n_valid)
@@ -925,30 +1009,38 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8):
         channels = channels[None, :]
     mono = audio.stereo_samples is None
 
-    def _native_chunk(s: int, e: int):
+    def _native_chunk(s: int, e: int, carry: float = 0.0):
         """Native quantise of block-aligned chunk [s, e) — bitwise the
-        same mid/scales as one full-bucket pass (scales are per-block and
-        chunk bounds are block-aligned); stats are per-chunk f64 partial
-        sums. Returns None when the kernel is unavailable."""
+        same mid/scales as one full-bucket pass (scales are per-block,
+        chunk bounds are block-aligned, and for ms6 the reconstruction
+        ``carry`` threads across chunk calls); stats are per-chunk f64
+        partial sums. Returns None when the kernel is unavailable."""
 
         if s >= n:  # fully past the valid samples: all-zero padding
             pb, pe = _ms_payload_bytes(s, e, bits)
+            nb = (e - s) // _I8_BLOCK
+            if bits == 6:
+                # raw mode, scale 0: decodes to zeros whatever the codes
+                return (
+                    np.zeros(pe - pb, np.uint8),
+                    np.zeros(nb, np.float32),
+                    np.zeros(nb, np.float32),
+                    np.zeros(8),
+                    0.0,
+                )
             return (
-                np.zeros(pe - pb, np.uint8 if bits == 6 else np.int8),
-                np.zeros((e - s) // _I8_BLOCK, np.float32),
+                np.zeros(pe - pb, np.int8),
+                np.zeros(nb, np.float32),
                 np.zeros(8),
             )
         try:
             from ..native import binding as native_binding
 
-            kernel = (
-                native_binding.quantise_mid6
-                if bits == 6
-                else native_binding.quantise_mid
-            )
-            res = kernel(
-                np.ascontiguousarray(channels[:, s : min(e, n)]), e - s, _I8_BLOCK
-            )
+            sl = np.ascontiguousarray(channels[:, s : min(e, n)])
+            if bits == 6:
+                res = native_binding.quantise_mid6(sl, e - s, _I8_BLOCK, carry)
+            else:
+                res = native_binding.quantise_mid(sl, e - s, _I8_BLOCK)
         except Exception:
             res = None
         return res
@@ -956,15 +1048,23 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8):
     # Chunked quantise (native per chunk, numpy fallback): chunk k's
     # upload is in flight while chunk k+1 quantises, so the first
     # device_put issues ~4x sooner than after a full-bucket pass.
-    quantise_range = _quantise_mid6_range if bits == 6 else _quantise_mid_range
     mid_futs = []
     msc = []
+    mbase = []
     stats = np.zeros(8)
+    carry = 0.0
     for s, e in ranges:
-        out3 = _native_chunk(s, e)
-        if out3 is None:
-            out3 = quantise_range(channels, n, s, e)
-        mc, m_sc, st = out3
+        out = _native_chunk(s, e, carry)
+        if out is None:
+            if bits == 6:
+                out = _quantise_mid6_range(channels, n, s, e, carry)
+            else:
+                out = _quantise_mid_range(channels, n, s, e)
+        if bits == 6:
+            mc, m_sc, m_b, st, carry = out
+            mbase.append(m_b)
+        else:
+            mc, m_sc, st = out
         mid_futs.append(pool.submit(_put_batched, mc))
         msc.append(m_sc)
         stats = stats + st
@@ -974,6 +1074,8 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8):
     widths = None if mono else _host_stereo_widths(channels, sr)
 
     parts = tuple(f.result() for f in mid_futs) + (_put_batched(np.asarray(mscales)),)
+    if bits == 6:
+        parts = parts + (_put_batched(np.concatenate(mbase)),)
     vb = jax.device_put(np.asarray([n]), data_sharding(_single_mesh()))
 
     graph = _batched_graph_ms6 if bits == 6 else _batched_graph_ms
@@ -1024,15 +1126,19 @@ def analyse_track_fused(
         side-derived output is host-exact: the time-domain stereo
         scalars from f64 sums, the per-band widths from an f64
         strided-frame STFT with the device's own band formula.
-      - "ms6": as "ms" but 6-bit mid codes packed 4-into-3 bytes —
-        0.75 B per stereo sample pair, the least bytes. Measured
-        contract (scripts/sweep_transport_bits.py --robust + the
-        decision-margin tests): the BPM gate widens to +-0.25 on dense
-        mixes (the 6-bit noise floor perturbs the autocorrelation peak
-        refinement); beat-grid quantisation adds <=3.5 ms worst-case
-        over the float analysis (int8 itself adds 1.2-2.8 ms on the
-        same adversarial fixtures); LUFS/true-peak/key/downbeat/
-        segment gates hold at full strength.
+      - "ms6": as "ms" but 6-bit mid codes packed 4-into-3 bytes, each
+        block raw- or delta-coded (best-of, with error feedback; see
+        _dequantise_mono_i6) — 0.75 B per stereo sample pair, the
+        least bytes. Measured contract (scripts/sweep_transport_bits.py
+        --robust + the decision-margin tests): every accuracy gate
+        holds — delta mode keeps dense-mix BPM at the float estimate
+        (~46 dB SNR), raw mode keeps beat-grid quantisation within
+        <=3.5 ms worst-case added error on adversarial clicks (int8
+        itself adds 1.2-2.8 ms there); LUFS/true-peak/key/downbeat
+        decisions unchanged, segment boundaries stable on decisive
+        material (near-threshold novelty picks on structureless loops
+        can shift — the float path itself flips there under -50 dB
+        added noise).
       - "int16": -96 dBFS quantisation, lossless for PCM16 sources.
       - "int8": blockwise-scaled per-channel int8.
       - "float32": the exact samples.
@@ -1134,9 +1240,9 @@ def analyse_library(
     ``transport``: "ms" (default — mid-only blockwise int8, 1 B per
     stereo sample pair; stereo scalars and per-band widths are
     host-exact, and mono/stereo tracks share chunks and executables),
-    "ms6" (6-bit mid codes packed 4-into-3 bytes, 0.75 B per stereo
-    sample pair — the least host->device bandwidth; BPM gate widens to
-    +-0.25 on dense mixes, all other gates hold, see RUNBOOK), "int8"
+    "ms6" (6-bit mid codes packed 4-into-3 bytes, per block raw- or
+    delta-coded, 0.75 B per stereo sample pair — the least host->device
+    bandwidth; every accuracy gate holds, see RUNBOOK), "int8"
     (per-channel
     blockwise int8, ~45 dB SNR) or "int16" (~96 dB SNR).
 
