@@ -161,13 +161,22 @@ def main() -> None:
     # The single-track "ms" path dispatches through the SAME batched
     # executables the sweep uses (batch of 1 on this one-chip host), so
     # the sweep's bucket warmup covers it — nothing else to compile.
+    # The bench runs the least-bytes gate-clean transport: "ms6" (6-bit
+    # mid codes, per block raw- or delta-coded, 0.75 B per stereo sample
+    # pair — every accuracy gate holds; RUNBOOK has the measurement
+    # ladder). The sweep is upload-bound on this relay, so bytes are the
+    # headline lever; "ms" (int8) numbers are on record in RUNBOOK.
+    bench_transport = "ms6"
+
     def _warmup():
         with ThreadPoolExecutor(max_workers=2) as warm_pool:
-            fused_fut = warm_pool.submit(analyse_track_fused, tracks[0])
+            fused_fut = warm_pool.submit(
+                analyse_track_fused, tracks[0], transport=bench_transport
+            )
             # warms every bucket's batched executable (device_batch=2: two
             # same-bucket tracks per dispatch — the production setting for
             # library sweeps; measured ~25% per-track over batch 1)
-            analyse_library(tracks, device_batch=2)
+            analyse_library(tracks, device_batch=2, transport=bench_transport)
             return fused_fut.result()
 
     t0 = time.perf_counter()
@@ -182,19 +191,20 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # Single-track latency (includes host quantise+upload); "ms" is the
-    # default transport. (The int8/int16 transports share the accuracy
-    # gates in tests but are not warmed here — fewer relay compiles.)
+    # Single-track latency (includes host quantise+upload). (The
+    # ms/int8/int16 transports share the accuracy gates in tests but are
+    # not warmed here — fewer relay compiles.)
     def _timed_single() -> float:
         t0 = time.perf_counter()
-        analyse_track_fused(tracks[0], transport="ms")
+        analyse_track_fused(tracks[0], transport=bench_transport)
         return time.perf_counter() - t0
 
     # Timing happens inside the retried callable so a transient fault's
     # failed attempt + backoff sleep never inflates the reported sample.
     lat = [_retry("single-track", _timed_single) for _ in range(4)]
     print(
-        f"[bench] single-track (ms) latency ms: {[round(x*1e3,1) for x in lat]}",
+        f"[bench] single-track ({bench_transport}) latency ms: "
+        f"{[round(x*1e3,1) for x in lat]}",
         file=sys.stderr,
     )
 
@@ -205,7 +215,7 @@ def main() -> None:
     for _ in range(5):
         t0 = time.perf_counter()
         try:
-            out = analyse_library(tracks, device_batch=2)
+            out = analyse_library(tracks, device_batch=2, transport=bench_transport)
         except Exception as exc:  # noqa: BLE001 — tolerate isolated relay faults
             failures += 1
             print(
