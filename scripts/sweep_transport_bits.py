@@ -46,6 +46,39 @@ def quantise_blockwise(x: np.ndarray, bits: int, block: int) -> np.ndarray:
     return out.reshape(-1)[:n].astype(np.float32)
 
 
+def roundtrip_ms6(x: np.ndarray) -> np.ndarray:
+    """Round-trip through the SHIPPED ms6 codec (per-block best-of
+    raw/delta-with-error-feedback 6-bit, parallel/batch.py) so the sweep
+    measures the production transport, not a simulation."""
+
+    import jax.numpy as jnp
+
+    from track_analyser_tpu.parallel.batch import (
+        _I8_BLOCK,
+        _dequantise_mono_i6,
+        _quantise_mid6_range,
+    )
+
+    x = np.asarray(x, dtype=np.float32)
+    n_pad = -(-x.size // _I8_BLOCK) * _I8_BLOCK
+    channels = np.stack([x, x])
+    native = None
+    try:
+        from track_analyser_tpu.native import binding
+
+        native = binding.quantise_mid6(channels, n_pad, _I8_BLOCK)
+    except Exception:
+        native = None
+    if native is not None:
+        packed, scales, bases, _stats, _carry = native
+    else:  # numpy fallback is bit-identical, just slower (sequential EF)
+        packed, scales, bases, _stats, _carry = _quantise_mid6_range(
+            channels, x.size, 0, n_pad
+        )
+    y = _dequantise_mono_i6(jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(bases))
+    return np.asarray(y)[: x.size]
+
+
 def robust(block_lengths: "tuple[int, ...]", bits_list: "tuple[int, ...]") -> None:
     """Robustness mode: worst-case gate deltas per (bits, block) over
     4 BPMs x 4 noise seeds of the noisy-click fixture (the configuration
@@ -130,6 +163,31 @@ def robust(block_lengths: "tuple[int, ...]", bits_list: "tuple[int, ...]") -> No
                 f"{'PASS' if ok else 'FAIL'}",
                 flush=True,
             )
+
+    # The SHIPPED ms6 codec (best-of raw/delta per block) over the same
+    # fixtures — this is the row the RUNBOOK's ms6 claims cite.
+    worst_bpm = worst_grid = worst_dgrid = 0.0
+    for key_f, (click, truth) in fixtures.items():
+        bpm_err, grid_err = gate_errors(roundtrip_ms6(click), key_f[0], truth)
+        worst_bpm = max(worst_bpm, bpm_err)
+        worst_grid = max(worst_grid, grid_err)
+        worst_dgrid = max(worst_dgrid, grid_err - base_err[key_f][1])
+    lufs_err = abs(measure_loudness(roundtrip_ms6(tone), SR_T)[0] - base_lufs)
+    tp_err = abs(true_peak_dbtp(roundtrip_ms6(tone), SR_T, oversample=8) - base_tp)
+    key = key_estimate(roundtrip_ms6(prog), 22_050).best.key
+    ok = (
+        worst_bpm <= 0.1
+        and (worst_grid <= 5.0 or worst_dgrid <= 0.5)
+        and lufs_err <= 0.3
+        and tp_err <= 0.2
+        and key == "C major"
+    )
+    print(
+        f" ms6  (shipped) | {worst_bpm:9.3f} {worst_grid:13.1f} "
+        f"{worst_dgrid:11.1f} {lufs_err:8.3f} {tp_err:7.3f} {key:>8} | "
+        f"{'PASS' if ok else 'FAIL'}",
+        flush=True,
+    )
 
 
 def main() -> None:
