@@ -552,10 +552,10 @@ def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
     return float(10.0 * np.log10((np.dot(proj, proj) + 1e-12) / (np.dot(noise, noise) + 1e-12)))
 
 
-def evaluate(params, synth, n_examples: int, seed: int, label: str, blend: bool = False):
+def evaluate(params, synth, n_examples: int, seed: int, label: str):
     """Per-stem SI-SDR sweep. Reports, per stem:
 
-    - neural / dsp / (optionally the per-stem serving blend) SI-SDR;
+    - neural / dsp / the per-stem serving blend SI-SDR;
     - SI-SDR IMPROVEMENT over the input mixture (est vs mix as the
       estimate of each stem) — the absolute metric the round-2 VERDICT
       asked for: "beats DSP" can clear a bar lying on the floor, while

@@ -492,7 +492,7 @@ def test_host_stereo_widths_clipped_gather_matches_padded_reference() -> None:
         l = stereo[0].astype(np.float64)
         r = stereo[1].astype(np.float64)
         total = 1 + n // hop
-        stride = max(1, total // max_frames)
+        stride = -(-total // max_frames)  # ceil, same as the estimator
         starts = np.arange(0, total, stride) * hop - n_fft // 2
         pad = n_fft // 2
         lp = np.pad(l, (pad, n_fft))

@@ -162,3 +162,53 @@ def test_midi_var_len_encoding() -> None:
     assert encode_var_len(0x80) == b"\x81\x00"
     assert encode_var_len(0x2000) == b"\xc0\x00"
     assert encode_var_len(0x0FFFFFFF) == b"\xff\xff\xff\x7f"
+
+
+def test_padded_tempogram_matches_exact_shape() -> None:
+    """The bucket-padded tempogram graph must reproduce the exact-shape
+    tempogram on the valid columns in BOTH padding regimes: bucket pad
+    >= win//2 frames (the ramp completes inside the bucket) and bucket
+    pad < win//2 (the hand-built ramp extends into the tempogram's own
+    pad region — the case a bucket-edge track length hits)."""
+
+    import jax.numpy as jnp
+
+    from track_analyser_tpu.ops.mel import mel_filterbank, melspectrogram_from_power
+    from track_analyser_tpu.ops.onset import onset_strength_from_mel, tempogram
+    from track_analyser_tpu.ops.stft import magnitude
+    from track_analyser_tpu.report import _tempogram_graph
+    from track_analyser_tpu.substrate import bucket_length, pad_to_bucket
+
+    sr, hop = 8_000, 512
+    rng = np.random.default_rng(3)
+
+    # find one length per regime: padding below/above win//2 = 192 frames
+    lengths = {}
+    n = 70_000
+    while len(lengths) < 2 and n < 3_000_000:
+        pad_frames = (bucket_length(n) - n) // hop
+        key = "small" if pad_frames < 192 else "large"
+        lengths.setdefault(key, n)
+        n += 37_001
+    assert set(lengths) == {"small", "large"}, lengths
+
+    for n in lengths.values():
+        y = (rng.standard_normal(n) * 0.2).astype(np.float32)
+        # strong onsets near the end make the boundary ramp matter
+        y[-4 * hop :] += np.sign(rng.standard_normal(4 * hop)).astype(np.float32)
+
+        power = magnitude(jnp.asarray(y), 2048, hop, power=2.0)
+        fb = mel_filterbank(sr, 2048, 128)
+        env = onset_strength_from_mel(
+            melspectrogram_from_power(power, fb), n_fft=2048, hop_length=hop
+        )
+        want = np.asarray(tempogram(env))
+
+        padded, f_valid = pad_to_bucket(y, hop=hop)
+        got = np.asarray(
+            _tempogram_graph(
+                jnp.asarray(padded), jnp.asarray(y.size), sr=sr, hop_length=hop
+            )
+        )[:, :f_valid]
+        assert want.shape[-1] == f_valid
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

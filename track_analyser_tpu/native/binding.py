@@ -291,6 +291,8 @@ def quantise_mid(
     lib = _load()
     if lib is None or not getattr(lib, "ta_has_mid", False):
         return None
+    if n_bucket % block:
+        raise ValueError(f"n_bucket {n_bucket} must be a multiple of block {block}")
     channels = np.ascontiguousarray(channels, dtype=np.float32)
     if channels.ndim == 1:
         channels = channels[None, :]
@@ -326,6 +328,11 @@ def quantise_mid6(
     lib = _load()
     if lib is None or not getattr(lib, "ta_has_mid6", False):
         return None
+    if n_bucket % block or block % 4:
+        raise ValueError(
+            f"n_bucket {n_bucket} must be a multiple of block {block}, "
+            "and block a multiple of 4 (pack groups must not straddle blocks)"
+        )
     channels = np.ascontiguousarray(channels, dtype=np.float32)
     if channels.ndim == 1:
         channels = channels[None, :]

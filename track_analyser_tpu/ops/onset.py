@@ -43,15 +43,26 @@ def tempogram(env: jnp.ndarray, win_length: int = 384) -> jnp.ndarray:
     (used for the tempogram plot; reference: report.py:260-262).
     """
 
-    n = env.shape[-1]
     pad = win_length // 2
     envp = jnp.pad(env, (pad, pad), mode="linear_ramp", end_values=0.0)
+    return tempogram_prepadded(envp, win_length)
+
+
+def tempogram_prepadded(envp: jnp.ndarray, win_length: int = 384) -> jnp.ndarray:
+    """:func:`tempogram` on an envelope already padded by win_length//2 on
+    each side — for callers that must construct the boundary ramps
+    themselves (the bucket-padded report graph recreates the exact-shape
+    linear ramp at f_valid, which may extend past the bucket's own end
+    when the bucket adds fewer than win_length//2 frames)."""
+
+    pad = win_length // 2
+    n = envp.shape[-1] - 2 * pad
     # frames[t, k] = envp[t + k], assembled from win_length shifted slices
     # (slice-stack, no gather — XLA gathers are slow on TPU).
     frames = jnp.stack([envp[k : k + n] for k in range(win_length)], axis=-1)
     w = jnp.asarray(
         (0.5 - 0.5 * jnp.cos(2.0 * jnp.pi * jnp.arange(win_length) / win_length)),
-        dtype=env.dtype,
+        dtype=envp.dtype,
     )
     frames = frames * w
     n_pad = 1 << (2 * win_length - 2).bit_length()  # pow2 >= 2w-1 (fast TPU radix)

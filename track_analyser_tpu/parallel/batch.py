@@ -598,7 +598,7 @@ def _host_stereo_widths(
     if n == 0:
         return np.zeros(3)
     total = 1 + n // hop
-    stride = max(1, total // max_frames)
+    stride = -(-total // max_frames)  # ceil: honours the <= max_frames bound
     starts = np.arange(0, total, stride) * hop - n_fft // 2  # centred frames
     # Gather ONLY the sampled frames (<= max_frames x n_fft ~ 3 MB) from
     # the float32 signal — clipped indices + a validity mask reproduce
@@ -644,21 +644,7 @@ def _quantise_mid_range(
     valid = int(max(0, min(n_in - start, blocklen)))
     l = channels[0, start : start + valid]
     r = channels[-1, start : start + valid]
-
-    lv = l.astype(np.float64, copy=False)
-    rv = r.astype(np.float64, copy=False)
-    stats = np.array(
-        [
-            float(valid),
-            float(lv.sum()),
-            float(rv.sum()),
-            float(np.dot(lv, lv)),
-            float(np.dot(rv, rv)),
-            float(np.dot(lv, rv)),
-            float(np.abs(lv).sum()),
-            float(np.abs(rv).sum()),
-        ]
-    )
+    stats = _stereo_stats(l, r, valid)
 
     mid = np.zeros(blocklen, dtype=np.float32)
     np.multiply(np.add(l, r, dtype=np.float32), np.float32(0.5), out=mid[:valid])
@@ -1394,6 +1380,10 @@ def analyse_library(
     # previous chunk's host assembly; this lock serialises the shared
     # bits (manifest append, done counter, progress callback).
     finish_lock = threading.Lock()
+    # Rendering is NOT thread-safe (matplotlib pyplot mutates the global
+    # figure registry and font cache), so artefact writing serialises on
+    # its own lock — readback/assembly of other chunks still overlaps.
+    render_lock = threading.Lock()
 
     def _finish(chunk, out_handle) -> None:
         nonlocal n_done
@@ -1418,7 +1408,8 @@ def analyse_library(
                     if isinstance(src, (str, Path))
                     else f"track_{idx:05d}"
                 )
-                outputs_module.render_all(result, Path(output_dir) / name)
+                with render_lock:
+                    outputs_module.render_all(result, Path(output_dir) / name)
             with finish_lock:
                 if manifest:
                     with manifest.open("a") as fh:

@@ -32,7 +32,7 @@ from matplotlib.colors import LinearSegmentedColormap
 
 from .pipeline import TrackAnalysisResult
 from .ops.mel import mel_filterbank, melspectrogram_from_power
-from .ops.onset import onset_strength_from_mel, tempogram as tempogram_op
+from .ops.onset import onset_strength_from_mel, tempogram_prepadded
 from .ops.stft import magnitude
 
 __all__ = ["ReportRequest", "ReportOutputs", "generate_report"]
@@ -344,14 +344,21 @@ def _tempogram_graph(y, n_valid, *, sr, hop_length):
     # its LAST VALID value (ops/onset.tempogram, mode="linear_ramp");
     # hard zeros beyond f_valid instead would change the final ~pad
     # columns (measured 0.92 max divergence on the inf-normalised
-    # columns for an envelope that is strong at the track end). Recreate
-    # the ramp at f_valid so the bucket-padded dispatch matches.
+    # columns for an envelope that is strong at the track end). Build
+    # the FULLY padded envelope by hand (both boundary ramps at their
+    # exact-shape positions) and dispatch the no-pad tempogram: the
+    # right ramp starts at f_valid, not at the bucket end, and the
+    # extended buffer guarantees it completes even when the bucket adds
+    # fewer than win//2 padding frames.
     f_valid = 1 + n_valid // hop_length
-    fi = jnp.arange(env.shape[-1])
     pad = 384 // 2  # tempogram win_length // 2
+    fi = jnp.arange(env.shape[-1] + 2 * pad) - pad  # envelope-frame index
     last = env[jnp.maximum(f_valid - 1, 0)]
-    ramp = last * jnp.clip(1.0 - (fi - (f_valid - 1)) / pad, 0.0, 1.0)
-    return tempogram_op(jnp.where(fi < f_valid, env, ramp))
+    left = env[0] * jnp.clip((fi + pad) / pad, 0.0, 1.0)
+    right = last * jnp.clip(1.0 - (fi - (f_valid - 1)) / pad, 0.0, 1.0)
+    body = jnp.pad(env, (pad, pad))
+    envp = jnp.where(fi < 0, left, jnp.where(fi < f_valid, body, right))
+    return tempogram_prepadded(envp)
 
 
 def _plot_tempogram(result: TrackAnalysisResult, output_dir: Path) -> Path:
