@@ -174,10 +174,14 @@ def test_library_mixes_mono_and_stereo_under_ms_transport() -> None:
     assert results[1].harmonic.stereo_image.balance > 0.01
 
 
-def test_library_device_batch_matches_default() -> None:
+@pytest.mark.parametrize("transport", ["ms", "ms6"])
+def test_library_device_batch_matches_default(transport) -> None:
     """device_batch=2 packs 2*n_devices tracks per dispatch (zero-lane
     padding for the remainder); per-track results must match the
-    batch-1 path — the batched graph is lane-invariant."""
+    batch-1 path — the batched graph is lane-invariant. Covers both the
+    int8 default and the packed 6-bit transport (whose per-lane parts
+    include the extra bases array and zero-lane padding must decode to
+    silence in raw mode)."""
 
     from track_analyser_tpu.parallel.batch import analyse_library
     from track_analyser_tpu.utils import AudioInput
@@ -193,8 +197,8 @@ def test_library_device_batch_matches_default() -> None:
             AudioInput(samples=0.5 * (l + r), sample_rate=sr, stereo_samples=np.stack([l, r]))
         )
 
-    base = analyse_library(tracks)
-    batched = analyse_library(tracks, device_batch=2)
+    base = analyse_library(tracks, transport=transport)
+    batched = analyse_library(tracks, device_batch=2, transport=transport)
     assert len(batched) == len(base) == 3
     for b, a in zip(batched, base):
         assert b.beat.bpm == pytest.approx(a.beat.bpm, abs=1e-9)
