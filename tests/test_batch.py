@@ -661,3 +661,61 @@ def test_library_shard_striping_covers_all_sources(tmp_path) -> None:
 
     with pytest.raises(ValueError):
         analyse_library(paths, shard=(2, 2))
+
+
+def test_ms6_chunked_carry_matches_full_pass() -> None:
+    """The single-track path quantises block-aligned chunks sequentially,
+    threading the delta-coding reconstruction carry across calls; the
+    concatenated chunk outputs must equal one full-bucket pass BITWISE
+    (packed codes, scales, bases, final carry), for the numpy fallback
+    and — when built — the native kernel, on content that engages delta
+    mode across the chunk boundary."""
+
+    from track_analyser_tpu.parallel.batch import _I8_BLOCK, _quantise_mid6_range
+
+    sr = 44_100
+    n = 3 * _I8_BLOCK + 17_000  # partial final block
+    t = np.arange(n) / sr
+    # smooth harmonic content -> delta mode everywhere
+    y = (0.5 * np.sin(2 * np.pi * 110.0 * t) + 0.2 * np.sin(2 * np.pi * 220.0 * t)).astype(
+        np.float32
+    )
+    channels = np.stack([y, 0.7 * y])
+    n_bucket = 4 * _I8_BLOCK
+    half = 2 * _I8_BLOCK
+
+    p_full, s_full, b_full, st_full, c_full = _quantise_mid6_range(
+        channels, n, 0, n_bucket
+    )
+    assert (s_full < 0).any(), "fixture failed to engage delta mode"
+
+    p1, s1, b1, st1, c1 = _quantise_mid6_range(channels, n, 0, half)
+    p2, s2, b2, st2, c2 = _quantise_mid6_range(channels, n, half, n_bucket, carry=c1)
+    np.testing.assert_array_equal(np.concatenate([p1, p2]), p_full)
+    np.testing.assert_array_equal(np.concatenate([s1, s2]), s_full)
+    np.testing.assert_array_equal(np.concatenate([b1, b2]), b_full)
+    assert c2 == c_full
+    np.testing.assert_allclose(st1 + st2, st_full, rtol=1e-12)
+
+    try:
+        from track_analyser_tpu.native import binding
+
+        nat_full = binding.quantise_mid6(channels, n_bucket, _I8_BLOCK)
+    except Exception:
+        nat_full = None
+    if nat_full is not None:
+        pn, sn, bn, stn, cn = nat_full
+        np.testing.assert_array_equal(pn, p_full)
+        np.testing.assert_array_equal(sn, s_full)
+        np.testing.assert_array_equal(bn, b_full)
+        assert cn == c_full
+        # native chunked calls (what _dispatch_single_ms actually does)
+        pn1, sn1, bn1, _st, cn1 = binding.quantise_mid6(
+            np.ascontiguousarray(channels[:, :half]), half, _I8_BLOCK
+        )
+        pn2, sn2, bn2, _st, cn2 = binding.quantise_mid6(
+            np.ascontiguousarray(channels[:, half:n]), n_bucket - half, _I8_BLOCK, cn1
+        )
+        np.testing.assert_array_equal(np.concatenate([pn1, pn2]), p_full)
+        np.testing.assert_array_equal(np.concatenate([bn1, bn2]), b_full)
+        assert cn2 == c_full
