@@ -91,3 +91,35 @@ def test_song_production_measurements_sane(song_analysis) -> None:
     # stereo production: correlated but not mono, with real width
     assert 0.80 < result.stereo.correlation < 0.99
     assert result.stereo.width.mid > 0.05
+
+
+def test_song_stems_track_the_arrangement() -> None:
+    """Stereo-native DSP separation on the produced song: the stem set
+    must be mask-complete (stems sum back to the mixture) and musically
+    coherent — the drums stem's energy collapses in the drum-free
+    breakdown (measured ratio ~550x; gate 50x)."""
+
+    from synth import realistic_song
+    from track_analyser_tpu.analysis.stems import separate_stems_arrays
+
+    stereo, _beats, _bars, marks = realistic_song(sr=SR)
+    stems = separate_stems_arrays(stereo, SR)
+    assert set(stems) == {"drums", "bass", "other", "vocals"}
+    for v in stems.values():
+        assert v.shape == stereo.shape  # stereo in -> stereo out
+
+    recon = sum(stems.values())
+    rel = float(
+        np.sqrt(((recon - stereo) ** 2).mean()) / np.sqrt((stereo**2).mean())
+    )
+    assert rel < 1e-5
+
+    s = lambda t: int(t * SR)  # noqa: E731
+    drums = stems["drums"]
+    e_groove = float(
+        (drums[:, s(marks["groove_start"]) : s(marks["breakdown_start"])] ** 2).mean()
+    )
+    e_break = float(
+        (drums[:, s(marks["breakdown_start"]) : s(marks["groove2_start"])] ** 2).mean()
+    )
+    assert e_groove > 50.0 * max(e_break, 1e-12)
