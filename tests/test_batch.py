@@ -719,3 +719,39 @@ def test_ms6_chunked_carry_matches_full_pass() -> None:
         np.testing.assert_array_equal(np.concatenate([pn1, pn2]), p_full)
         np.testing.assert_array_equal(np.concatenate([bn1, bn2]), b_full)
         assert cn2 == c_full
+
+
+@pytest.mark.parametrize("transport", ["ms", "ms6", "int8"])
+def test_unbucketed_blockwise_transport_handles_any_length(transport) -> None:
+    """analyse_track_fused(bucket=False) must not crash on lengths that
+    are not a multiple of the int8 scaling block (_I8_BLOCK): blockwise
+    transports round the payload up to a block multiple and mask the
+    padding (round-2 advisor finding — the mono default used to leave a
+    tail uncovered). Measurements must match the bucketed run."""
+
+    from track_analyser_tpu.parallel.batch import _I8_BLOCK, analyse_track_fused
+    from track_analyser_tpu.utils import AudioInput
+
+    sr = 22_050
+    n = int(sr * 1.7)  # 37 485 — deliberately NOT a block multiple
+    assert n % _I8_BLOCK != 0
+    rng = np.random.default_rng(5)
+    t = np.arange(n) / sr
+    y = (0.3 * np.sin(2 * math.pi * 220.0 * t)).astype(np.float32)
+    for b in np.arange(0.0, 1.7, 0.5):
+        s = int(b * sr)
+        e = min(n, s + 300)
+        y[s:e] += np.exp(-np.linspace(0.0, 6.0, e - s)).astype(np.float32)
+    y += rng.normal(0, 0.003, n).astype(np.float32)
+    audio = AudioInput(samples=y, sample_rate=sr)  # mono: the crashing case
+
+    unbucketed = analyse_track_fused(audio, transport=transport, bucket=False)
+    bucketed = analyse_track_fused(audio, transport=transport)
+
+    assert unbucketed.loudness.integrated_lufs == pytest.approx(
+        bucketed.loudness.integrated_lufs, abs=0.05
+    )
+    assert unbucketed.loudness.true_peak_dbfs == pytest.approx(
+        bucketed.loudness.true_peak_dbfs, abs=0.05
+    )
+    assert unbucketed.beat.bpm == pytest.approx(bucketed.beat.bpm, abs=0.5)
