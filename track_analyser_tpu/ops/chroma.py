@@ -222,40 +222,76 @@ def multibank_cq_filterbanks(
         # for periodic hann) so all banks read in the same units
         window = window / (b["n_eff"] / 4.0)
         pc = int(np.round(k / bins_per_semitone)) % n_chroma
-        # tone footprint: the |STFT| magnitudes a unit tone at fc leaves
-        # on this bank's bins (used below to flatten the ROW response)
-        shape = _hann_tone_shape(b["n_eff"])
-        oversample = (shape.size - 1) // (b["n_eff"] // 2)
+        channels.append((pc, bank_idx, fc, window))
+
+    def _footprint(bank: dict, fc: float) -> np.ndarray:
+        """|STFT| magnitudes a unit tone at fc leaves on ``bank``'s bins,
+        in the shared amplitude units (the n_eff/4 transform scale is
+        divided out, matching the channel windows above)."""
+
+        shape = _hann_tone_shape(bank["n_eff"])
+        oversample = (shape.size - 1) // (bank["n_eff"] // 2)
         idx = np.clip(
-            np.round(np.abs(b["freqs"] - fc) / b["res"] * oversample).astype(int),
+            np.round(np.abs(bank["freqs"] - fc) / bank["res"] * oversample).astype(int),
             0,
             shape.size - 1,
         )
-        foot = shape[idx] * (b["n_eff"] / 4.0)
-        channels.append((pc, bank_idx, window, foot))
+        return shape[idx] * (bank["n_eff"] / 4.0)
 
     # Per-channel normalisation equalises channels in isolation, but a
-    # pitch-class ROW sums overlapping channels whose density relative
-    # to the tone mainlobe varies across octaves (and steps at the bank
-    # seams). Flatten iteratively: scale each channel by the inverse of
-    # its row's actual response to a tone at its centre.
-    def _accumulate():
-        for fb in fbs:
-            fb[:] = 0.0
-        for pc, bi, window, _foot in channels:
-            fbs[bi][pc] += window
+    # pitch-class ROW sums overlapping channels, so a tone at one
+    # channel's centre also reads through its same-semitone neighbours
+    # (and, at bank seams, through the adjacent bank). Flatten the row
+    # response EXACTLY at every semitone centre — the frequencies real
+    # notes occupy: per pitch class, find the channel scales s nearest 1
+    # (in L2) satisfying  sum_i s_i * dot(window_i, footprint(f_j)) = 1
+    # for every semitone centre f_j of that class. The previous 3-step
+    # fixed-point iteration failed to converge where channel bandwidth
+    # hits the one-FFT-bin floor (three same-semitone channels coupled
+    # at ~0.5): octave 5 of the family bank measured up to 14% hot,
+    # and that pitch-class-dependent gain flipped near-tie key
+    # decisions (the round-3 bass-register key regression).
+    semis = {}
+    for k in range(12 * n_octaves):
+        f_k = fmin * 2.0 ** (k / 12.0)
+        if f_k >= sr / 2.0:
+            break
+        semis.setdefault(k % n_chroma, []).append(f_k)
+    for pc in range(n_chroma):
+        row = [c for c in channels if c[0] == pc]
+        probes = semis.get(pc, [])
+        if not row or not probes:
+            continue
+        m = len(row)
+        a = np.zeros((len(probes), m), dtype=np.float64)
+        for j, f_j in enumerate(probes):
+            foots = {}
+            for i, (_, bi, _, window) in enumerate(row):
+                if bi not in foots:
+                    foots[bi] = _footprint(banks[bi], f_j)
+                a[j, i] = float(np.dot(window, foots[bi]))
+        base = a @ np.ones(m)
+        # minimum-norm correction: s = 1 + A^+ (1 - A·1)
+        scales = np.ones(m) + np.linalg.pinv(a, rcond=1e-8) @ (1.0 - base)
+        # A wildly non-positive solve would mean adjacent channels cancel
+        # (never observed; guard keeps the filterbank physical).
+        if np.any(scales <= 0):
+            scales = np.clip(scales, 1e-3, None)
+        for s, (rpc, bi, _fc, window) in zip(scales, row):
+            fbs[bi][rpc] += s * window
 
-    for _ in range(3):
-        _accumulate()
-        for i, (pc, bi, window, foot) in enumerate(channels):
-            response = float(np.dot(fbs[bi][pc], foot))
-            if response > 1e-9:
-                channels[i] = (pc, bi, window / response, foot)
-    _accumulate()
-
+    # Scale normalisation: divide every row by ONE shared scalar. A
+    # per-row L2 norm here would undo the tone normalisation above — row
+    # norms vary systematically with pitch class (row B's top channel
+    # B7 ≈ 3951 Hz spans far more FFT bins than row C's top at C7 ≈
+    # 2093 Hz), which measured as a ±13% sawtooth gain across the octave
+    # (C# loudest, B quietest) and flipped near-tie key decisions
+    # toward C#-containing keys (the round-3 bass-register key
+    # regression). Tone-normalised rows are already gain-equal; only the
+    # overall scale needs bounding.
     row_norm = np.sqrt(sum(np.sum(fb**2, axis=1, keepdims=True) for fb in fbs))
-    safe = np.where(row_norm > 0, row_norm, 1.0)
-    return tuple((fb / safe).astype(np.float32) for fb in fbs)
+    shared = float(np.mean(row_norm)) or 1.0
+    return tuple((fb / shared).astype(np.float32) for fb in fbs)
 
 
 def multires_cq_filterbanks(
