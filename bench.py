@@ -150,40 +150,33 @@ def main() -> None:
     ]
     total_audio_s = sum(durations)
 
-    # Warm up (compile all executables) + correctness spot checks. The
-    # relay compiles concurrently (~2x for 2 in flight), so the fused
-    # single-track executable compiles on a thread WHILE the library
-    # sweep warms its bucket executables (which analyse_library itself
-    # pre-warms in parallel as buckets first appear): total warmup is
-    # ~max of the compile sets, not their sum.
-    from concurrent.futures import ThreadPoolExecutor
-
-    # The single-track "ms" path dispatches through the SAME batched
-    # executables the sweep uses (batch of 1 on this one-chip host), so
-    # the sweep's bucket warmup covers it — nothing else to compile.
+    # Warm up = ONE relay compile: every bench duration (96-181 s) pads
+    # to the SAME tier bucket (ms_bucket_length tier grid), and the
+    # single-track path dispatches through the sweep's device_batch=2
+    # executable (device-side zero lane, sliced off before readback) —
+    # so the sweep compile covers everything. Round-3 warmup was ~4 cold
+    # compiles (three geometric buckets x batch sizes) at 940 s.
     # The bench runs the least-bytes gate-clean transport: "ms6" (6-bit
     # mid codes, per block raw- or delta-coded, 0.75 B per stereo sample
     # pair — every accuracy gate holds; RUNBOOK has the measurement
     # ladder). The sweep is upload-bound on this relay, so bytes are the
     # headline lever; "ms" (int8) numbers are on record in RUNBOOK.
     bench_transport = "ms6"
+    bench_batch = 2
 
     def _warmup():
-        with ThreadPoolExecutor(max_workers=2) as warm_pool:
-            fused_fut = warm_pool.submit(
-                analyse_track_fused, tracks[0], transport=bench_transport
-            )
-            # warms every bucket's batched executable (device_batch=2: two
-            # same-bucket tracks per dispatch — the production setting for
-            # library sweeps; measured ~25% per-track over batch 1)
-            analyse_library(tracks, device_batch=2, transport=bench_transport)
-            return fused_fut.result()
+        # sweep first (the one big compile), then the single-track path
+        # (shares the executable; compiles only the tiny pad/slice jits)
+        analyse_library(tracks, device_batch=bench_batch, transport=bench_transport)
+        return analyse_track_fused(
+            tracks[0], transport=bench_transport, device_batch=bench_batch
+        )
 
     t0 = time.perf_counter()
     result = _retry("warmup", _warmup, delay_s=30.0)
     warm = time.perf_counter() - t0
     print(
-        f"[bench] warmup (fused + all sweep buckets, concurrent) {warm:.1f} s "
+        f"[bench] warmup (one shared tier executable) {warm:.1f} s "
         f"— bpm={result.beat.bpm:.2f} "
         f"key={result.harmonic.primary_key.key} "
         f"lufs={result.loudness.integrated_lufs:.2f} "
@@ -215,7 +208,9 @@ def main() -> None:
     # not warmed here — fewer relay compiles.)
     def _timed_single() -> float:
         t0 = time.perf_counter()
-        analyse_track_fused(tracks[0], transport=bench_transport)
+        analyse_track_fused(
+            tracks[0], transport=bench_transport, device_batch=bench_batch
+        )
         return time.perf_counter() - t0
 
     # Timing happens inside the retried callable so a transient fault's
@@ -234,7 +229,9 @@ def main() -> None:
     for _ in range(5):
         t0 = time.perf_counter()
         try:
-            out = analyse_library(tracks, device_batch=2, transport=bench_transport)
+            out = analyse_library(
+                tracks, device_batch=bench_batch, transport=bench_transport
+            )
         except Exception as exc:  # noqa: BLE001 — tolerate isolated relay faults
             failures += 1
             print(

@@ -65,6 +65,15 @@ def test_beat_fields_agree(both_paths) -> None:
     assert fused.beat.confidence == pytest.approx(module.beat.confidence, abs=1e-3)
     assert len(fused.beat.beat_times) == len(module.beat.beat_times)
     np.testing.assert_allclose(fused.beat.beat_times, module.beat.beat_times, atol=1e-4)
+    # DP-tracked beats: the fused path decodes from read-back f32 curves,
+    # the module path from its own device pass — one half-frame snap
+    # tolerance covers the float noise between them
+    assert fused.beat.tracked_times is not None
+    assert module.beat.tracked_times is not None
+    assert len(fused.beat.tracked_times) == len(module.beat.tracked_times)
+    np.testing.assert_allclose(
+        fused.beat.tracked_times, module.beat.tracked_times, atol=0.012
+    )
 
 
 def test_downbeat_fields_agree(both_paths) -> None:

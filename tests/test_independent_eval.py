@@ -1,0 +1,109 @@
+"""Out-of-family validation gates on the INDEPENDENT rendering engine.
+
+Every model in this repo trains and mostly evaluates on one author's DSP
+vocabulary (tests/synth.py, models/downbeat_net.py, models/training.py).
+scripts/independent_engine.py is a second engine — wavetable phase-
+accumulator oscillators, linear ADSR envelopes, biquad-resonator drums,
+formant-filtered pulse vocals, Schroeder reverb — sharing no code with
+the training generators, so these gates measure generalisation, not
+memorisation (VERDICT r3 missing #2). Measured capability on this song
+(see RUNBOOK "Independent-engine validation"): tracked-beat F1 0.995,
+downbeat F1 0.98, separation beats the mixture on every stem by
++3.1..+12.6 dB.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from independent_engine import render_song  # noqa: E402
+from track_analyser_tpu.parallel.batch import analyse_track_fused  # noqa: E402
+from track_analyser_tpu.utils import AudioInput  # noqa: E402
+
+SR = 22_050
+
+
+def test_engine_is_independent_of_training_synths() -> None:
+    """The eval engine must not import (or even mention) the training
+    generators — otherwise the 'independent' validation is circular."""
+
+    src = (Path(__file__).resolve().parent.parent / "scripts" / "independent_engine.py").read_text()
+    body = "\n".join(
+        line for line in src.splitlines() if not line.lstrip().startswith("#")
+    )
+    # strip the module docstring (it may NAME the forbidden modules while
+    # explaining the independence contract)
+    body = body.split('"""', 2)[-1]
+    for forbidden in (
+        "from synth",
+        "import synth",
+        "tests.synth",
+        "models.downbeat_net",
+        "models.training",
+        "track_analyser_tpu",
+    ):
+        assert forbidden not in body, forbidden
+
+
+@pytest.fixture(scope="module")
+def independent_song():
+    stems, mix, beat_times, bar_starts = render_song(sr=SR)
+    result = analyse_track_fused(AudioInput(samples=mix, sample_rate=SR))
+    return stems, mix, beat_times, bar_starts, result
+
+
+def _f1(pred: np.ndarray, truth: np.ndarray, tol: float = 0.070) -> float:
+    if pred.size == 0 or truth.size == 0:
+        return 0.0
+    p = (np.abs(pred[:, None] - truth[None, :]).min(axis=1) <= tol).mean()
+    r = (np.abs(pred[:, None] - truth[None, :]).min(axis=0) <= tol).mean()
+    return 0.0 if p + r == 0 else float(2 * p * r / (p + r))
+
+
+def test_tracked_beats_generalise(independent_song) -> None:
+    _stems, _mix, beat_times, _bars, result = independent_song
+    tracked = np.asarray(result.beat.tracked_times or [])
+    assert _f1(tracked, beat_times) >= 0.90  # measured 0.995
+
+
+def test_downbeats_generalise(independent_song) -> None:
+    """Kick-on-every-beat + snare backbeat leaves the bar phase ambiguous
+    mod 2 from percussion alone; the harmonic-change cue (bass roots move
+    every bar) must resolve it. Measured F1 0.98; the pre-cue decoder
+    scored 0.00 (confident half-bar flip)."""
+
+    _stems, _mix, _beats, bar_starts, result = independent_song
+    db = np.asarray(result.downbeat.downbeat_times)
+    assert _f1(db, bar_starts) >= 0.80
+
+
+def test_separation_beats_mixture_on_independent_material(independent_song) -> None:
+    from track_analyser_tpu.analysis.stems import separate_stems_arrays
+
+    stems_true, mix, _beats, _bars, _result = independent_song
+
+    def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
+        ref = ref - ref.mean()
+        est = est - est.mean()
+        denom = float(np.dot(ref, ref)) + 1e-12
+        proj = (float(np.dot(est, ref)) / denom) * ref
+        noise = est - proj
+        return float(
+            10.0 * np.log10((np.dot(proj, proj) + 1e-12) / (np.dot(noise, noise) + 1e-12))
+        )
+
+    est = separate_stems_arrays(mix, SR)
+    # measured deltas: drums +12.6, bass +3.1, other +3.5, vocals +9.5
+    floors = {"drums": 8.0, "bass": 1.5, "other": 1.5, "vocals": 5.0}
+    for name, floor in floors.items():
+        ref = stems_true[name].astype(np.float64)
+        delta = si_sdr(np.asarray(est[name], np.float64), ref) - si_sdr(
+            mix.astype(np.float64), ref
+        )
+        assert delta >= floor, f"{name}: ΔSI-SDR {delta:.2f} < {floor}"

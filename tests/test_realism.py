@@ -13,7 +13,9 @@ regression fit, exactly like the reference's (reference
 src/track_analyser/tempo.py:67-93) — on drifting material both report
 the best average grid, whose per-beat alignment error grows with the
 drift (median ~175 ms here), while downbeat PHASE and section
-boundaries stay locked.
+boundaries stay locked. The drift-FOLLOWING capability (the
+reference's optional madmom DBN path) is BeatAnalysis.tracked_times —
+the DP tracker — gated separately below at ≤100 ms median.
 """
 
 from __future__ import annotations
@@ -48,6 +50,23 @@ def test_song_bpm_inside_drift_envelope(song_analysis) -> None:
     assert float(np.median(d)) <= 0.300
 
 
+def test_song_tracked_beats_follow_the_drift(song_analysis) -> None:
+    """The DP beat tracker (BeatAnalysis.tracked_times — the madmom-DBN
+    capability the constant grid lacks) must FOLLOW the +1.5 %/min tempo
+    drift: median per-beat error ≤ 100 ms (measured ~11 ms vs the
+    grid's ~175 ms on this fixture), with ≥ 90 % of true beats matched
+    within 70 ms."""
+
+    result, beats, _bars, _marks = song_analysis
+    tracked = np.asarray(result.beat.tracked_times or [])
+    assert tracked.size >= 0.9 * beats.size
+    d = np.abs(tracked[:, None] - beats[None, :]).min(axis=1)
+    assert float(np.median(d)) <= 0.100
+    # coverage: true beats found, not just a sparse accurate subset
+    d_truth = np.abs(tracked[:, None] - beats[None, :]).min(axis=0)
+    assert float(np.mean(d_truth <= 0.070)) >= 0.90
+
+
 def test_song_key_is_the_relative_pair(song_analysis) -> None:
     # Am-F-C-G contains exactly the C-major/A-minor pitch-class set;
     # both readings are musically defensible (and humans disagree too)
@@ -58,7 +77,7 @@ def test_song_key_is_the_relative_pair(song_analysis) -> None:
 def test_song_downbeats_lock_bar_phase(song_analysis) -> None:
     """Downbeat decisions must survive drift+swing+accents: map each
     predicted downbeat to its nearest TRUE beat; the dominant bar phase
-    must be beat 1 with >= 60 % of predictions (measured 75 %; the
+    must be beat 1 with >= 70 % of predictions (measured 75 %; the
     constant grid's drift error is ~0.4 beat at the track edges, so
     perfect phase attribution is not reachable from grid-locked
     downbeat times)."""
@@ -70,7 +89,7 @@ def test_song_downbeats_lock_bar_phase(song_analysis) -> None:
     idx = np.abs(db[:, None] - beats[None, :]).argmin(axis=1)
     counts = np.bincount(idx % 4, minlength=4)
     assert counts.argmax() == 0
-    assert counts.max() / db.size >= 0.60
+    assert counts.max() / db.size >= 0.70
 
 
 def test_song_sections_recovered(song_analysis) -> None:
@@ -78,7 +97,7 @@ def test_song_sections_recovered(song_analysis) -> None:
     starts = np.array([s.start for s in result.structure.segments])
     for mark in ("groove_start", "breakdown_start", "groove2_start"):
         err = float(np.abs(starts - marks[mark]).min())
-        assert err <= 1.5, f"{mark}: nearest boundary {err:.2f} s away"
+        assert err <= 0.75, f"{mark}: nearest boundary {err:.2f} s away"
     categories = {s.category for s in result.structure.segments}
     assert "groove" in categories
     assert "breakdown" in categories

@@ -30,13 +30,23 @@ __all__ = [
 
 @dataclass(slots=True)
 class BeatAnalysis:
-    """Summary of the beat grid."""
+    """Summary of the beat grid.
+
+    ``beat_times`` is the reference-parity constant-tempo grid (the
+    gated surface: ±0.1 BPM, 5 ms alignment). ``tracked_times`` is the
+    drift-FOLLOWING beat sequence from the DP tracker
+    (tempo.track_beats) — the capability the reference's optional madmom
+    DBN path provides (reference analysis/beats.py:128-133); on
+    drifting material its per-beat error is ~10-40 ms where the constant
+    grid's grows to ~175 ms (tests/test_realism.py). None when the
+    envelope is degenerate."""
 
     bpm: float
     beat_times: List[float]
     beat_frames: List[int]
     confidence: float
     grid: Optional[pd.DataFrame] = None
+    tracked_times: Optional[List[float]] = None
 
 
 @dataclass(slots=True)
@@ -59,6 +69,41 @@ def _compute_confidence(beat_times: np.ndarray) -> float:
         return 1.0
     spread = np.std(intervals) / (np.mean(intervals) + 1e-9)
     return float(np.clip(1.0 - spread, 0.0, 1.0))
+
+
+def tracked_times_for(
+    audio: AudioInput,
+    env: np.ndarray,
+    bpm: float,
+    *,
+    hop_length: int = 512,
+) -> "Optional[np.ndarray]":
+    """Drift-following tracked beats (madmom-DBN-class capability) for
+    the per-module paths. The low-band accent curve comes from the same
+    device graph the downbeat decoder uses, so the fused path (which
+    reads the curve back from its own graph) agrees. Returns None on any
+    failure — tracked beats are an additive capability, never a blocker."""
+
+    try:
+        import jax.numpy as jnp
+
+        from .. import tempo
+        from ..models.downbeat import _accent_graph
+        from ..substrate import pad_to_bucket
+
+        padded, f_valid = pad_to_bucket(
+            np.asarray(audio.samples, dtype=np.float32), hop=hop_length
+        )
+        _, low, _ = _accent_graph(jnp.asarray(padded), sr=audio.sample_rate)
+        return tempo.track_beats(
+            env,
+            audio.sample_rate,
+            hop_length=hop_length,
+            bpm=bpm,
+            low_energy=np.asarray(low, dtype=np.float64)[:f_valid],
+        )
+    except Exception:
+        return None
 
 
 def analyse_beats(
@@ -84,9 +129,10 @@ def analyse_beats(
         env, ac, len(audio.samples) / float(audio.sample_rate),
         audio.sample_rate, hop_length=hop_length,
     )
+    tracked_times = tracked_times_for(audio, env, bpm, hop_length=hop_length)
     beat_result = build_beat_analysis(
         bpm, grid["time"].to_numpy(), audio.sample_rate,
-        hop_length=hop_length, grid=grid,
+        hop_length=hop_length, grid=grid, tracked_times=tracked_times,
     )
     downbeat_result = analyse_downbeats(
         audio, beat_result, hop_length=hop_length, seed=seed
@@ -101,6 +147,7 @@ def build_beat_analysis(
     *,
     hop_length: int = 512,
     grid: Optional[pd.DataFrame] = None,
+    tracked_times: Optional[np.ndarray] = None,
 ) -> BeatAnalysis:
     beat_times = np.asarray(beat_times, dtype=float)
     beat_frames = np.floor(beat_times * sr / hop_length).astype(int)
@@ -111,6 +158,11 @@ def build_beat_analysis(
         beat_frames=beat_frames.astype(int).tolist(),
         confidence=confidence,
         grid=grid.copy() if grid is not None else None,
+        tracked_times=(
+            None
+            if tracked_times is None or not len(tracked_times)
+            else [float(t) for t in tracked_times]
+        ),
     )
 
 
@@ -129,10 +181,20 @@ def analyse_downbeats(
         from ..models import downbeat as downbeat_model
 
         if downbeat_model.available():
+            # Tracked (drift-following) beats as the downbeat time base
+            # when available — the reference's madmom path does the same
+            # (its DBN emits the beat sequence itself); constant grid
+            # otherwise.
+            base = (
+                beat_result.tracked_times
+                if beat_result.tracked_times is not None
+                and len(beat_result.tracked_times) >= 8
+                else beat_result.beat_times
+            )
             tracked = downbeat_model.track_downbeats(
                 audio.samples,
                 audio.sample_rate,
-                np.asarray(beat_result.beat_times, dtype=float),
+                np.asarray(base, dtype=float),
                 seed=seed,
             )
             if tracked is not None and len(tracked.downbeat_times):

@@ -45,6 +45,7 @@ __all__ = [
     "analyse_track_fused",
     "analyse_library",
     "result_from_graph_outputs",
+    "ms_bucket_length",
     "TrackFailure",
     "SkippedTrack",
 ]
@@ -109,21 +110,40 @@ def result_from_graph_outputs(
 
     # --- beats (ac=None -> shared f64 host autocorrelation) --------------
     grid, bpm = tempo_mod.grid_and_bpm_from_env(env, None, duration, sr, hop_length=hop)
+    tracked_times = tempo_mod.track_beats(
+        env,
+        sr,
+        hop_length=hop,
+        bpm=bpm,
+        low_energy=np.asarray(out["low_energy"], dtype=np.float64)[:f_valid],
+    )
     beat_result = beats_mod.build_beat_analysis(
-        bpm, grid["time"].to_numpy(), sr, hop_length=hop, grid=grid
+        bpm, grid["time"].to_numpy(), sr, hop_length=hop, grid=grid,
+        tracked_times=tracked_times,
     )
 
     # --- downbeats (accent + optional net evidence over fused curves) ----
     net_prob = out.get("net_prob")
     if net_prob is not None:
         net_prob = np.asarray(net_prob, dtype=np.float64)[:f_valid]
+    # The downbeat TIME BASE is the drift-following tracked beats when
+    # the tracker produced a sane sequence (the reference's madmom path
+    # emits DBN-tracked beats, analysis/beats.py:128-133, so its
+    # downbeat times follow tempo changes too); the constant grid stays
+    # the fallback and the gated beat_times surface either way.
+    db_base = (
+        tracked_times
+        if tracked_times is not None and len(tracked_times) >= 8
+        else np.asarray(beat_result.beat_times, dtype=float)
+    )
     tracked = downbeat_model.decode_from_accent(
         np.asarray(out["beat_energy"], dtype=np.float64)[:f_valid],
         np.asarray(out["low_energy"], dtype=np.float64)[:f_valid],
-        np.asarray(beat_result.beat_times, dtype=float),
+        np.asarray(db_base, dtype=float),
         sr,
         flux=env,
         net_prob=net_prob,
+        chroma=np.asarray(out["chroma_cq"], dtype=np.float64)[:, :f_valid],
     )
     if tracked is not None and tracked.downbeat_times:
         downbeat_result = beats_mod.DownbeatAnalysis(
@@ -496,10 +516,97 @@ def _batched_graph_i8(parts, n_valid, *, sr):
 
 _MS_CHUNKS = 4
 
+# Tiered chunk grid for the ms/ms6 transports. Tracks longer than
+# _MS_TIER_MIN_SAMPLES pad to a TIER — a fixed count of fixed-size chunks
+# — instead of a fine geometric bucket, so every track between ~48 s and
+# 190 s (at 44.1 kHz) shares ONE compiled executable (per batch size):
+# the dominant warmup cost on the relay backend is per-executable
+# server-side compilation (~1-4 min each, and the persistent cache
+# cannot seed it — RUNBOOK), so a mixed-duration library that used to
+# compile one executable per geometric bucket now compiles one, period.
+# The price is device FLOPs on the padded tail (compute sits far below
+# the link bound) and tier-sized readback; upload stays proportional to
+# the REAL track length because fully-padding chunks ride a cached
+# all-zero device buffer (see _ZeroChunk) and cost no relay bytes.
+_MS_CHUNK_SAMPLES = 1 << 19  # 8 scale blocks; ~11.9 s at 44.1 kHz
+_MS_TIER_MIN_SAMPLES = 1 << 21  # ≤ this (~47.5 s): geometric buckets
+_MS_TIERS = (16, 24, 32, 48, 64, 96, 128)  # chunks per tier (190 s .. 25 min)
+
+
+def ms_bucket_length(n: int) -> int:
+    """Pad target for the ms/ms6 transports: geometric buckets for short
+    signals (tests, clips — compile cheaply everywhere), the tier grid
+    beyond (one executable per ~octave of duration, shared by every
+    length inside it)."""
+
+    if n <= _MS_TIER_MIN_SAMPLES:
+        return bucket_length(n)
+    chunks = -(-n // _MS_CHUNK_SAMPLES)
+    for t in _MS_TIERS:
+        if chunks <= t:
+            return t * _MS_CHUNK_SAMPLES
+    return -(-chunks // 64) * 64 * _MS_CHUNK_SAMPLES
+
+
+class _ZeroChunk:
+    """Marker for an all-zero payload part: carries only shape/dtype.
+
+    Staging maps it to a process-cached zero device buffer, so padding
+    chunks (tier tails, zero batch lanes, prewarm payloads) cost no host
+    memory, no quantise work and — when every lane of a part is zero —
+    no upload bytes."""
+
+    __slots__ = ("shape", "dtype")
+
+    def __init__(self, shape: tuple, dtype) -> None:
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+
+    def materialise(self) -> np.ndarray:
+        return np.zeros(self.shape, self.dtype)
+
+
+def _as_zero_marker(part) -> _ZeroChunk:
+    if isinstance(part, _ZeroChunk):
+        return part
+    return _ZeroChunk(part.shape, part.dtype)
+
+
+_ZERO_PARTS: Dict[tuple, object] = {}
+_zero_parts_lock = threading.Lock()
+
+
+def _zero_part(shape: tuple, dtype, mesh):
+    """Process-cached all-zero device buffer with the sweep's sharding.
+    One upload per distinct (mesh, shape, dtype) for the process
+    lifetime; every later all-zero part reuses the same device memory."""
+
+    key = (
+        tuple(int(d.id) for d in mesh.devices.flat),
+        tuple(shape),
+        np.dtype(dtype).str,
+    )
+    buf = _ZERO_PARTS.get(key)
+    if buf is None:
+        with _zero_parts_lock:
+            buf = _ZERO_PARTS.get(key)
+            if buf is None:
+                arr = np.zeros(shape, dtype)
+                buf = jax.device_put(arr, data_sharding(mesh, rank=arr.ndim))
+                _ZERO_PARTS[key] = buf
+    return buf
+
 
 def _ms_chunk_ranges(n_bucket: int) -> "list[tuple[int, int]]":
     """Block-aligned [start, end) chunk ranges covering ``n_bucket``."""
 
+    if n_bucket > _MS_TIER_MIN_SAMPLES and n_bucket % _MS_CHUNK_SAMPLES == 0:
+        # tier grid: fixed-size chunks so trailing all-zero chunks share
+        # one cached device buffer across every track in the tier
+        return [
+            (s, s + _MS_CHUNK_SAMPLES)
+            for s in range(0, n_bucket, _MS_CHUNK_SAMPLES)
+        ]
     nb = n_bucket // _I8_BLOCK
     c = max(1, min(_MS_CHUNKS, nb))
     base, rem = divmod(nb, c)
@@ -771,15 +878,34 @@ def _chunk_ms_payload(
     (mid chunks..., mid_scales) — identical for mono and stereo. For
     ``bits=6`` the chunk slices are in packed-byte space (3/4 of the
     sample range; block alignment guarantees divisibility) and the
-    per-block ``bases`` ride as one extra part."""
+    per-block ``bases`` ride as one extra part.
+
+    ``mid_vals`` may cover only a PREFIX of the bucket (the quantiser
+    stops at the chunk containing the last valid sample); chunks fully
+    past it become :class:`_ZeroChunk` markers — staged as the cached
+    zero device buffer, zero upload bytes. ``mid_scales``/``bases`` are
+    zero-padded to the full bucket's block count here (zero scale
+    decodes to silence in both codings)."""
 
     ranges = _ms_chunk_ranges(n_bucket)
-    parts = tuple(
-        mid_vals[slice(*_ms_payload_bytes(s, e, bits))] for s, e in ranges
-    ) + (mid_scales,)
+    n_blocks = n_bucket // _I8_BLOCK
+    if mid_scales.shape[0] < n_blocks:
+        pad = n_blocks - mid_scales.shape[0]
+        mid_scales = np.concatenate([mid_scales, np.zeros(pad, mid_scales.dtype)])
+        if bases is not None:
+            bases = np.concatenate([bases, np.zeros(pad, bases.dtype)])
+    covered = len(mid_vals)
+    parts = []
+    for s, e in ranges:
+        pb, pe = _ms_payload_bytes(s, e, bits)
+        if pb >= covered:
+            parts.append(_ZeroChunk((pe - pb,), mid_vals.dtype))
+        else:
+            parts.append(mid_vals[pb:pe])
+    parts.append(mid_scales)
     if bits == 6:
-        parts = parts + (bases,)
-    return parts
+        parts.append(bases)
+    return tuple(parts)
 
 
 def _stage_payload_ms(
@@ -796,13 +922,19 @@ def _stage_payload_ms(
     channels = _source_channels(audio)
     if channels.ndim == 1:
         channels = channels[None, :]
+    # Quantise only through the chunk holding the last valid sample —
+    # trailing tier chunks are pure padding and become _ZeroChunk markers
+    # in _chunk_ms_payload (no quantise work, no host buffer, no upload).
+    qlen = next(
+        (e for _s, e in _ms_chunk_ranges(n_bucket) if e >= n), n_bucket
+    )
     try:
         from ..native import binding as native_binding
 
         kernel = (
             native_binding.quantise_mid6 if bits == 6 else native_binding.quantise_mid
         )
-        native = kernel(channels, n_bucket, _I8_BLOCK)
+        native = kernel(channels, qlen, _I8_BLOCK)
     except Exception:
         native = None
     bases = None
@@ -816,10 +948,10 @@ def _stage_payload_ms(
         # + f64 stereo sums), just not fused into one pass.
         if bits == 6:
             mid_vals, mid_scales, bases, stats, _carry = _quantise_mid6_range(
-                channels, n, 0, n_bucket
+                channels, n, 0, qlen
             )
         else:
-            mid_vals, mid_scales, stats = _quantise_mid_range(channels, n, 0, n_bucket)
+            mid_vals, mid_scales, stats = _quantise_mid_range(channels, n, 0, qlen)
     widths = None
     if audio.stereo_samples is not None:
         widths = _host_stereo_widths(channels, audio.sample_rate)
@@ -976,9 +1108,34 @@ def _put_batched(arr: np.ndarray):
     return jax.device_put(batched, data_sharding(_single_mesh(), rank=batched.ndim))
 
 
-def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8):
+@partial(jax.jit, static_argnames=("lanes",))
+def _pad_lanes(parts: tuple, *, lanes: int) -> tuple:
+    """Grow batch-of-1 payload parts to ``lanes`` with DEVICE-side zero
+    lanes — no host bytes ship for the padding (zero scales decode to
+    silence), so a single track can dispatch through an
+    analyse_library(device_batch=N) sweep's executable without paying N
+    uploads. A tiny graph that compiles in seconds, vs minutes for a
+    second full analysis executable on the relay."""
+
+    return tuple(
+        jnp.pad(p, [(0, lanes - 1)] + [(0, 0)] * (p.ndim - 1)) for p in parts
+    )
+
+
+@jax.jit
+def _lane0(out: tuple) -> tuple:
+    """Slice lane 0 of every output buffer ON DEVICE, so a single-track
+    dispatch through a multi-lane executable reads back one lane's bytes."""
+
+    return tuple(x[:1] for x in out)
+
+
+def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8, lanes: int = 1):
     """Single-track "ms"/"ms6" dispatch through the BATCHED executable
-    (batch of 1 on a one-device mesh).
+    (``lanes`` tracks per dispatch on a one-device mesh; the padding
+    lanes are created on device and sliced off before readback, so a
+    single track shares an analyse_library(device_batch=lanes)
+    executable at batch-1 upload/readback cost).
 
     The mid payload uploads as block-aligned chunks on the 2-stream
     pool; without the native kernel, chunk k+1 is quantised while chunk
@@ -1002,23 +1159,6 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8):
         ``carry`` threads across chunk calls); stats are per-chunk f64
         partial sums. Returns None when the kernel is unavailable."""
 
-        if s >= n:  # fully past the valid samples: all-zero padding
-            pb, pe = _ms_payload_bytes(s, e, bits)
-            nb = (e - s) // _I8_BLOCK
-            if bits == 6:
-                # raw mode, scale 0: decodes to zeros whatever the codes
-                return (
-                    np.zeros(pe - pb, np.uint8),
-                    np.zeros(nb, np.float32),
-                    np.zeros(nb, np.float32),
-                    np.zeros(8),
-                    0.0,
-                )
-            return (
-                np.zeros(pe - pb, np.int8),
-                np.zeros(nb, np.float32),
-                np.zeros(8),
-            )
         try:
             from ..native import binding as native_binding
 
@@ -1040,6 +1180,16 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8):
     stats = np.zeros(8)
     carry = 0.0
     for s, e in ranges:
+        if s >= n:  # pure padding: cached zero buffer — no quantise, no
+            # upload bytes (zero scale decodes to silence in every mode)
+            pb, pe = _ms_payload_bytes(s, e, bits)
+            nb = (e - s) // _I8_BLOCK
+            dtype = np.uint8 if bits == 6 else np.int8
+            mid_futs.append(_zero_part((1, pe - pb), dtype, _single_mesh()))
+            msc.append(np.zeros(nb, np.float32))
+            if bits == 6:
+                mbase.append(np.zeros(nb, np.float32))
+            continue
         out = _native_chunk(s, e, carry)
         if out is None:
             if bits == 6:
@@ -1059,24 +1209,32 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8):
     # Host widths overlap the uploads still in flight.
     widths = None if mono else _host_stereo_widths(channels, sr)
 
-    parts = tuple(f.result() for f in mid_futs) + (_put_batched(np.asarray(mscales)),)
+    parts = tuple(
+        f.result() if hasattr(f, "result") else f for f in mid_futs
+    ) + (_put_batched(np.asarray(mscales)),)
     if bits == 6:
         parts = parts + (_put_batched(np.concatenate(mbase)),)
-    vb = jax.device_put(np.asarray([n]), data_sharding(_single_mesh()))
+    valids = [n] + [n_bucket] * (lanes - 1)
+    vb = jax.device_put(np.asarray(valids), data_sharding(_single_mesh()))
+    if lanes > 1:
+        parts = _pad_lanes(parts, lanes=lanes)
 
     graph = _batched_graph_ms6 if bits == 6 else _batched_graph_ms
     out = graph(parts, vb, sr=sr)
-    _record_single_warm("ms6" if bits == 6 else "ms", sr, n_bucket, len(parts))
+    if lanes > 1:
+        out = _lane0(out)
+    _record_single_warm("ms6" if bits == 6 else "ms", sr, n_bucket, len(parts), lanes)
     return out, (stats, widths)
 
 
-def _record_single_warm(tag: str, sr: int, n_bucket: int, arity: int) -> None:
-    # On single-chip hosts the batch-of-1 executable IS the sweep's
-    # bucket executable (lane count 1 == the sweep's n_lane at the
-    # default device_batch=1); record it so library prewarm skips a
-    # redundant compile.
+def _record_single_warm(
+    tag: str, sr: int, n_bucket: int, arity: int, lanes: int = 1
+) -> None:
+    # On single-chip hosts the single-track executable IS the sweep's
+    # bucket executable at the same lane count (device_batch == lanes);
+    # record it so library prewarm skips a redundant compile.
     mesh_ids = tuple(int(d.id) for d in _single_mesh().devices.flat)
-    _WARMED_EXECUTABLES.add((tag, sr, mesh_ids, 1, n_bucket, arity))
+    _WARMED_EXECUTABLES.add((tag, sr, mesh_ids, lanes, n_bucket, arity))
 
 
 def _dispatch_single_batched(tag: str, graph, parts_np, n_valid: int, sr: int, n_bucket: int):
@@ -1102,6 +1260,7 @@ def analyse_track_fused(
     seed: int = DEFAULT_SEED,
     bucket: bool = True,
     transport: str = "auto",
+    device_batch: int = 1,
 ) -> TrackAnalysisResult:
     """Single-track analysis through the fused one-dispatch graph.
 
@@ -1132,13 +1291,25 @@ def analyse_track_fused(
     Every transport dispatches through the sweep's batched executable at
     batch 1, so single-track and library use share one compile per
     (transport, bucket).
+
+    ``device_batch`` (ms/ms6 only): dispatch through the executable an
+    ``analyse_library(device_batch=N)`` sweep compiles — the padding
+    lanes are created on device and sliced off before readback, so the
+    track still pays batch-1 upload/readback. Use it when mixing
+    single-track calls with batched sweeps so the pair never compiles a
+    second relay executable.
     """
 
     audio = source if isinstance(source, AudioInput) else coerce_audio(source)
     n = len(audio.samples)
-    n_bucket = bucket_length(n) if bucket else n
     if transport == "auto":
         transport = "ms"
+    if bucket:
+        # ms transports pad to the tier grid (one executable per duration
+        # tier; padding chunks are zero-cost) — see ms_bucket_length.
+        n_bucket = ms_bucket_length(n) if transport in ("ms", "ms6") else bucket_length(n)
+    else:
+        n_bucket = n
     if transport in ("ms", "ms6", "int8") and n_bucket % _I8_BLOCK:
         # Blockwise transports reshape the payload into _I8_BLOCK blocks;
         # bucket lengths always divide (hop*128 == _I8_BLOCK) but
@@ -1147,7 +1318,10 @@ def analyse_track_fused(
     host_exact = None
     if transport in ("ms", "ms6"):
         out, host_exact = _dispatch_single_ms(
-            audio, n_bucket, bits=6 if transport == "ms6" else 8
+            audio,
+            n_bucket,
+            bits=6 if transport == "ms6" else 8,
+            lanes=max(1, int(device_batch)),
         )
     elif transport == "int8":
         (vals, scales), n_valid = _stage_payload_i8(audio, n_bucket)
@@ -1172,9 +1346,9 @@ def analyse_track_fused(
     fetched = jax.device_get(out)
     # every transport dispatches the batched executable: strip batch-of-1
     fetched = tuple(np.asarray(f)[0] for f in fetched)
-    out_dict = unpack_outputs(*fetched[:3])
-    if len(fetched) > 3:
-        out_dict["net_prob"] = np.asarray(fetched[3])
+    out_dict = unpack_outputs(*fetched[:4])
+    if len(fetched) > 4:
+        out_dict["net_prob"] = np.asarray(fetched[4])
     if host_exact is not None:
         _apply_host_stereo_stats(out_dict, *host_exact)
     return result_from_graph_outputs(audio, out_dict, seed=seed)
@@ -1272,6 +1446,10 @@ def analyse_library(
     mesh = mesh or make_mesh()
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     n_lane = n_dev * max(1, int(device_batch))
+    # ms transports pad to the tier grid (one executable per duration
+    # tier, zero-cost padding chunks); other transports keep geometric
+    # buckets (payload bytes there scale with the bucket).
+    _bucket_for = ms_bucket_length if transport in ("ms", "ms6") else bucket_length
 
     done: set[str] = set()
     manifest = Path(manifest_path) if manifest_path else None
@@ -1323,7 +1501,7 @@ def analyse_library(
             # sr=target_sr, so an AudioInput at any other rate must be
             # resampled here (near-free no-op when the rate matches).
             audio = coerce_audio(src, target_sr=target_sr)
-            n_bucket = bucket_length(len(audio.samples))
+            n_bucket = _bucket_for(len(audio.samples))
             stats = None  # ms: (stereo sums, widths | None) host-exact pair
             if transport in ("ms", "ms6"):
                 payload, stats, nv = _stage_payload_ms(
@@ -1345,18 +1523,26 @@ def analyse_library(
         """Upload one chunk's payload parts (runs on the upload pool)."""
 
         _dbg("stage.start", [c[0] for c in chunk])
-        n_bucket = bucket_length(len(chunk[0][2].samples))
+        n_bucket = _bucket_for(len(chunk[0][2].samples))
         payloads = [payload for _, _, _, payload, _, _ in chunk]
         valids = [nv for _, _, _, _, nv, _ in chunk]
         n_pad = n_lane - len(payloads)
         if n_pad > 0:  # pad batch to the device count (all-zero payloads
-            # dequantise to silence for every transport: zero scales)
-            zero = tuple(np.zeros_like(p) for p in payloads[0])
+            # dequantise to silence for every transport: zero scales) —
+            # markers, so zero lanes cost no host memory or upload bytes
+            zero = tuple(_as_zero_marker(p) for p in payloads[0])
             payloads.extend([zero] * n_pad)
             valids.extend([n_bucket] * n_pad)
         staged = []
         for part in range(len(payloads[0])):
-            stacked = np.stack([p[part] for p in payloads])
+            vals = [p[part] for p in payloads]
+            if all(isinstance(v, _ZeroChunk) for v in vals):
+                z = vals[0]
+                staged.append(_zero_part((len(vals),) + z.shape, z.dtype, mesh))
+                continue
+            stacked = np.stack(
+                [v.materialise() if isinstance(v, _ZeroChunk) else v for v in vals]
+            )
             staged.append(jax.device_put(stacked, data_sharding(mesh, rank=stacked.ndim)))
         vb = jax.device_put(np.asarray(valids), data_sharding(mesh))
         _dbg("stage.done", [c[0] for c in chunk])
@@ -1390,10 +1576,10 @@ def analyse_library(
         _dbg("finish.start", [c[0] for c in chunk])
         fetched = jax.device_get(out_handle)
         _dbg("finish.fetched", [c[0] for c in chunk])
-        curves, chroma, vec = fetched[:3]
-        net = fetched[3] if len(fetched) > 3 else None
+        curves, curves_half, chroma, vec = fetched[:4]
+        net = fetched[4] if len(fetched) > 4 else None
         for k, (idx, src, audio, _payload, _nv, stats) in enumerate(chunk):
-            track_out = unpack_outputs(curves[k], chroma[k], vec[k])
+            track_out = unpack_outputs(curves[k], curves_half[k], chroma[k], vec[k])
             if net is not None:
                 track_out["net_prob"] = np.asarray(net[k])
             if stats is not None:
@@ -1476,7 +1662,7 @@ def analyse_library(
 
         try:
             idx, src, audio, payload, _nv, _stats = item
-            zero = tuple(np.zeros_like(p) for p in payload)
+            zero = tuple(_as_zero_marker(p) for p in payload)
             chunk = [(idx, src, audio, zero, len(audio.samples), None)]
             staged, vb = _stage(chunk)
             jax.block_until_ready(_batched_for(chunk)(staged, vb))
@@ -1524,6 +1710,12 @@ def analyse_library(
     def _form_chunks(flush: bool) -> None:
         for key in sorted(buckets):
             items = buckets[key]
+            # Longest-first within a bucket: lanes in one chunk then have
+            # similar valid lengths, so their all-zero tail chunks ALIGN
+            # and stage as the shared zero buffer (no upload bytes). With
+            # mixed lengths in one chunk, the short lane's zeros must
+            # ship to fill the stacked part.
+            items.sort(key=lambda it: -it[4])
             while len(items) >= n_lane or (flush and items):
                 chunk, items = items[:n_lane], items[n_lane:]
                 buckets[key] = items

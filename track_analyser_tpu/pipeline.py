@@ -54,7 +54,8 @@ def _beat_stage(audio: AudioInput) -> tuple[beats.BeatAnalysis, float]:
     env, ac = tempo._envelope_and_autocorr(y, sr, hop)
     grid, bpm = tempo.grid_and_bpm_from_env(env, ac, len(y) / float(sr), sr, hop_length=hop)
     beat_result = beats.build_beat_analysis(
-        bpm, grid["time"].to_numpy(), sr, hop_length=hop, grid=grid
+        bpm, grid["time"].to_numpy(), sr, hop_length=hop, grid=grid,
+        tracked_times=beats.tracked_times_for(audio, env, bpm, hop_length=hop),
     )
     return beat_result, bpm
 

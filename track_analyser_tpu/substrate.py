@@ -363,24 +363,46 @@ def jitted_full_track_graph(stereo, n_valid, *, sr):
 # ---------------------------------------------------------------------------
 
 _CURVE_ROWS = (
-    # Framewise rows only. Two former rows were readback dead weight on
-    # a relay link (~7% of sweep readback each): "autocorr" (the host
-    # finisher recomputes the autocorrelation in f64 from onset_env for
-    # path-bit-identity — tempo.grid_and_bpm_from_env(ac=None) — so the
-    # device row was never read, and dropping it from the pack lets XLA
-    # DCE the in-graph autocorrelation FFT), and "ltas" (1 + n_fft/2
-    # valid bins padded to the full frame width; it ships in ``vec``).
+    # Framewise rows that must stay f32 end to end. Two former rows were
+    # readback dead weight on a relay link (~7% of sweep readback each):
+    # "autocorr" (the host finisher recomputes the autocorrelation in
+    # f64 from onset_env for path-bit-identity —
+    # tempo.grid_and_bpm_from_env(ac=None) — so the device row was never
+    # read, and dropping it from the pack lets XLA DCE the in-graph
+    # autocorrelation FFT), and "ltas" (1 + n_fft/2 valid bins padded to
+    # the full frame width; it ships in ``vec``).
+    #
+    # onset_env feeds the BPM regression — f16 readback measurably
+    # breaks the fused/per-module 1e-3 BPM agreement (round-3 finding).
+    # The two dB loudness curves reach ~-120 dB on gated silence, where
+    # f16's RELATIVE step is an ABSOLUTE ~0.06 dB — outside the 2e-2
+    # curve agreement — so they stay f32 too. The two accent curves
+    # drive sequential DECISION decoders (the downbeat Viterbi and the
+    # DP beat tracker) where half-precision noise on the fused path
+    # could flip near-tie states the per-module f32 path resolves the
+    # other way; 66 KB/track buys exact cross-path agreement.
     "onset_env",
-    "novelty",
-    "energy_novelty",
-    "perc_col",
-    "harm_col",
-    "beat_energy",
-    "low_energy",
-    "centroid",
-    "rolloff",
     "short_term_db",
     "momentary_db",
+    "beat_energy",
+    "low_energy",
+)
+
+# Decision-robust rows ship at half precision (readback is ~30-45 ms of
+# relay download per track plus a sync floor; these 8 rows + the coarse
+# chroma are ~60% of the bytes). Per row the narrowest SAFE format:
+# f16 (rel ~5e-4) where values are bounded (normalised novelties; Hz
+# curves capped at Nyquist 22 050 < f16 max 65 504), bf16 (f32 range,
+# rel ~4e-3) for unbounded spectrogram-energy rows that can overflow
+# f16. Both are 16-bit; they share one uint16 buffer via bitcast and
+# the host reinterprets per row.
+_CURVE_ROWS_HALF = (
+    ("novelty", "f16"),
+    ("energy_novelty", "f16"),
+    ("centroid", "f16"),
+    ("rolloff", "f16"),
+    ("perc_col", "bf16"),
+    ("harm_col", "bf16"),
 )
 _SCALARS = (
     "f_valid",
@@ -399,19 +421,30 @@ _SCALARS = (
 
 
 def pack_outputs(out: Dict[str, jnp.ndarray]) -> tuple:
-    """(curves (11, W), chroma_coarse (12, F/4), vec) — 3 buffers instead
-    of ~20. The chroma ships on its native cq_hop grid (the device-side
-    repeat to hop resolution is pure redundancy — 4x the bytes for zero
+    """(curves (3, W) f32, curves_half (8, W) uint16, chroma_coarse
+    (12, F/4) f16, vec f32) — 4 buffers instead of ~20, with
+    decision-robust rows at half precision (see _CURVE_ROWS_HALF). The
+    chroma ships on its native cq_hop grid (the device-side repeat to
+    hop resolution is pure redundancy — 4x the bytes for zero
     information); unpack_outputs repeats on host, bit-identically. The
     short LTAS vector (1 + n_fft/2 bins) rides in ``vec`` instead of a
     frame-width row that would be ~94% padding."""
 
-    width = max(int(out[name].shape[-1]) for name in _CURVE_ROWS)
-    rows = [
-        jnp.pad(out[name].astype(jnp.float32), (0, width - out[name].shape[-1]))
-        for name in _CURVE_ROWS
-    ]
-    curves = jnp.stack(rows)
+    width = max(
+        max(int(out[name].shape[-1]) for name in _CURVE_ROWS),
+        max(int(out[name].shape[-1]) for name, _ in _CURVE_ROWS_HALF),
+    )
+
+    def _padded(name: str) -> jnp.ndarray:
+        x = out[name].astype(jnp.float32)
+        return jnp.pad(x, (0, width - x.shape[-1]))
+
+    curves = jnp.stack([_padded(name) for name in _CURVE_ROWS])
+    half_rows = []
+    for name, kind in _CURVE_ROWS_HALF:
+        h = _padded(name).astype(jnp.float16 if kind == "f16" else jnp.bfloat16)
+        half_rows.append(jax.lax.bitcast_convert_type(h, jnp.uint16))
+    curves_half = jnp.stack(half_rows)
     vec = jnp.concatenate(
         [
             jnp.stack([out[name].astype(jnp.float32) for name in _SCALARS]),
@@ -420,18 +453,33 @@ def pack_outputs(out: Dict[str, jnp.ndarray]) -> tuple:
             out["ltas"].astype(jnp.float32),
         ]
     )
-    return curves, out["chroma_cq_coarse"], vec
+    # chroma is inf-normalised per frame (values in [0, 1]): f16-safe.
+    # Key decisions do NOT ride this buffer — key_scores are computed on
+    # device in f32 and ship in vec; the chroma feeds beat-synchronous
+    # chord templates, whose margins dwarf 5e-4.
+    return curves, curves_half, out["chroma_cq_coarse"].astype(jnp.float16), vec
 
 
-def unpack_outputs(curves: np.ndarray, chroma_coarse: np.ndarray, vec: np.ndarray) -> Dict[str, np.ndarray]:
+def unpack_outputs(
+    curves: np.ndarray,
+    curves_half: np.ndarray,
+    chroma_coarse: np.ndarray,
+    vec: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    import ml_dtypes
+
     out: Dict[str, np.ndarray] = {
         name: np.asarray(curves[i]) for i, name in enumerate(_CURVE_ROWS)
     }
+    half = np.ascontiguousarray(curves_half)
+    for i, (name, kind) in enumerate(_CURVE_ROWS_HALF):
+        view = half[i].view(np.float16 if kind == "f16" else ml_dtypes.bfloat16)
+        out[name] = view.astype(np.float32)
     rep = DEFAULT_CONFIG.cq_hop // DEFAULT_CONFIG.hop_length
     total_frames = curves.shape[-1]
-    out["chroma_cq"] = np.repeat(np.asarray(chroma_coarse), rep, axis=1)[
-        :, :total_frames
-    ]
+    out["chroma_cq"] = np.repeat(
+        np.asarray(chroma_coarse).astype(np.float32), rep, axis=1
+    )[:, :total_frames]
     for i, name in enumerate(_SCALARS):
         out[name] = np.asarray(vec[i])
     out["stereo_widths"] = np.asarray(vec[len(_SCALARS) : len(_SCALARS) + 3])
