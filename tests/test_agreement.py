@@ -192,6 +192,13 @@ def test_features_fields_agree(both_paths) -> None:
         # ~46 dB SNR), so the full +-0.1 gate holds; LUFS/peak keep the
         # small extra 6-bit margins.
         ("ms6", 0.1, 0.15, 0.1),
+        # ms5's 1 024-sample scale blocks keep the PUBLISHED click-grid
+        # gates (worst BPM err 0.008, added grid error <=0.6 ms — vs
+        # ms6's accepted 3.5 ms), but on this DENSE fixture the 5-bit
+        # noise moves the regression ~0.2 BPM: its documented envelope
+        # is +-0.3 here, which is why ms6 stays the least-bytes DEFAULT
+        # and ms5 is the opt-in floor for link-starved sweeps.
+        ("ms5", 0.3, 0.15, 0.1),
     ],
 )
 def test_quantised_transport_stays_inside_decision_margins(

@@ -174,7 +174,7 @@ def test_library_mixes_mono_and_stereo_under_ms_transport() -> None:
     assert results[1].harmonic.stereo_image.balance > 0.01
 
 
-@pytest.mark.parametrize("transport", ["ms", "ms6"])
+@pytest.mark.parametrize("transport", ["ms", "ms6", "ms5"])
 def test_library_device_batch_matches_default(transport) -> None:
     """device_batch=2 packs 2*n_devices tracks per dispatch (zero-lane
     padding for the remainder); per-track results must match the
@@ -733,6 +733,7 @@ def test_ms6_chunked_carry_matches_full_pass() -> None:
         # advisor finding).
         ("ms", 98_301 / 22_050),
         ("ms6", 98_301 / 22_050),
+        ("ms5", 98_301 / 22_050),
     ],
 )
 def test_unbucketed_blockwise_transport_handles_any_length(transport, seconds) -> None:
@@ -847,3 +848,78 @@ def test_tier_grid_results_match_geometric_bucket(transport, monkeypatch) -> Non
     assert [s.start for s in tiered.structure.segments] == pytest.approx(
         [s.start for s in baseline.structure.segments], abs=1e-6
     )
+
+
+def test_ms5_pack_roundtrip_and_native_parity() -> None:
+    """The 5-bit transport's three layers must agree: the numpy encoder
+    (_quantise_mid5_range), the native kernel (ta_quantise_mid5 — must
+    match the numpy encoder BITWISE, including per-block raw/delta mode
+    choices and carry threading across chunked calls) and the device
+    unpack (_dequantise_mono_i5)."""
+
+    import jax.numpy as jnp
+
+    from track_analyser_tpu.native import binding
+    from track_analyser_tpu.parallel.batch import (
+        _MS5_BLOCK,
+        _dequantise_mono_i5,
+        _pack_i5,
+        _quantise_mid5_range,
+    )
+
+    # 8-into-5-byte pack/unpack is its own exact inverse
+    rng = np.random.default_rng(0)
+    codes = rng.integers(1, 32, 8 * 512).astype(np.uint8)
+    packed = _pack_i5(codes)
+    b = packed.reshape(-1, 5).astype(np.int32)
+    got = np.stack(
+        [
+            b[:, 0] >> 3,
+            ((b[:, 0] & 7) << 2) | (b[:, 1] >> 6),
+            (b[:, 1] >> 1) & 31,
+            ((b[:, 1] & 1) << 4) | (b[:, 2] >> 4),
+            ((b[:, 2] & 15) << 1) | (b[:, 3] >> 7),
+            (b[:, 3] >> 2) & 31,
+            ((b[:, 3] & 3) << 3) | (b[:, 4] >> 5),
+            b[:, 4] & 31,
+        ],
+        axis=-1,
+    ).reshape(-1)
+    np.testing.assert_array_equal(got, codes.astype(np.int32))
+
+    sr = 44_100
+    n = 13 * _MS5_BLOCK + 714  # non-block-multiple valid length
+    t = np.arange(n) / sr
+    x = (0.4 * np.sin(2 * math.pi * 220 * t) + 0.2 * np.sin(2 * math.pi * 553 * t)).astype(
+        np.float32
+    )
+    x[5000:5100] += 0.5  # transient: exercises the raw/delta mode choice
+    channels = x[None, :]
+    nb = 16 * _MS5_BLOCK
+
+    pk_np, sc_np, ba_np, st_np, ca_np = _quantise_mid5_range(channels, n, 0, nb)
+    nat = binding.quantise_mid5(channels, nb, _MS5_BLOCK)
+    if nat is not None:  # native tier optional; numpy is authoritative
+        pk_na, sc_na, ba_na, _st, ca_na = nat
+        np.testing.assert_array_equal(pk_np, pk_na)
+        np.testing.assert_array_equal(sc_np, sc_na)
+        np.testing.assert_array_equal(ba_np, ba_na)
+        assert ca_np == ca_na
+
+        # chunked calls with carry threading == one full pass, bitwise
+        half = 8 * _MS5_BLOCK
+        p1, s1, b1, _s, c1 = binding.quantise_mid5(
+            np.ascontiguousarray(channels[:, :half]), half, _MS5_BLOCK
+        )
+        p2, s2, b2, _s, c2 = binding.quantise_mid5(
+            np.ascontiguousarray(channels[:, half:n]), nb - half, _MS5_BLOCK, c1
+        )
+        np.testing.assert_array_equal(np.concatenate([p1, p2]), pk_np)
+        np.testing.assert_array_equal(np.concatenate([b1, b2]), ba_np)
+        assert c2 == ca_np
+
+    y = np.asarray(
+        _dequantise_mono_i5(jnp.asarray(pk_np), jnp.asarray(sc_np), jnp.asarray(ba_np))
+    )[:n]
+    snr = 10 * np.log10(np.mean(x**2) / np.mean((y - x) ** 2))
+    assert snr > 30.0, snr

@@ -125,6 +125,24 @@ def _load() -> "ctypes.CDLL | None":
                 lib.ta_has_mid6 = True
             except AttributeError:
                 lib.ta_has_mid6 = False
+            try:
+                lib.ta_quantise_mid5.restype = None
+                lib.ta_quantise_mid5.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_longlong,
+                    ctypes.c_float,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.POINTER(ctypes.c_float),
+                ]
+                lib.ta_has_mid5 = True
+            except AttributeError:
+                lib.ta_has_mid5 = False
             _lib = lib
         except OSError:
             _lib = False
@@ -343,6 +361,51 @@ def quantise_mid6(
     stats = np.empty(8, dtype=np.float64)
     carry_out = ctypes.c_float(0.0)
     lib.ta_quantise_mid6(
+        _as_c_float(channels),
+        ctypes.c_longlong(n_ch),
+        ctypes.c_longlong(n_in),
+        ctypes.c_longlong(n_bucket),
+        ctypes.c_longlong(block),
+        ctypes.c_float(carry),
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        mid_scales.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        bases.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.byref(carry_out),
+    )
+    return packed, mid_scales, bases, stats, float(carry_out.value)
+
+
+def quantise_mid5(
+    channels: np.ndarray, n_bucket: int, block: int, carry: float = 0.0
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]]:
+    """int5 variant of :func:`quantise_mid6`: 5-bit best-of raw/delta
+    codes, eight samples packed into five bytes (0.625 B per stereo
+    sample pair), per-block scales on a FINER grid (block is 1024 in
+    production — the finer scale adaptation is what keeps quiet clicks
+    inside the beat-grid gate at 5 bits). Returns (packed
+    (5*n_bucket/8,) uint8, mid_scales (n_bucket/block,) f32, bases
+    (n_bucket/block,) f32, stats (8,) f64, carry_out) or None when
+    unavailable."""
+
+    lib = _load()
+    if lib is None or not getattr(lib, "ta_has_mid5", False):
+        return None
+    if n_bucket % block or block % 8:
+        raise ValueError(
+            f"n_bucket {n_bucket} must be a multiple of block {block}, "
+            "and block a multiple of 8 (pack groups must not straddle blocks)"
+        )
+    channels = np.ascontiguousarray(channels, dtype=np.float32)
+    if channels.ndim == 1:
+        channels = channels[None, :]
+    n_ch, n_in = channels.shape
+    packed = np.empty(5 * n_bucket // 8, dtype=np.uint8)
+    mid_scales = np.empty(n_bucket // block, dtype=np.float32)
+    bases = np.empty(n_bucket // block, dtype=np.float32)
+    stats = np.empty(8, dtype=np.float64)
+    carry_out = ctypes.c_float(0.0)
+    lib.ta_quantise_mid5(
         _as_c_float(channels),
         ctypes.c_longlong(n_ch),
         ctypes.c_longlong(n_in),

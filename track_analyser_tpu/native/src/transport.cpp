@@ -401,4 +401,141 @@ void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
   out_stats[7] = sar;
 }
 
+// int5 variant of ta_quantise_mid6: codes in [-15, 15] biased to
+// [1, 31], EIGHT samples packed big-endian-bitwise into FIVE bytes —
+// 0.625 B per stereo sample pair on the wire. Blocks are multiples of 8
+// (block is 1024 in production: the finer scale grid keeps quiet
+// clicks inside the beat-grid gate at 5 bits AND pushes the per-block
+// noise-floor modulation far above the tempo range — at 4096-sample
+// blocks a pure-tone fixture's BPM read 108.5 instead of 120). Same
+// per-block best-of raw/delta-with-error-feedback coding and carry
+// threading as mid6.
+void ta_quantise_mid5(const float* in, int64_t n_ch_in, int64_t n_in,
+                      int64_t n_bucket, int64_t block, float carry_in,
+                      uint8_t* out_packed, float* out_mid_scales,
+                      float* out_bases, double* out_stats, float* out_carry) {
+  const int64_t n_blocks = n_bucket / block;
+  const float* lsrc = in;
+  const float* rsrc = n_ch_in == 2 ? in + n_in : in;
+
+  double sl = 0.0, sr = 0.0, sll = 0.0, srr = 0.0, slr = 0.0, sal = 0.0,
+         sar = 0.0;
+
+  float* mid_buf = new float[block];
+  uint8_t* raw_code = new uint8_t[block];
+  uint8_t* dlt_code = new uint8_t[block];
+  float carry = carry_in;
+
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int64_t start = b * block;
+    const int64_t valid =
+        n_in > start ? (n_in - start < block ? n_in - start : block) : 0;
+
+    float mid_peak = 0.0f;
+    float diff_peak = 0.0f;
+    float prev_m = carry;
+    for (int64_t i = 0; i < valid; ++i) {
+      const float l = lsrc[start + i];
+      const float r = rsrc[start + i];
+      const float m = 0.5f * (l + r);
+      mid_buf[i] = m;
+      const float am = std::fabs(m);
+      if (am > mid_peak) mid_peak = am;
+      const float ad = std::fabs(m - prev_m);
+      if (ad > diff_peak) diff_peak = ad;
+      prev_m = m;
+      sl += l;
+      sr += r;
+      sll += static_cast<double>(l) * l;
+      srr += static_cast<double>(r) * r;
+      slr += static_cast<double>(l) * r;
+      sal += std::fabs(l);
+      sar += std::fabs(r);
+    }
+    for (int64_t i = valid; i < block; ++i) mid_buf[i] = 0.0f;
+    if (valid > 0 && valid < block) {
+      const float ad = std::fabs(mid_buf[valid - 1]);  // step down to pad
+      if (ad > diff_peak) diff_peak = ad;
+    } else if (valid == 0) {
+      const float ad = std::fabs(carry);
+      if (ad > diff_peak) diff_peak = ad;
+    }
+
+    const float rstep = (mid_peak > 0.0f ? mid_peak : 1.0f) / 15.0f;
+    const float rinv = 15.0f / (mid_peak > 0.0f ? mid_peak : 1.0f);
+    float rerr = 0.0f;
+    for (int64_t i = 0; i < block; ++i) {
+      float v = mid_buf[i] * rinv;
+      if (v > 15.0f) v = 15.0f;
+      if (v < -15.0f) v = -15.0f;
+      const float c = nearbyintf(v);
+      raw_code[i] = static_cast<uint8_t>(c + 16.0f);
+      const float e = std::fabs(c * rstep - mid_buf[i]);
+      if (e > rerr) rerr = e;
+    }
+
+    float derr = 3.4e38f;
+    if (diff_peak > 0.0f) {
+      const float dstep = diff_peak / 15.0f;
+      const float dinv = 15.0f / diff_peak;
+      derr = 0.0f;
+      int32_t acc = 0;
+      float prev = carry;
+      for (int64_t i = 0; i < block; ++i) {
+        float v = (mid_buf[i] - prev) * dinv;
+        if (v > 15.0f) v = 15.0f;
+        if (v < -15.0f) v = -15.0f;
+        const float c = nearbyintf(v);
+        dlt_code[i] = static_cast<uint8_t>(c + 16.0f);
+        acc += static_cast<int32_t>(c);
+        prev = carry + static_cast<float>(acc) * dstep;
+        const float e = std::fabs(prev - mid_buf[i]);
+        if (e > derr) derr = e;
+      }
+    }
+
+    out_bases[b] = carry;
+    const uint8_t* codes;
+    if (diff_peak > 0.0f && derr < 0.5f * rerr) {
+      out_mid_scales[b] = -diff_peak;
+      codes = dlt_code;
+      int32_t acc = 0;
+      for (int64_t i = 0; i < block; ++i)
+        acc += static_cast<int32_t>(dlt_code[i]) - 16;
+      carry = carry + static_cast<float>(acc) * (diff_peak / 15.0f);
+    } else {
+      out_mid_scales[b] = mid_peak;
+      codes = raw_code;
+      carry = (static_cast<int32_t>(raw_code[block - 1]) - 16) * rstep *
+              (mid_peak > 0.0f ? 1.0f : 0.0f);
+    }
+
+    uint8_t* dst = out_packed + (start / 8) * 5;
+    for (int64_t g = 0; g < block; g += 8) {
+      const uint8_t c0 = codes[g], c1 = codes[g + 1], c2 = codes[g + 2],
+                    c3 = codes[g + 3], c4 = codes[g + 4], c5 = codes[g + 5],
+                    c6 = codes[g + 6], c7 = codes[g + 7];
+      dst[0] = static_cast<uint8_t>((c0 << 3) | (c1 >> 2));
+      dst[1] = static_cast<uint8_t>(((c1 & 3u) << 6) | (c2 << 1) | (c3 >> 4));
+      dst[2] = static_cast<uint8_t>(((c3 & 15u) << 4) | (c4 >> 1));
+      dst[3] = static_cast<uint8_t>(((c4 & 1u) << 7) | (c5 << 2) | (c6 >> 3));
+      dst[4] = static_cast<uint8_t>(((c6 & 7u) << 5) | c7);
+      dst += 5;
+    }
+  }
+  delete[] mid_buf;
+  delete[] raw_code;
+  delete[] dlt_code;
+
+  *out_carry = carry;
+  out_stats[0] = static_cast<double>(n_in);
+  out_stats[1] = sl;
+  out_stats[2] = sr;
+  out_stats[3] = sll;
+  out_stats[4] = srr;
+  out_stats[5] = slr;
+  out_stats[6] = sal;
+  out_stats[7] = sar;
+}
+
 }  // extern "C"

@@ -772,16 +772,39 @@ def _pack_i6(codes: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
-def _quantise_mid6_range(
-    channels: np.ndarray, n_in: int, start: int, end: int, carry: float = 0.0
+def _pack_i5(codes: np.ndarray) -> np.ndarray:
+    """Pack biased 5-bit codes (uint8 in [1, 31]) eight-into-five bytes.
+    Exact mirror of the native ta_quantise_mid5 packing and the device
+    unpack in :func:`_dequantise_mono_i5`."""
+
+    g = codes.reshape(-1, 8).astype(np.uint16)
+    out = np.empty((g.shape[0], 5), dtype=np.uint8)
+    out[:, 0] = (g[:, 0] << 3) | (g[:, 1] >> 2)
+    out[:, 1] = ((g[:, 1] & 3) << 6) | (g[:, 2] << 1) | (g[:, 3] >> 4)
+    out[:, 2] = ((g[:, 3] & 15) << 4) | (g[:, 4] >> 1)
+    out[:, 3] = ((g[:, 4] & 1) << 7) | (g[:, 5] << 2) | (g[:, 6] >> 3)
+    out[:, 4] = ((g[:, 6] & 7) << 5) | g[:, 7]
+    return out.reshape(-1)
+
+
+def _quantise_mid_subbyte_range(
+    channels: np.ndarray,
+    n_in: int,
+    start: int,
+    end: int,
+    carry: float,
+    *,
+    qmax: int,
+    block: int,
+    bias: int,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
-    """int6 analogue of :func:`_quantise_mid_range`: per block, the
-    better of raw and delta-with-error-feedback [-31, 31] codes (mode
-    rides the scale's SIGN; ``bases`` carries the reconstruction value
-    entering each block so the device decode is block-parallel), packed
-    4->3 bytes (0.75 B per stereo sample pair). Bit-identical to the
-    native ta_quantise_mid6 over the same range. Returns (packed (3L/4,)
-    uint8, mid_scales (L/B,), bases (L/B,), stats (8,), carry_out)."""
+    """Shared numpy fallback for the sub-byte mid transports (ms6/ms5):
+    per block, the better of raw and delta-with-error-feedback
+    [-qmax, qmax] codes (mode rides the scale's SIGN; ``bases`` carries
+    the reconstruction value entering each block so the device decode is
+    block-parallel). Bit-identical to the native kernels over the same
+    range. Returns (biased codes (L,) uint8 — pack separately, scales
+    (L/B,), bases (L/B,), stats (8,), carry_out)."""
 
     blocklen = end - start
     valid = int(max(0, min(n_in - start, blocklen)))
@@ -791,19 +814,19 @@ def _quantise_mid6_range(
 
     mid = np.zeros(blocklen, dtype=np.float32)
     np.multiply(np.add(l, r, dtype=np.float32), np.float32(0.5), out=mid[:valid])
-    blocks = mid.reshape(-1, _I8_BLOCK)
+    blocks = mid.reshape(-1, block)
     nb = blocks.shape[0]
     scales = np.empty(nb, np.float32)
     bases = np.empty(nb, np.float32)
-    codes_all = np.empty((nb, _I8_BLOCK), np.uint8)
+    codes_all = np.empty((nb, block), np.uint8)
     carry = np.float32(carry)
-    f31 = np.float32(31.0)
+    fq = np.float32(float(qmax))
 
     for b in range(nb):
         row = blocks[b]
-        v_here = max(0, min(valid - b * _I8_BLOCK, _I8_BLOCK))
+        v_here = max(0, min(valid - b * block, block))
         peak = np.float32(np.abs(row).max()) if v_here else np.float32(0.0)
-        if v_here >= _I8_BLOCK:
+        if v_here >= block:
             dpk = np.float32(np.abs(np.diff(row, prepend=carry)).max())
         elif v_here > 0:
             dpk = np.float32(
@@ -816,9 +839,9 @@ def _quantise_mid6_range(
             dpk = np.float32(np.abs(carry))
 
         # raw candidate (vectorised; identical f32 ops to the kernel)
-        rstep = (peak if peak > 0 else np.float32(1.0)) / f31
-        rinv = f31 / (peak if peak > 0 else np.float32(1.0))
-        rcodes = np.rint(np.clip(row * rinv, -f31, f31)).astype(np.float32)
+        rstep = (peak if peak > 0 else np.float32(1.0)) / fq
+        rinv = fq / (peak if peak > 0 else np.float32(1.0))
+        rcodes = np.rint(np.clip(row * rinv, -fq, fq)).astype(np.float32)
         rerr = np.float32(np.abs(rcodes * rstep - row).max())
 
         # delta candidate: error feedback tracked with the DECODER's law
@@ -826,15 +849,15 @@ def _quantise_mid6_range(
         # kernel is the production path; this mirrors it bit-for-bit)
         take_delta = False
         if dpk > 0:
-            dstep = dpk / f31
-            dinv = f31 / dpk
-            dcodes = np.empty(_I8_BLOCK, np.int32)
+            dstep = dpk / fq
+            dinv = fq / dpk
+            dcodes = np.empty(block, np.int32)
             derr = np.float32(0.0)
             acc = 0
             prev = carry
-            for i in range(_I8_BLOCK):
+            for i in range(block):
                 v = np.float32((row[i] - prev) * dinv)
-                c = int(np.rint(min(max(v, -f31), f31)))
+                c = int(np.rint(min(max(v, -fq), fq)))
                 dcodes[i] = c
                 acc += c
                 prev = np.float32(carry + np.float32(acc) * dstep)
@@ -846,17 +869,60 @@ def _quantise_mid6_range(
         bases[b] = carry
         if take_delta:
             scales[b] = -dpk
-            codes_all[b] = (dcodes + 32).astype(np.uint8)
-            carry = np.float32(carry + np.float32(acc) * (dpk / f31))
+            codes_all[b] = (dcodes + bias).astype(np.uint8)
+            carry = np.float32(carry + np.float32(acc) * (dpk / fq))
         else:
             scales[b] = peak
-            codes_all[b] = (rcodes + np.float32(32.0)).astype(np.uint8)
+            codes_all[b] = (rcodes + np.float32(float(bias))).astype(np.uint8)
             carry = (
                 np.float32(np.float32(rcodes[-1]) * rstep)
                 if peak > 0
                 else np.float32(0.0)
             )
-    return _pack_i6(codes_all.reshape(-1)), scales, bases, stats, float(carry)
+    return codes_all.reshape(-1), scales, bases, stats, float(carry)
+
+
+def _quantise_mid6_range(
+    channels: np.ndarray, n_in: int, start: int, end: int, carry: float = 0.0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
+    """int6 analogue of :func:`_quantise_mid_range` (numpy fallback for
+    ta_quantise_mid6): 4->3-byte packed best-of raw/delta codes, 0.75 B
+    per stereo sample pair."""
+
+    codes, scales, bases, stats, carry_out = _quantise_mid_subbyte_range(
+        channels, n_in, start, end, carry, qmax=31, block=_I8_BLOCK, bias=32
+    )
+    return _pack_i6(codes), scales, bases, stats, carry_out
+
+
+def _quantise_mid5_range(
+    channels: np.ndarray, n_in: int, start: int, end: int, carry: float = 0.0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
+    """int5 analogue (numpy fallback for ta_quantise_mid5): 8->5-byte
+    packed best-of raw/delta codes on the finer _MS5_BLOCK scale grid,
+    0.625 B per stereo sample pair."""
+
+    codes, scales, bases, stats, carry_out = _quantise_mid_subbyte_range(
+        channels, n_in, start, end, carry, qmax=15, block=_MS5_BLOCK, bias=16
+    )
+    return _pack_i5(codes), scales, bases, stats, carry_out
+
+
+# ms5 quantises on a FINER scale grid than the 65 536-sample _I8_BLOCK,
+# for two measured reasons: (a) at 5 bits a quiet click under a loud
+# block peak's quantisation step breaks the beat-grid gate (7.9-13.3 ms
+# worst grid error at 65 536/8 192-sample blocks vs 3.8 ms at 1 024);
+# (b) per-block mode/scale switching modulates the quantisation noise
+# floor at the BLOCK rate, and slow blocks alias into the tempo range —
+# a pure-tone+clicks fixture read 108.5 BPM instead of 120 at
+# 4 096-sample blocks (0.19 s modulation) and exactly 120.1 at 1 024
+# (46 ms — far above any beat period). Scale/base overhead at 1 024 is
+# 8 B per block = 0.78%.
+_MS5_BLOCK = 1024
+
+
+def _ms_block(bits: int) -> int:
+    return _MS5_BLOCK if bits == 5 else _I8_BLOCK
 
 
 def _ms_payload_bytes(s: int, e: int, bits: int) -> "tuple[int, int]":
@@ -864,6 +930,8 @@ def _ms_payload_bytes(s: int, e: int, bits: int) -> "tuple[int, int]":
 
     if bits == 6:
         return 3 * s // 4, 3 * e // 4
+    if bits == 5:
+        return 5 * s // 8, 5 * e // 8
     return s, e
 
 
@@ -888,7 +956,7 @@ def _chunk_ms_payload(
     decodes to silence in both codings)."""
 
     ranges = _ms_chunk_ranges(n_bucket)
-    n_blocks = n_bucket // _I8_BLOCK
+    n_blocks = n_bucket // _ms_block(bits)
     if mid_scales.shape[0] < n_blocks:
         pad = n_blocks - mid_scales.shape[0]
         mid_scales = np.concatenate([mid_scales, np.zeros(pad, mid_scales.dtype)])
@@ -903,7 +971,7 @@ def _chunk_ms_payload(
         else:
             parts.append(mid_vals[pb:pe])
     parts.append(mid_scales)
-    if bits == 6:
+    if bits in (5, 6):
         parts.append(bases)
     return tuple(parts)
 
@@ -931,15 +999,16 @@ def _stage_payload_ms(
     try:
         from ..native import binding as native_binding
 
-        kernel = (
-            native_binding.quantise_mid6 if bits == 6 else native_binding.quantise_mid
-        )
-        native = kernel(channels, qlen, _I8_BLOCK)
+        kernel = {
+            6: native_binding.quantise_mid6,
+            5: native_binding.quantise_mid5,
+        }.get(bits, native_binding.quantise_mid)
+        native = kernel(channels, qlen, _ms_block(bits))
     except Exception:
         native = None
     bases = None
     if native is not None:
-        if bits == 6:
+        if bits in (5, 6):
             mid_vals, mid_scales, bases, stats, _carry = native
         else:
             mid_vals, mid_scales, stats = native
@@ -948,6 +1017,10 @@ def _stage_payload_ms(
         # + f64 stereo sums), just not fused into one pass.
         if bits == 6:
             mid_vals, mid_scales, bases, stats, _carry = _quantise_mid6_range(
+                channels, n, 0, qlen
+            )
+        elif bits == 5:
+            mid_vals, mid_scales, bases, stats, _carry = _quantise_mid5_range(
                 channels, n, 0, qlen
             )
         else:
@@ -987,6 +1060,32 @@ def _dequantise_mono_i6(packed, scales, bases):
     n = 4 * m
     cb = codes.reshape(n // _I8_BLOCK, _I8_BLOCK)
     step = jnp.abs(scales) / 31.0
+    raw = cb.astype(jnp.float32) * step[:, None]
+    delta = bases[:, None] + jnp.cumsum(cb, axis=1).astype(jnp.float32) * step[:, None]
+    return jnp.where((scales < 0)[:, None], delta, raw).reshape(n)
+
+
+def _dequantise_mono_i5(packed, scales, bases):
+    """Unpack 8-in-5-byte biased 5-bit codes and dequantise — the exact
+    inverse of _pack_i5 / ta_quantise_mid5, on the finer _MS5_BLOCK
+    scale grid. Same mode convention as ms6: the scale's SIGN selects
+    raw (y = code * step) vs delta with error feedback (y = base +
+    int32-cumsum(code) * step, step = |scale|/15)."""
+
+    m = packed.shape[-1] // 5
+    b = packed.reshape(m, 5).astype(jnp.int32)
+    c0 = b[:, 0] >> 3
+    c1 = ((b[:, 0] & 7) << 2) | (b[:, 1] >> 6)
+    c2 = (b[:, 1] >> 1) & 31
+    c3 = ((b[:, 1] & 1) << 4) | (b[:, 2] >> 4)
+    c4 = ((b[:, 2] & 15) << 1) | (b[:, 3] >> 7)
+    c5 = (b[:, 3] >> 2) & 31
+    c6 = ((b[:, 3] & 3) << 3) | (b[:, 4] >> 5)
+    c7 = b[:, 4] & 31
+    codes = jnp.stack([c0, c1, c2, c3, c4, c5, c6, c7], axis=-1).reshape(8 * m) - 16
+    n = 8 * m
+    cb = codes.reshape(n // _MS5_BLOCK, _MS5_BLOCK)
+    step = jnp.abs(scales) / 15.0
     raw = cb.astype(jnp.float32) * step[:, None]
     delta = bases[:, None] + jnp.cumsum(cb, axis=1).astype(jnp.float32) * step[:, None]
     return jnp.where((scales < 0)[:, None], delta, raw).reshape(n)
@@ -1037,6 +1136,29 @@ def _batched_graph_ms6(parts, n_valid, *, sr):
     def one(p, nv):
         c = len(p) - 2
         y = _dequantise_mono_i6(jnp.concatenate(p[:c], axis=-1), p[c], p[c + 1])
+        return _core_graph(jnp.stack([y, y]), nv, sr=sr)
+
+    return jax.vmap(one)(parts, n_valid)
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def _batched_graph_ms5(parts, n_valid, *, sr):
+    """int5 variant of _batched_graph_ms6: 8-into-5-byte packed 5-bit mid
+    chunks on the finer _MS5_BLOCK scale grid — 0.63 B per stereo
+    sample pair incl. scale overhead, the least-bytes transport.
+    Measured margins (round-4 prototype sweeps): the PUBLISHED gates
+    hold — adversarial click grid worst BPM error 0.008 and added
+    beat-grid error <=0.6 ms (vs ms6's accepted <=3.5 ms), LUFS/
+    true-peak/key unchanged — but on a DENSE mix (chords+kicks) the
+    BPM regression sits ~0.2 off the true tempo (5-bit noise on the
+    onset envelope; ms6's extra bit is what holds the +-0.1 dense-mix
+    bound). ms5 is therefore the documented least-bytes option for
+    link-starved sweeps, NOT the default; its dense-mix BPM envelope
+    (+-0.3) is pinned in tests/test_agreement.py."""
+
+    def one(p, nv):
+        c = len(p) - 2
+        y = _dequantise_mono_i5(jnp.concatenate(p[:c], axis=-1), p[c], p[c + 1])
         return _core_graph(jnp.stack([y, y]), nv, sr=sr)
 
     return jax.vmap(one)(parts, n_valid)
@@ -1165,6 +1287,8 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8, lanes: 
             sl = np.ascontiguousarray(channels[:, s : min(e, n)])
             if bits == 6:
                 res = native_binding.quantise_mid6(sl, e - s, _I8_BLOCK, carry)
+            elif bits == 5:
+                res = native_binding.quantise_mid5(sl, e - s, _MS5_BLOCK, carry)
             else:
                 res = native_binding.quantise_mid(sl, e - s, _I8_BLOCK)
         except Exception:
@@ -1183,20 +1307,22 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8, lanes: 
         if s >= n:  # pure padding: cached zero buffer — no quantise, no
             # upload bytes (zero scale decodes to silence in every mode)
             pb, pe = _ms_payload_bytes(s, e, bits)
-            nb = (e - s) // _I8_BLOCK
-            dtype = np.uint8 if bits == 6 else np.int8
+            nb = (e - s) // _ms_block(bits)
+            dtype = np.uint8 if bits in (5, 6) else np.int8
             mid_futs.append(_zero_part((1, pe - pb), dtype, _single_mesh()))
             msc.append(np.zeros(nb, np.float32))
-            if bits == 6:
+            if bits in (5, 6):
                 mbase.append(np.zeros(nb, np.float32))
             continue
         out = _native_chunk(s, e, carry)
         if out is None:
             if bits == 6:
                 out = _quantise_mid6_range(channels, n, s, e, carry)
+            elif bits == 5:
+                out = _quantise_mid5_range(channels, n, s, e, carry)
             else:
                 out = _quantise_mid_range(channels, n, s, e)
-        if bits == 6:
+        if bits in (5, 6):
             mc, m_sc, m_b, st, carry = out
             mbase.append(m_b)
         else:
@@ -1212,18 +1338,19 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8, lanes: 
     parts = tuple(
         f.result() if hasattr(f, "result") else f for f in mid_futs
     ) + (_put_batched(np.asarray(mscales)),)
-    if bits == 6:
+    if bits in (5, 6):
         parts = parts + (_put_batched(np.concatenate(mbase)),)
     valids = [n] + [n_bucket] * (lanes - 1)
     vb = jax.device_put(np.asarray(valids), data_sharding(_single_mesh()))
     if lanes > 1:
         parts = _pad_lanes(parts, lanes=lanes)
 
-    graph = _batched_graph_ms6 if bits == 6 else _batched_graph_ms
+    graph = {6: _batched_graph_ms6, 5: _batched_graph_ms5}.get(bits, _batched_graph_ms)
+    tag = {6: "ms6", 5: "ms5"}.get(bits, "ms")
     out = graph(parts, vb, sr=sr)
     if lanes > 1:
         out = _lane0(out)
-    _record_single_warm("ms6" if bits == 6 else "ms", sr, n_bucket, len(parts), lanes)
+    _record_single_warm(tag, sr, n_bucket, len(parts), lanes)
     return out, (stats, widths)
 
 
@@ -1307,20 +1434,24 @@ def analyse_track_fused(
     if bucket:
         # ms transports pad to the tier grid (one executable per duration
         # tier; padding chunks are zero-cost) — see ms_bucket_length.
-        n_bucket = ms_bucket_length(n) if transport in ("ms", "ms6") else bucket_length(n)
+        n_bucket = (
+            ms_bucket_length(n)
+            if transport in ("ms", "ms6", "ms5")
+            else bucket_length(n)
+        )
     else:
         n_bucket = n
-    if transport in ("ms", "ms6", "int8") and n_bucket % _I8_BLOCK:
+    if transport in ("ms", "ms6", "ms5", "int8") and n_bucket % _I8_BLOCK:
         # Blockwise transports reshape the payload into _I8_BLOCK blocks;
         # bucket lengths always divide (hop*128 == _I8_BLOCK) but
         # bucket=False lengths need rounding up (padding is masked out).
         n_bucket = -(-n_bucket // _I8_BLOCK) * _I8_BLOCK
     host_exact = None
-    if transport in ("ms", "ms6"):
+    if transport in ("ms", "ms6", "ms5"):
         out, host_exact = _dispatch_single_ms(
             audio,
             n_bucket,
-            bits=6 if transport == "ms6" else 8,
+            bits={"ms6": 6, "ms5": 5}.get(transport, 8),
             lanes=max(1, int(device_batch)),
         )
     elif transport == "int8":
@@ -1449,7 +1580,9 @@ def analyse_library(
     # ms transports pad to the tier grid (one executable per duration
     # tier, zero-cost padding chunks); other transports keep geometric
     # buckets (payload bytes there scale with the bucket).
-    _bucket_for = ms_bucket_length if transport in ("ms", "ms6") else bucket_length
+    _bucket_for = (
+        ms_bucket_length if transport in ("ms", "ms6", "ms5") else bucket_length
+    )
 
     done: set[str] = set()
     manifest = Path(manifest_path) if manifest_path else None
@@ -1503,9 +1636,9 @@ def analyse_library(
             audio = coerce_audio(src, target_sr=target_sr)
             n_bucket = _bucket_for(len(audio.samples))
             stats = None  # ms: (stereo sums, widths | None) host-exact pair
-            if transport in ("ms", "ms6"):
+            if transport in ("ms", "ms6", "ms5"):
                 payload, stats, nv = _stage_payload_ms(
-                    audio, n_bucket, bits=6 if transport == "ms6" else 8
+                    audio, n_bucket, bits={"ms6": 6, "ms5": 5}.get(transport, 8)
                 )
             elif transport == "int8":
                 payload, nv = _stage_payload_i8(audio, n_bucket)
@@ -1556,6 +1689,8 @@ def analyse_library(
             return partial(_batched_graph_ms, sr=target_sr)
         if transport == "ms6":
             return partial(_batched_graph_ms6, sr=target_sr)
+        if transport == "ms5":
+            return partial(_batched_graph_ms5, sr=target_sr)
         if transport == "int8":
             return partial(_batched_graph_i8, sr=target_sr)
         return partial(_batched_graph_i16, sr=target_sr)
