@@ -168,6 +168,45 @@ def k_weighted(y: jnp.ndarray, fs: int) -> jnp.ndarray:
     return out.reshape(y.shape[:-1] + (nb * block,))[..., :n]
 
 
+def framed_energy(
+    y: jnp.ndarray, frame_length: int, hop_length: int, *, center: bool
+) -> jnp.ndarray:
+    """Per-frame energy sum(y[frame]^2) without materialising the framed
+    tensor.
+
+    ``frame_signal`` + square + reduce materialises an
+    (n_frames, frame_length) copy — for the loudness windows (0.4-3 s at
+    44.1 kHz) that is ~10-30x the signal's bytes of pure HBM traffic,
+    several times over (copy, square, reduce). When frame_length is a
+    multiple of hop_length (every loudness framing here), frame t is
+    exactly hop-chunks t..t+k-1 of the (pad-aligned) signal, so ONE pass
+    computes per-chunk energy partials and each frame is a k-term sum of
+    those. The k-term add (not a cumsum difference) keeps cancellation
+    error at float-roundoff level. Falls back to the framed tensor for
+    non-divisible layouts."""
+
+    n = y.shape[-1]
+    if frame_length % hop_length:
+        frames = frame_signal(y, frame_length, hop_length, center=center)
+        return jnp.sum(frames * frames, axis=-1)
+    k = frame_length // hop_length
+    pad = frame_length // 2 if center else 0
+    if center and pad % hop_length:
+        frames = frame_signal(y, frame_length, hop_length, center=center)
+        return jnp.sum(frames * frames, axis=-1)
+    total = 1 + n // hop_length if center else 1 + (n - frame_length) // hop_length
+    need = total - 1 + k
+    tail = need * hop_length - (pad + n)
+    yp = jnp.pad(y, (pad, max(tail, 0)))[: need * hop_length]
+    part = jnp.sum(
+        jnp.square(yp.reshape(need, hop_length)), axis=-1
+    )
+    out = part[0:total]
+    for j in range(1, k):
+        out = out + part[j : j + total]
+    return out
+
+
 def integrated_lufs(
     y: jnp.ndarray,
     fs: int,
@@ -194,8 +233,7 @@ def integrated_lufs(
         z = jnp.mean(yk * yk, axis=-1, keepdims=True)
         block_ok = jnp.ones(1, dtype=bool)
     else:
-        frames = frame_signal(yk, frame_len, hop, center=False)
-        z = jnp.mean(frames * frames, axis=-1)
+        z = framed_energy(yk, frame_len, hop, center=False) / frame_len
         if n_valid is not None:
             starts = jnp.arange(z.shape[0]) * hop
             block_ok = (starts + frame_len) <= n_valid
@@ -220,8 +258,7 @@ def rms_db_curve(y: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndar
     """Sliding-window RMS in dB (reference: analysis/loudness.py:30-42 —
     centred frames, amplitude_to_db with its default 80 dB floor)."""
 
-    frames = frame_signal(y, frame_length, hop_length, center=True)
-    rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1))
+    rms = jnp.sqrt(framed_energy(y, frame_length, hop_length, center=True) / frame_length)
     return amplitude_to_db(rms + 1e-9, ref=1.0, top_db=80.0)
 
 
