@@ -528,9 +528,16 @@ _MS_CHUNKS = 4
 # the link bound) and tier-sized readback; upload stays proportional to
 # the REAL track length because fully-padding chunks ride a cached
 # all-zero device buffer (see _ZeroChunk) and cost no relay bytes.
-_MS_CHUNK_SAMPLES = 1 << 19  # 8 scale blocks; ~11.9 s at 44.1 kHz
+# Chunk size balances two relay costs (both measured): each device_put
+# pays a fixed round-trip (~0.39 MB chunks ran at ~8 MB/s effective
+# while one 8 MB put hit 63 MB/s the same minute — 2^19-sample chunks
+# made the whole sweep latency-bound), and the LAST chunk of a track
+# ships its zero tail (bigger chunks = more padding bytes, worst one
+# chunk's worth). 2^21 samples ≈ 1.6 MB of ms6 payload per put — the
+# put size the round-3 4-way chunking already validated.
+_MS_CHUNK_SAMPLES = 1 << 21  # 32 scale blocks; ~47.5 s at 44.1 kHz
 _MS_TIER_MIN_SAMPLES = 1 << 21  # ≤ this (~47.5 s): geometric buckets
-_MS_TIERS = (16, 24, 32, 48, 64, 96, 128)  # chunks per tier (190 s .. 25 min)
+_MS_TIERS = (4, 6, 8, 12, 16, 24, 32)  # chunks per tier (190 s .. 25 min)
 
 
 def ms_bucket_length(n: int) -> int:
