@@ -175,3 +175,29 @@ def test_downbeat_net_train_step_reduces_loss():
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.6, losses
+
+
+def test_short_chroma_degrades_gracefully():
+    """The decode guard admits chroma widths n_frames-1 / n_frames-2
+    (half-precision readback can trim trailing frames); the harmonic cue
+    must clip its span bounds instead of indexing past the cumsum
+    (regression: IndexError crashed whole-track analysis)."""
+
+    from track_analyser_tpu.models.downbeat import decode_from_accent
+
+    n = 16
+    sr = 22_050
+    beat_times = np.arange(n) * 0.5
+    beat_frames = (beat_times * sr / 512).astype(int)
+    n_frames = int(beat_frames[-1]) + 4
+    energy = np.full(n_frames, 0.2)
+    for i in range(0, n, 4):
+        energy[beat_frames[i]] = 1.0
+    rng = np.random.default_rng(0)
+    for trim in (0, 1, 2):
+        chroma = rng.random((12, n_frames - trim))
+        result = decode_from_accent(
+            energy, energy, beat_times, sr, chroma=chroma
+        )
+        assert result is not None
+        assert result.beat_positions[0] == 1

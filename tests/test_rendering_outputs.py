@@ -44,6 +44,7 @@ def _fake_result() -> TrackAnalysisResult:
         beat_frames=[0, 21, 43, 64],
         confidence=0.9,
         grid=None,
+        tracked_times=[0.0, 0.51, 1.02, 1.52],
     )
     downbeat = DownbeatAnalysis(
         downbeat_times=[0.0], beat_positions=[1, 2, 3, 4], source="heuristic"
@@ -120,6 +121,9 @@ def test_render_all_produces_contract_artefacts(tmp_path) -> None:
         "stereo",
     }
     assert payload["beat"]["bpm"] == 120.0
+    # additive tracked-beat block (drift-following DP beats)
+    assert payload["beat"]["tracked"]["count"] == 4
+    assert payload["beat"]["tracked"]["times"] == [0.0, 0.51, 1.02, 1.52]
     assert payload["downbeat"]["source"] == "heuristic"
     assert payload["harmonic"]["key"] == "C major"
     assert payload["structure"][0]["label"] == "A"
@@ -143,12 +147,17 @@ def test_render_all_produces_contract_artefacts(tmp_path) -> None:
         "percussive_ratio",
     ]
 
+    tracked_df = pd.read_csv(report_outputs.csv["tracked_beats"])
+    assert list(tracked_df.columns) == ["index", "time"]
+    assert tracked_df["time"].tolist() == [0.0, 0.51, 1.02, 1.52]
+
     # Plots
     for name in ("waveform_beats", "tempogram", "novelty", "ltas", "stereo_width"):
         assert report_outputs.plots[name].exists()
 
     # HTML + MIDI
     assert (tmp_path / "report.html").exists()
+    assert "tracked beats" in (tmp_path / "report.html").read_text()
     hook = (tmp_path / "hook.mid").read_bytes()
     assert hook[:4] == b"MThd"
     assert b"MTrk" in hook

@@ -234,7 +234,12 @@ def _harmonic_change_cue(
     cs = np.concatenate(
         [np.zeros((chroma.shape[0], 1)), np.cumsum(chroma, axis=1)], axis=1
     )
-    bounds = np.concatenate([[0], np.clip(beat_frames, 0, n_frames), [n_frames]])
+    # The caller's guard admits chroma a frame or two short of n_frames
+    # (half-precision readback trims trailing frames); clip every span
+    # bound to the cumsum's real width so a short chroma degrades to a
+    # slightly-truncated final span instead of an IndexError.
+    hi = min(n_frames, cs.shape[1] - 1)
+    bounds = np.concatenate([[0], np.clip(beat_frames, 0, hi), [hi]])
     bounds = np.maximum.accumulate(bounds)
     sums = cs[:, bounds[1:]] - cs[:, bounds[:-1]]  # (12, n_beats+1) span sums
     norms = np.linalg.norm(sums, axis=0)

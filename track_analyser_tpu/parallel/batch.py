@@ -552,7 +552,12 @@ def ms_bucket_length(n: int) -> int:
     for t in _MS_TIERS:
         if chunks <= t:
             return t * _MS_CHUNK_SAMPLES
-    return -(-chunks // 64) * 64 * _MS_CHUNK_SAMPLES
+    # Past the tier table (>25 min) round to multiples of 8 chunks, not
+    # 64: a ~26-min track must not pad to ~50 min of device compute and
+    # 2x tier-sized readback (upload stays real-length via _ZeroChunk
+    # either way; >25-min material is rare enough that a few more
+    # executables beat doubling every long track's readback).
+    return -(-chunks // 8) * 8 * _MS_CHUNK_SAMPLES
 
 
 class _ZeroChunk:

@@ -143,6 +143,9 @@ def _html_document(result: TrackAnalysisResult, plot_refs: Sequence[str]) -> str
         if result.downbeat
         else "no downbeat data"
     )
+    tracked = result.beat.tracked_times or ()
+    if tracked:
+        downbeats += f" · {len(tracked)} tracked beats (drift-following)"
     plots = "".join(
         f'<img class="plot" src="{html.escape(name)}" alt="{html.escape(name)}"/>'
         for name in plot_refs

@@ -106,6 +106,13 @@ def _report_dict(result: TrackAnalysisResult) -> dict:
             "bpm": result.beat.bpm,
             "confidence": result.beat.confidence,
             "count": len(result.beat.beat_times),
+            # Additive block (not in the reference schema): the
+            # drift-following DP-tracked beats (tempo.track_beats). The
+            # constant grid above stays the gated parity surface.
+            "tracked": {
+                "count": len(result.beat.tracked_times or ()),
+                "times": [float(t) for t in (result.beat.tracked_times or ())],
+            },
         },
         "downbeat": {
             "source": downbeat.source if downbeat else None,
@@ -209,7 +216,21 @@ def _write_csv_tables(result: TrackAnalysisResult, output_dir: Path) -> Dict[str
         _SECTION_COLUMNS,
         (tuple(getattr(seg, col) for col in _SECTION_COLUMNS) for seg in result.structure.segments),
     )
-    return {"beats": beats_path, "sections": sections_path}
+    tables = {"beats": beats_path, "sections": sections_path}
+
+    # Additive artefact (no reference analogue): the drift-following
+    # tracked beats. Kept out of beats.csv — its column set is the parity
+    # contract and its rows are the constant grid.
+    tracked = result.beat.tracked_times
+    if tracked:
+        tracked_path = output_dir / "tracked_beats.csv"
+        _write_rows(
+            tracked_path,
+            ("index", "time"),
+            ((i + 1, float(t)) for i, t in enumerate(tracked)),
+        )
+        tables["tracked_beats"] = tracked_path
+    return tables
 
 
 def _flag_downbeats(beat_times: np.ndarray, downbeat_times: np.ndarray) -> np.ndarray:

@@ -355,7 +355,6 @@ def track_beats(
     # passes the 5 ms click gate) — when one sits within 15% of a beat
     # period; keep the DP frame otherwise (sustained content without a
     # crisp local onset).
-    fi = frames.astype(int)
     onset_frames = onset_detect(env, sr, hop_length, backtrack=True)
     if onset_frames.size:
         of = np.asarray(onset_frames, dtype=np.float64)
