@@ -197,6 +197,151 @@ def schroeder_reverb(x: np.ndarray, sr: int, wet: float = 0.12) -> np.ndarray:
     return (1.0 - wet) * x + wet * tail
 
 
+def render_random_song(
+    seed: int,
+    sr: int = 22_050,
+    bars: int = 16,
+    meter: "int | None" = None,
+) -> tuple:
+    """Render a randomised four-stem song: key, tempo, METER (3 or 4),
+    and arrangement are drawn from ``seed`` — parameters no decoder
+    weight was ever tuned on (VERDICT r4 #4: the distribution gate).
+
+    Structure kept musical, not adversarial: kick on every beat, snares
+    on the meter's backbeats, harmony moving at BAR rate (the real-music
+    property the harmonic-change cue exists for), bass walking the
+    progression roots. Returns (stems, mix, beat_times, bar_starts,
+    meta dict with bpm/meter/transpose/arrangement draws).
+    """
+
+    rng = np.random.default_rng(seed)
+    bpm = float(rng.uniform(92.0, 132.0))
+    if meter is None:
+        meter = int(rng.choice([3, 4]))
+    transpose = int(rng.integers(-5, 7))
+    tf = 2.0 ** (transpose / 12.0)
+    beat_s = 60.0 / bpm
+    n = int(bars * meter * beat_s * sr) + int(0.5 * sr)
+    beat_times = np.arange(bars * meter) * beat_s
+    bar_starts = beat_times[::meter]
+
+    # --- drums: kick every beat; snare on the meter's backbeats --------
+    drums = np.zeros(n)
+    kick = resonant_drum("kick", int(0.25 * sr), sr, rng)
+    snare = resonant_drum("snare", int(0.18 * sr), sr, rng)
+    hat = resonant_drum("hat", int(0.06 * sr), sr, rng)
+    snare_beats = {4: (1, 3), 3: ((1,) if rng.random() < 0.5 else (1, 2))}[meter]
+    hat_eighths = bool(rng.random() < 0.4)  # else off-beats only
+    kick_g = float(rng.uniform(0.8, 1.0))
+    snare_g = float(rng.uniform(0.4, 0.6))
+    hat_g = float(rng.uniform(0.3, 0.5))
+    for bi, t in enumerate(beat_times):
+        s = int(t * sr)
+        drums[s : s + kick.size] += kick_g * kick[: n - s]
+        if bi % meter in snare_beats:
+            drums[s : s + snare.size] += snare_g * snare[: n - s]
+        offs = (0.25, 0.5, 0.75) if hat_eighths else (0.5,)
+        for off in offs:
+            hs = int((t + off * beat_s) * sr)
+            if hs < n:
+                drums[hs : hs + hat.size] += hat_g * hat[: n - hs]
+
+    # --- harmony: a walk whose ROOT moves every bar ---------------------
+    # Degrees in semitones relative to the key; quality per degree.
+    walks = [
+        ([0, -4, 3, -2], ["min", "maj", "maj", "maj"]),   # i-VI-III-VII (minor)
+        ([0, 5, 7, 5], ["maj", "maj", "maj", "maj"]),     # I-IV-V-IV (major)
+        ([0, -3, 5, 7], ["min", "maj", "maj", "maj"]),    # i-bVI.. style
+        ([0, 7, -4, 5], ["maj", "maj", "min", "maj"]),    # I-V-vi-IV
+    ]
+    walk_deg, walk_qual = walks[int(rng.integers(0, len(walks)))]
+    root_hz = 55.0 * tf  # A1 transposed
+
+    bass = np.zeros(n)
+    bass_wave = str(rng.choice(["square", "saw", "triangle"]))
+    for bar in range(bars):
+        f = root_hz * 2.0 ** (walk_deg[bar % 4] / 12.0)
+        for bi in range(meter):
+            s = int((bar * meter + bi) * beat_s * sr)
+            dur = int(0.9 * beat_s * sr)
+            if s >= n:
+                break
+            note = osc(bass_wave, f, min(dur, n - s), sr)
+            note = biquad(note, *_rbj_lowpass(400.0 * tf, 0.8, sr))
+            bass[s : s + note.size] += note * adsr(note.size, sr, 0.004, 0.08, 0.55, 0.1)
+
+    def _chord_freqs(deg: int, qual: str) -> tuple:
+        base = 220.0 * tf * 2.0 ** (deg / 12.0)
+        third = base * 2.0 ** ((3 if qual == "min" else 4) / 12.0)
+        fifth = base * 2.0 ** (7 / 12.0)
+        return (base, third, fifth)
+
+    other = np.zeros(n)
+    comp_style = str(rng.choice(["ands", "beats", "pad"]))
+    chord_wave = str(rng.choice(["saw", "organ"]))
+    for bar in range(bars):
+        freqs = _chord_freqs(walk_deg[bar % 4], walk_qual[bar % 4])
+        if comp_style == "pad":
+            s = int(bar * meter * beat_s * sr)
+            dur = int(meter * beat_s * sr)
+            if s >= n:
+                break
+            pad = sum(osc(chord_wave, f, min(dur, n - s), sr, phase0=0.13 * i) for i, f in enumerate(freqs))
+            other[s : s + pad.size] += 0.28 * pad * adsr(pad.size, sr, 0.05, 0.2, 0.7, 0.3)
+        else:
+            offs = (
+                [b + 0.5 for b in range(meter)]
+                if comp_style == "ands"
+                else list(range(meter))
+            )
+            for off in offs:
+                s = int((bar * meter + off) * beat_s * sr)
+                dur = int(0.45 * beat_s * sr)
+                if s >= n:
+                    break
+                stab = sum(osc(chord_wave, f, min(dur, n - s), sr, phase0=0.13 * i) for i, f in enumerate(freqs))
+                other[s : s + stab.size] += 0.33 * stab * adsr(stab.size, sr, 0.01, 0.1, 0.4, 0.12)
+
+    vocals = np.zeros(n)
+    has_vocals = bool(rng.random() < 0.7)
+    if has_vocals:
+        phrase_beats = 2 * meter
+        mel_deg = [0, 2, 3, 0] if walk_qual[0] == "min" else [0, 2, 4, 0]
+        melody = [220.0 * tf * 2.0 ** (d / 12.0) for d in mel_deg]
+        for bar in range(0, bars - 1, 4):
+            s = int(bar * meter * beat_s * sr)
+            dur = int(phrase_beats * beat_s * sr)
+            if s + dur > n:
+                break
+            f0 = np.concatenate(
+                [np.full(dur // len(melody), f) for f in melody]
+                + [np.full(dur - 4 * (dur // 4), melody[-1])]
+            )[:dur]
+            vocals[s : s + dur] += vocal_phrase(f0, dur, sr, ["a", "i", "o", "e"])
+
+    stems = {
+        "drums": 0.9 * drums,
+        "bass": float(rng.uniform(0.4, 0.6)) * bass / (np.max(np.abs(bass)) or 1.0),
+        "other": float(rng.uniform(0.35, 0.55)) * other / (np.max(np.abs(other)) or 1.0),
+        "vocals": (0.5 * vocals / (np.max(np.abs(vocals)) or 1.0)) if has_vocals else vocals,
+    }
+    mix = schroeder_reverb(sum(stems.values()), sr, wet=float(rng.uniform(0.06, 0.16)))
+    peak = np.max(np.abs(mix)) or 1.0
+    scale = 0.9 / peak
+    mix = (mix * scale).astype(np.float32)
+    stems = {k: (v * scale).astype(np.float32) for k, v in stems.items()}
+    meta = {
+        "bpm": bpm,
+        "meter": meter,
+        "transpose": transpose,
+        "walk": walk_deg,
+        "comp": comp_style,
+        "vocals": has_vocals,
+        "hat_eighths": hat_eighths,
+    }
+    return stems, mix, beat_times.astype(np.float64), bar_starts.astype(np.float64), meta
+
+
 def render_song(
     sr: int = 22_050,
     bpm: float = 123.0,

@@ -194,11 +194,14 @@ def test_features_fields_agree(both_paths) -> None:
         ("ms6", 0.1, 0.15, 0.1),
         # ms5's 1 024-sample scale blocks keep the PUBLISHED click-grid
         # gates (worst BPM err 0.008, added grid error <=0.6 ms — vs
-        # ms6's accepted 3.5 ms), but on this DENSE fixture the 5-bit
-        # noise moves the regression ~0.2 BPM: its documented envelope
-        # is +-0.3 here, which is why ms6 stays the least-bytes DEFAULT
-        # and ms5 is the opt-in floor for link-starved sweeps.
-        ("ms5", 0.3, 0.15, 0.1),
+        # ms6's accepted 3.5 ms), and the round-5 NOISE-SHAPED delta
+        # coding (quantiser target x[i] - 0.5*e[i-1], pushing the error
+        # spectrum toward Nyquist and out of the mel-flux bands) holds
+        # the full +-0.1 dense-mix bound this row previously pinned at
+        # +-0.3: measured 0.011 here, and the lowest p90/max
+        # perturbation of the float BPM estimate over a 24-draw random
+        # dense ensemble (scripts/sweep_ms5_shaping.py).
+        ("ms5", 0.1, 0.15, 0.1),
     ],
 )
 def test_quantised_transport_stays_inside_decision_margins(

@@ -22,7 +22,7 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
-from independent_engine import render_song  # noqa: E402
+from independent_engine import render_random_song, render_song  # noqa: E402
 from track_analyser_tpu.parallel.batch import analyse_track_fused  # noqa: E402
 from track_analyser_tpu.utils import AudioInput  # noqa: E402
 
@@ -107,3 +107,95 @@ def test_separation_beats_mixture_on_independent_material(independent_song) -> N
             mix.astype(np.float64), ref
         )
         assert delta >= floor, f"{name}: ΔSI-SDR {delta:.2f} < {floor}"
+
+
+# ---------------------------------------------------------------------------
+# Distribution gates on RANDOMISED songs (VERDICT r4 #4): the single song
+# above is regression insurance; generalisation evidence needs parameters
+# the decoder weights never saw. Twelve songs with key / tempo / METER /
+# arrangement drawn per seed (every 4th forced to 3/4; the random draws
+# add three more — the {3,4} Viterbi is exercised at meter 3 six times).
+# Decoder weights are FROZEN (harmonic cue 3.0, net checkpoints bundled);
+# nothing below was tuned on these songs. Measured distribution
+# (scripts/eval_independent_dist.py, round-5 builder session):
+#   tracked F1  median 0.965  min 0.899
+#   downbeat F1 median 0.970  min 0.788   (3/4 subset: all >= 0.938)
+#   ΔSI-SDR medians: drums +13.5  bass +6.3  other +1.4  vocals +10.7
+# ---------------------------------------------------------------------------
+
+_DIST_SEEDS = list(range(1000, 1012))
+
+
+@pytest.fixture(scope="module")
+def random_songs():
+    from track_analyser_tpu.analysis.stems import separate_stems_arrays
+
+    rows = []
+    for k, seed in enumerate(_DIST_SEEDS):
+        meter = 3 if k % 4 == 3 else None
+        stems, mix, beats, bars, meta = render_random_song(seed, sr=SR, meter=meter)
+        result = analyse_track_fused(AudioInput(samples=mix, sample_rate=SR))
+        est = separate_stems_arrays(mix, SR)
+        rows.append((stems, mix, beats, bars, meta, result, est))
+    return rows
+
+
+def test_tracked_beats_generalise_across_distribution(random_songs) -> None:
+    f1s = np.array(
+        [
+            _f1(np.asarray(r.beat.tracked_times or []), beats)
+            for _s, _m, beats, _b, _meta, r, _e in random_songs
+        ]
+    )
+    assert np.median(f1s) >= 0.95, f1s.round(3).tolist()
+    assert f1s.min() >= 0.85, f1s.round(3).tolist()
+
+
+def test_downbeats_generalise_across_distribution(random_songs) -> None:
+    f1s = np.array(
+        [
+            _f1(
+                np.asarray(r.downbeat.downbeat_times if r.downbeat else []),
+                bars,
+            )
+            for _s, _m, _beats, bars, _meta, r, _e in random_songs
+        ]
+    )
+    meters = np.array([meta["meter"] for _s, _m, _b2, _b, meta, _r, _e in random_songs])
+    assert np.median(f1s) >= 0.85, f1s.round(3).tolist()
+    assert f1s.min() >= 0.70, f1s.round(3).tolist()
+    # the 3/4 songs must decode as 3/4 (downbeats every 3 beats), not be
+    # carried by the 4/4 majority: their own median has a gate
+    m3 = f1s[meters == 3]
+    assert m3.size >= 4, meters.tolist()
+    assert np.median(m3) >= 0.90, m3.round(3).tolist()
+
+
+def test_separation_beats_mixture_across_distribution(random_songs) -> None:
+    def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
+        ref = ref - ref.mean()
+        est = est - est.mean()
+        denom = float(np.dot(ref, ref)) + 1e-12
+        proj = (float(np.dot(est, ref)) / denom) * ref
+        noise = est - proj
+        return float(
+            10.0 * np.log10((np.dot(proj, proj) + 1e-12) / (np.dot(noise, noise) + 1e-12))
+        )
+
+    deltas: dict = {"drums": [], "bass": [], "other": [], "vocals": []}
+    for stems_true, mix, _beats, _bars, _meta, _r, est in random_songs:
+        for name in deltas:
+            ref = stems_true[name].astype(np.float64)
+            if float(np.dot(ref, ref)) < 1e-9:  # silent stem (no-vocals draw)
+                continue
+            deltas[name].append(
+                si_sdr(np.asarray(est[name], np.float64), ref)
+                - si_sdr(mix.astype(np.float64), ref)
+            )
+    # median floors with margin under the measured medians
+    # (+13.5/+6.3/+1.4/+10.7); "other" has negative tails on two songs
+    # (comp stabs confusable with vocals) — the median gate is the claim.
+    floors = {"drums": 8.0, "bass": 2.0, "other": 0.0, "vocals": 3.0}
+    for name, floor in floors.items():
+        med = float(np.median(deltas[name]))
+        assert med >= floor, f"{name}: median ΔSI-SDR {med:.2f} < {floor}"

@@ -474,6 +474,17 @@ void ta_quantise_mid5(const float* in, int64_t n_ch_in, int64_t n_in,
       if (e > rerr) rerr = e;
     }
 
+    // Delta candidate with NOISE-SHAPED error feedback: the quantiser
+    // target is x[i] - 0.5 * e[i-1], so reconstruction noise follows
+    // e[i] = -0.5*e[i-1] + eps[i] — a pole at -0.5 that pushes the
+    // noise spectrum toward Nyquist, away from the mel-flux bands the
+    // BPM regression reads. Measured (scripts/sweep_ms5_shaping.py):
+    // dense-mix BPM error 0.255 -> 0.011 on the agreement fixture, and
+    // the lowest p90/max perturbation of the float BPM estimate over a
+    // 24-draw randomised dense ensemble (0.38/0.52 vs plain ms5's
+    // 0.45/0.93 and shipped ms6's 0.65/4.5); click-grid, LUFS, true-
+    // peak and key gates unchanged. Encoder-only: the decoder law and
+    // payload format are identical to the unshaped coding.
     float derr = 3.4e38f;
     if (diff_peak > 0.0f) {
       const float dstep = diff_peak / 15.0f;
@@ -481,15 +492,18 @@ void ta_quantise_mid5(const float* in, int64_t n_ch_in, int64_t n_in,
       derr = 0.0f;
       int32_t acc = 0;
       float prev = carry;
+      float e_prev = 0.0f;
       for (int64_t i = 0; i < block; ++i) {
-        float v = (mid_buf[i] - prev) * dinv;
+        const float tgt = mid_buf[i] - 0.5f * e_prev;
+        float v = (tgt - prev) * dinv;
         if (v > 15.0f) v = 15.0f;
         if (v < -15.0f) v = -15.0f;
         const float c = nearbyintf(v);
         dlt_code[i] = static_cast<uint8_t>(c + 16.0f);
         acc += static_cast<int32_t>(c);
         prev = carry + static_cast<float>(acc) * dstep;
-        const float e = std::fabs(prev - mid_buf[i]);
+        e_prev = prev - mid_buf[i];
+        const float e = std::fabs(e_prev);
         if (e > derr) derr = e;
       }
     }

@@ -587,6 +587,29 @@ def _as_zero_marker(part) -> _ZeroChunk:
 _ZERO_PARTS: Dict[tuple, object] = {}
 _zero_parts_lock = threading.Lock()
 
+# Process-wide host->device upload byte counter (bench attribution: the
+# sweep is link-bound, so cross-run headline deltas are meaningless
+# without the byte count next to the measured link bandwidth). Counts
+# REAL bytes handed to device_put — cached zero buffers count once, at
+# their first upload.
+_UPLOAD_BYTES = [0]
+_upload_bytes_lock = threading.Lock()
+
+
+def _count_upload(nbytes: int) -> None:
+    with _upload_bytes_lock:
+        _UPLOAD_BYTES[0] += int(nbytes)
+
+
+def reset_upload_bytes() -> None:
+    with _upload_bytes_lock:
+        _UPLOAD_BYTES[0] = 0
+
+
+def upload_bytes() -> int:
+    with _upload_bytes_lock:
+        return _UPLOAD_BYTES[0]
+
 
 def _zero_part(shape: tuple, dtype, mesh):
     """Process-cached all-zero device buffer with the sweep's sharding.
@@ -605,6 +628,7 @@ def _zero_part(shape: tuple, dtype, mesh):
             if buf is None:
                 arr = np.zeros(shape, dtype)
                 buf = jax.device_put(arr, data_sharding(mesh, rank=arr.ndim))
+                _count_upload(arr.nbytes)
                 _ZERO_PARTS[key] = buf
     return buf
 
@@ -809,14 +833,20 @@ def _quantise_mid_subbyte_range(
     qmax: int,
     block: int,
     bias: int,
+    shape: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, float]:
     """Shared numpy fallback for the sub-byte mid transports (ms6/ms5):
     per block, the better of raw and delta-with-error-feedback
     [-qmax, qmax] codes (mode rides the scale's SIGN; ``bases`` carries
     the reconstruction value entering each block so the device decode is
     block-parallel). Bit-identical to the native kernels over the same
-    range. Returns (biased codes (L,) uint8 — pack separately, scales
-    (L/B,), bases (L/B,), stats (8,), carry_out)."""
+    range. ``shape`` > 0 noise-shapes the delta candidate: the quantiser
+    target is x[i] - shape*e[i-1], pushing reconstruction noise toward
+    Nyquist and out of the mel-flux bands the BPM regression reads
+    (encoder-only — decoder law and payload format unchanged; see the
+    ta_quantise_mid5 kernel comment for the measurements). Returns
+    (biased codes (L,) uint8 — pack separately, scales (L/B,),
+    bases (L/B,), stats (8,), carry_out)."""
 
     blocklen = end - start
     valid = int(max(0, min(n_in - start, blocklen)))
@@ -863,17 +893,21 @@ def _quantise_mid_subbyte_range(
         if dpk > 0:
             dstep = dpk / fq
             dinv = fq / dpk
+            fshape = np.float32(shape)
             dcodes = np.empty(block, np.int32)
             derr = np.float32(0.0)
             acc = 0
             prev = carry
+            e_prev = np.float32(0.0)
             for i in range(block):
-                v = np.float32((row[i] - prev) * dinv)
+                tgt = np.float32(row[i] - fshape * e_prev)
+                v = np.float32((tgt - prev) * dinv)
                 c = int(np.rint(min(max(v, -fq), fq)))
                 dcodes[i] = c
                 acc += c
                 prev = np.float32(carry + np.float32(acc) * dstep)
-                e = np.float32(abs(prev - row[i]))
+                e_prev = np.float32(prev - row[i])
+                e = np.float32(abs(e_prev))
                 if e > derr:
                     derr = e
             take_delta = bool(derr < np.float32(0.5) * rerr)
@@ -915,7 +949,8 @@ def _quantise_mid5_range(
     0.625 B per stereo sample pair."""
 
     codes, scales, bases, stats, carry_out = _quantise_mid_subbyte_range(
-        channels, n_in, start, end, carry, qmax=15, block=_MS5_BLOCK, bias=16
+        channels, n_in, start, end, carry,
+        qmax=15, block=_MS5_BLOCK, bias=16, shape=0.5,
     )
     return _pack_i5(codes), scales, bases, stats, carry_out
 
@@ -1158,15 +1193,16 @@ def _batched_graph_ms5(parts, n_valid, *, sr):
     """int5 variant of _batched_graph_ms6: 8-into-5-byte packed 5-bit mid
     chunks on the finer _MS5_BLOCK scale grid — 0.63 B per stereo
     sample pair incl. scale overhead, the least-bytes transport.
-    Measured margins (round-4 prototype sweeps): the PUBLISHED gates
-    hold — adversarial click grid worst BPM error 0.008 and added
-    beat-grid error <=0.6 ms (vs ms6's accepted <=3.5 ms), LUFS/
-    true-peak/key unchanged — but on a DENSE mix (chords+kicks) the
-    BPM regression sits ~0.2 off the true tempo (5-bit noise on the
-    onset envelope; ms6's extra bit is what holds the +-0.1 dense-mix
-    bound). ms5 is therefore the documented least-bytes option for
-    link-starved sweeps, NOT the default; its dense-mix BPM envelope
-    (+-0.3) is pinned in tests/test_agreement.py."""
+    Measured margins: adversarial click grid worst BPM error 0.006 and
+    added beat-grid error <=1.5 ms (vs ms6's accepted <=3.5 ms), LUFS/
+    true-peak/key unchanged, and — with the round-5 noise-shaped delta
+    encoder (ta_quantise_mid5: quantiser target x[i] - 0.5*e[i-1],
+    error spectrum pushed toward Nyquist, out of the mel-flux bands the
+    BPM regression reads) — the full +-0.1 dense-mix BPM bound holds
+    (0.011 on the agreement fixture; best p90/max float-estimate
+    perturbation of every candidate incl. ms6 over a 24-draw random
+    dense ensemble, scripts/sweep_ms5_shaping.py). Every gate green at
+    -16% bytes vs ms6 makes ms5 the bench transport."""
 
     def one(p, nv):
         c = len(p) - 2
@@ -1239,6 +1275,7 @@ def _put_batched(arr: np.ndarray):
     out exactly as the library sweep stages its chunks."""
 
     batched = arr[None]
+    _count_upload(batched.nbytes)
     return jax.device_put(batched, data_sharding(_single_mesh(), rank=batched.ndim))
 
 
@@ -1254,6 +1291,15 @@ def _pad_lanes(parts: tuple, *, lanes: int) -> tuple:
     return tuple(
         jnp.pad(p, [(0, lanes - 1)] + [(0, 0)] * (p.ndim - 1)) for p in parts
     )
+
+
+@partial(jax.jit, static_argnames=("lanes",))
+def _grow_lanes(part, *, lanes: int):
+    """Grow ONE payload part to ``lanes`` with device-side zero lanes
+    (the per-part analogue of _pad_lanes, for sweep chunks whose
+    trailing lanes are all-zero — see _stage)."""
+
+    return jnp.pad(part, [(0, lanes - part.shape[0])] + [(0, 0)] * (part.ndim - 1))
 
 
 @jax.jit
@@ -1353,7 +1399,9 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8, lanes: 
     if bits in (5, 6):
         parts = parts + (_put_batched(np.concatenate(mbase)),)
     valids = [n] + [n_bucket] * (lanes - 1)
-    vb = jax.device_put(np.asarray(valids), data_sharding(_single_mesh()))
+    varr = np.asarray(valids)
+    _count_upload(varr.nbytes)
+    vb = jax.device_put(varr, data_sharding(_single_mesh()))
     if lanes > 1:
         parts = _pad_lanes(parts, lanes=lanes)
 
@@ -1386,7 +1434,9 @@ def _dispatch_single_batched(tag: str, graph, parts_np, n_valid: int, sr: int, n
 
     pool = _upload_pool()
     futs = [pool.submit(_put_batched, np.asarray(p)) for p in parts_np]
-    vb = jax.device_put(np.asarray([n_valid]), data_sharding(_single_mesh()))
+    varr = np.asarray([n_valid])
+    _count_upload(varr.nbytes)
+    vb = jax.device_put(varr, data_sharding(_single_mesh()))
     parts = tuple(f.result() for f in futs)
     out = graph(parts, vb, sr=sr)
     _record_single_warm(tag, sr, n_bucket, len(parts))
@@ -1678,6 +1728,14 @@ def analyse_library(
             zero = tuple(_as_zero_marker(p) for p in payloads[0])
             payloads.extend([zero] * n_pad)
             valids.extend([n_bucket] * n_pad)
+        # On a ONE-device mesh the lane axis is not a device axis, so
+        # trailing all-zero lanes (padding lanes of a partial chunk,
+        # zero tier chunks of the shorter tracks) need not ship: upload
+        # the real-lane prefix and grow it on device (_grow_lanes — a
+        # tiny jit, seconds to compile, vs ~1.3 MB of zero bytes per
+        # trimmed lane per part on the relay). Multi-device meshes keep
+        # the full stack: lanes map onto devices there.
+        one_device = mesh.devices.size == 1
         staged = []
         for part in range(len(payloads[0])):
             vals = [p[part] for p in payloads]
@@ -1685,11 +1743,26 @@ def analyse_library(
                 z = vals[0]
                 staged.append(_zero_part((len(vals),) + z.shape, z.dtype, mesh))
                 continue
+            keep = len(vals)
+            if one_device:
+                last_real = max(
+                    i for i, v in enumerate(vals) if not isinstance(v, _ZeroChunk)
+                )
+                keep = last_real + 1
             stacked = np.stack(
-                [v.materialise() if isinstance(v, _ZeroChunk) else v for v in vals]
+                [
+                    v.materialise() if isinstance(v, _ZeroChunk) else v
+                    for v in vals[:keep]
+                ]
             )
-            staged.append(jax.device_put(stacked, data_sharding(mesh, rank=stacked.ndim)))
-        vb = jax.device_put(np.asarray(valids), data_sharding(mesh))
+            _count_upload(stacked.nbytes)
+            buf = jax.device_put(stacked, data_sharding(mesh, rank=stacked.ndim))
+            if keep < len(vals):
+                buf = _grow_lanes(buf, lanes=len(vals))
+            staged.append(buf)
+        varr = np.asarray(valids)
+        _count_upload(varr.nbytes)
+        vb = jax.device_put(varr, data_sharding(mesh))
         _dbg("stage.done", [c[0] for c in chunk])
         return tuple(staged), vb
 
