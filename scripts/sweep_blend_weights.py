@@ -61,7 +61,10 @@ def main() -> None:
     if ckpt is None:
         raise SystemExit("no bundled separation checkpoint found — pass --init CKPT")
     print(f"checkpoint: {ckpt}", flush=True)
-    params = {k: jnp.asarray(v) for k, v in net.load_checkpoint(ckpt).items()}
+    loaded = net.load_checkpoint(ckpt)
+    dilations = net.checkpoint_dilations(loaded)
+    loaded.pop("_dilations", None)
+    params = {k: jnp.asarray(v) for k, v in loaded.items()}
 
     # per family, per stem, per weight: list of SI-SDRs
     table = {f: {s: {w: [] for w in WEIGHTS} for s in net.STEMS} for f, _, _ in FAMILIES}
@@ -71,7 +74,9 @@ def main() -> None:
             stems = synth(rng, 2.0)
             mix = stems.sum(axis=0)
             pred = np.asarray(
-                net.separate_signal(params, jnp.asarray(mix), n_samples=mix.size)
+                net.separate_signal(
+                    params, jnp.asarray(mix), n_samples=mix.size, dilations=dilations
+                )
             )
             dsp = separate_stems_arrays(mix, SR)
             for i, s in enumerate(net.STEMS):

@@ -534,13 +534,15 @@ def _transient_weight(target: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(w, (0, env.shape[-1] - w.shape[-1]), constant_values=1.0)
 
 
-def separation_loss_v2(params, mix: jnp.ndarray, stems: jnp.ndarray) -> jnp.ndarray:
+def separation_loss_v2(params, mix: jnp.ndarray, stems: jnp.ndarray, dilations=None) -> jnp.ndarray:
     from track_analyser_tpu.ops.stft import stft
 
     n = mix.shape[-1]
 
     def one(mix_i, stems_i):
-        pred = net.separate_signal.__wrapped__(params, mix_i, n_samples=n)
+        pred = net.separate_signal.__wrapped__(
+            params, mix_i, n_samples=n, dilations=dilations
+        )
         w = jax.vmap(_transient_weight)(stems_i)  # (4, n)
         wav = jnp.mean(w * jnp.abs(pred - stems_i))
         spec = 0.0
@@ -553,7 +555,7 @@ def separation_loss_v2(params, mix: jnp.ndarray, stems: jnp.ndarray) -> jnp.ndar
     return jnp.mean(jax.vmap(one)(mix, stems))
 
 
-def make_scan_trainer(batch: int, n_samples: int, chunk: int):
+def make_scan_trainer(batch: int, n_samples: int, chunk: int, dilations=None):
     """K steps inside one jitted lax.scan over a device-resident dataset."""
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -566,7 +568,9 @@ def make_scan_trainer(batch: int, n_samples: int, chunk: int):
             pick = jax.random.randint(key, (batch,), 0, n_examples)
             mix_b = mixes[pick]
             stems_b = stems[pick]
-            loss, grads = jax.value_and_grad(separation_loss_v2)(params, mix_b, stems_b)
+            loss, grads = jax.value_and_grad(separation_loss_v2)(
+                params, mix_b, stems_b, dilations
+            )
             step = step + 1
             b1, b2, eps = 0.9, 0.999, 1e-8
             m = jax.tree.map(lambda mi, g: b1 * mi + (1 - b1) * g, m, grads)
@@ -600,7 +604,7 @@ def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
     return float(10.0 * np.log10((np.dot(proj, proj) + 1e-12) / (np.dot(noise, noise) + 1e-12)))
 
 
-def evaluate(params, synth, n_examples: int, seed: int, label: str):
+def evaluate(params, synth, n_examples: int, seed: int, label: str, dilations=None):
     """Per-stem SI-SDR sweep. Reports, per stem:
 
     - neural / dsp / the per-stem serving blend SI-SDR;
@@ -623,7 +627,11 @@ def evaluate(params, synth, n_examples: int, seed: int, label: str):
         rng = np.random.default_rng(seed + k)
         stems = synth(rng, 2.0)
         mix = stems.sum(axis=0)
-        pred = np.asarray(net.separate_signal(params, jnp.asarray(mix), n_samples=mix.size))
+        pred = np.asarray(
+            net.separate_signal(
+                params, jnp.asarray(mix), n_samples=mix.size, dilations=dilations
+            )
+        )
         dsp_pred = separate_stems_arrays(mix, SR)
         for i, s in enumerate(net.STEMS):
             neural[s].append(si_sdr(pred[i], stems[i]))
@@ -668,6 +676,14 @@ def main() -> None:
     ap.add_argument("--init", type=str, default=None, help="warm-start checkpoint")
     ap.add_argument("--d-model", type=int, default=net.D_MODEL)
     ap.add_argument("--n-blocks", type=int, default=net.N_BLOCKS)
+    ap.add_argument(
+        "--dilations",
+        type=str,
+        default=None,
+        help="comma list, one per block (e.g. '1,3,9,27'): dilated time "
+        "convs for long temporal context — the v5 architecture. Stored "
+        "in the checkpoint; --init checkpoints carry their own.",
+    )
     ap.add_argument("--force-save", action="store_true")
     ap.add_argument(
         "--eval-only",
@@ -687,12 +703,15 @@ def main() -> None:
         from track_analyser_tpu.models.separation import _checkpoint_path
 
         ckpt = args.init or _checkpoint_path()
-        params_h = {k: jnp.asarray(v) for k, v in net.load_checkpoint(ckpt).items()}
-        print(f"[eval-only] checkpoint: {ckpt}", flush=True)
-        evaluate(params_h, synth_stems_v2, args.eval_examples, seed=50_000, label="held-out")
-        evaluate(params_h, synth_stems_ood, args.eval_examples, seed=90_000, label="OOD")
-        evaluate(params_h, synth_stems_ood3, args.eval_examples, seed=130_000, label="OOD3")
-        evaluate(params_h, synth_stems_ood4, args.eval_examples, seed=170_000, label="OOD4")
+        loaded = net.load_checkpoint(ckpt)
+        dil = net.checkpoint_dilations(loaded)
+        loaded.pop("_dilations", None)
+        params_h = {k: jnp.asarray(v) for k, v in loaded.items()}
+        print(f"[eval-only] checkpoint: {ckpt} dilations={dil}", flush=True)
+        evaluate(params_h, synth_stems_v2, args.eval_examples, seed=50_000, label="held-out", dilations=dil)
+        evaluate(params_h, synth_stems_ood, args.eval_examples, seed=90_000, label="OOD", dilations=dil)
+        evaluate(params_h, synth_stems_ood3, args.eval_examples, seed=130_000, label="OOD3", dilations=dil)
+        evaluate(params_h, synth_stems_ood4, args.eval_examples, seed=170_000, label="OOD4", dilations=dil)
         return
 
     rng = np.random.default_rng(args.seed)
@@ -704,17 +723,30 @@ def main() -> None:
     mixes_d = jax.device_put(mixes_all)
     stems_d = jax.device_put(stems_all)
 
+    dilations = (
+        tuple(int(x) for x in args.dilations.split(",")) if args.dilations else None
+    )
     if args.init:
-        params = {k: jnp.asarray(v) for k, v in net.load_checkpoint(args.init).items()}
-        print(f"[init] warm-start from {args.init}", flush=True)
+        loaded = net.load_checkpoint(args.init)
+        ckpt_dil = net.checkpoint_dilations(loaded)
+        loaded.pop("_dilations", None)
+        if dilations is None:
+            dilations = ckpt_dil
+        params = {k: jnp.asarray(v) for k, v in loaded.items()}
+        print(f"[init] warm-start from {args.init} dilations={dilations}", flush=True)
     else:
         params = net.init_params(
             jax.random.PRNGKey(args.seed),
             d_model=args.d_model,
             n_blocks=args.n_blocks,
         )
+        print(f"[init] fresh d_model={args.d_model} n_blocks={args.n_blocks} dilations={dilations}", flush=True)
+    if dilations is not None:
+        assert len(dilations) == sum(
+            1 for k in params if k.startswith("blk") and k.endswith("_tconv")
+        ), "one dilation per block"
     opt_state = t1.init_opt_state(params)
-    run_chunk = make_scan_trainer(args.batch, int(args.seconds * SR), args.chunk)
+    run_chunk = make_scan_trainer(args.batch, int(args.seconds * SR), args.chunk, dilations)
 
     done = 0
     t0 = time.time()
@@ -739,20 +771,20 @@ def main() -> None:
             # atomic: a kill mid-write must not corrupt the only resume
             # point this insurance exists to provide
             tmp = partial_path.with_suffix(".tmp.npz")
-            net.save_checkpoint(jax.device_get(params), tmp)
+            net.save_checkpoint(jax.device_get(params), tmp, dilations=dilations)
             os.replace(tmp, partial_path)
             last_partial = time.time()
 
     params_h = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), params)
-    ok_id = evaluate(params_h, synth_stems_v2, args.eval_examples, seed=50_000, label="held-out")
-    ok_ood = evaluate(params_h, synth_stems_ood, args.eval_examples, seed=90_000, label="OOD")
-    ok_ood3 = evaluate(params_h, synth_stems_ood3, args.eval_examples, seed=130_000, label="OOD3")
-    ok_ood4 = evaluate(params_h, synth_stems_ood4, args.eval_examples, seed=170_000, label="OOD4")
+    ok_id = evaluate(params_h, synth_stems_v2, args.eval_examples, seed=50_000, label="held-out", dilations=dilations)
+    ok_ood = evaluate(params_h, synth_stems_ood, args.eval_examples, seed=90_000, label="OOD", dilations=dilations)
+    ok_ood3 = evaluate(params_h, synth_stems_ood3, args.eval_examples, seed=130_000, label="OOD3", dilations=dilations)
+    ok_ood4 = evaluate(params_h, synth_stems_ood4, args.eval_examples, seed=170_000, label="OOD4", dilations=dilations)
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     if (ok_id and ok_ood and ok_ood3 and ok_ood4) or args.force_save:
-        net.save_checkpoint(params_h, out)
+        net.save_checkpoint(params_h, out, dilations=dilations)
         print(
             f"[save] checkpoint -> {out} (blend-beats-mixture: held-out "
             f"{ok_id}, OOD {ok_ood}, OOD3 {ok_ood3}, OOD4 {ok_ood4})"

@@ -214,6 +214,61 @@ def test_library_device_batch_matches_default(transport) -> None:
         )
 
 
+def test_one_device_sweep_trims_trailing_zero_lanes() -> None:
+    """On a ONE-device mesh (the relay case) a partial device_batch
+    group's trailing all-zero lanes are trimmed before upload and grown
+    on device (_grow_lanes): results must be identical to batch-1 and
+    the counted upload bytes must be ~half of untrimmed (2 real lanes in
+    a 4-lane group; the suite's default 8-device mesh takes the
+    full-stack path, so this pins the single-device branch)."""
+
+    import jax
+
+    from track_analyser_tpu.parallel.batch import (
+        analyse_library,
+        reset_upload_bytes,
+        upload_bytes,
+    )
+    from track_analyser_tpu.parallel.mesh import make_mesh
+    from track_analyser_tpu.utils import AudioInput
+
+    one_dev = make_mesh(devices=jax.devices()[:1])
+    sr = 22_050
+    n = int(1.4 * sr)
+    t = np.arange(n) / sr
+    tracks = []
+    for freq in (220.0, 330.0):
+        l = (0.4 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        r = (0.3 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+        tracks.append(
+            AudioInput(samples=0.5 * (l + r), sample_rate=sr, stereo_samples=np.stack([l, r]))
+        )
+
+    base = analyse_library(tracks, mesh=one_dev, device_batch=1, transport="ms5")
+    reset_upload_bytes()
+    batched = analyse_library(tracks, mesh=one_dev, device_batch=4, transport="ms5")
+    trimmed_bytes = upload_bytes()
+    for b, a in zip(batched, base):
+        assert b.beat.bpm == pytest.approx(a.beat.bpm, abs=1e-9)
+        assert b.loudness.integrated_lufs == pytest.approx(
+            a.loudness.integrated_lufs, abs=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.structure.novelty_curve),
+            np.asarray(a.structure.novelty_curve),
+            atol=1e-6,
+        )
+    # 2 real lanes of a 4-lane group: the mid payload must ship ~2/4 of
+    # the untrimmed stack (scales/bases/valids are per-group small); a
+    # generous 0.7 bound still fails if zero lanes ship again.
+    n_bucket = -(-n // 65_536) * 65_536
+    untrimmed_payload = 4 * (5 * n_bucket // 8)
+    assert trimmed_bytes < 0.7 * untrimmed_payload, (
+        trimmed_bytes,
+        untrimmed_payload,
+    )
+
+
 def test_library_prewarm_path_is_safe() -> None:
     """prewarm=True pushes a zero-payload chunk through the dispatch path
     per bucket (normally only on accelerator backends, where server-side

@@ -43,6 +43,44 @@ def test_forward_infers_depth_and_width_from_checkpoint():
         assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_dilated_forward_and_checkpoint_metadata(tmp_path):
+    """v5 plumbing: (a) dilations=None matches the explicit all-1s
+    schedule bit-for-bit (the v4 serving path must be unchanged by the
+    new argument); (b) a dilated schedule runs finite at the same
+    shapes; (c) save/load round-trips the schedule under "_dilations"
+    and checkpoint_dilations reads it without mutating params."""
+
+    n = 16_384
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(rng.normal(0, 0.1, n).astype(np.float32))
+    params = separation_net.init_params(
+        jax.random.PRNGKey(2), d_model=64, n_blocks=4
+    )
+
+    base = np.asarray(separation_net.separate_signal(params, y, n_samples=n))
+    ones = np.asarray(
+        separation_net.separate_signal(params, y, n_samples=n, dilations=(1, 1, 1, 1))
+    )
+    np.testing.assert_array_equal(base, ones)
+
+    dil = (1, 3, 9, 27)
+    out = np.asarray(
+        separation_net.separate_signal(params, y, n_samples=n, dilations=dil)
+    )
+    assert out.shape == (4, n) and np.all(np.isfinite(out))
+    # dilation must actually change the function (RF grows)
+    assert not np.array_equal(out, base)
+
+    ckpt = tmp_path / "sep_v5.npz"
+    separation_net.save_checkpoint(params, ckpt, dilations=dil)
+    loaded = separation_net.load_checkpoint(ckpt)
+    assert separation_net.checkpoint_dilations(loaded) == dil
+    loaded.pop("_dilations")
+    assert set(loaded) == set(params)
+    # a v4-era checkpoint (no metadata) reads None -> all-1s behaviour
+    assert separation_net.checkpoint_dilations(params) is None
+
+
 def test_training_reduces_loss():
     _params, losses = training.train_separation(
         steps=8, batch=2, seconds=0.5, seed=0, log_every=0

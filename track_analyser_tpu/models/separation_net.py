@@ -119,12 +119,22 @@ def _encode(params, spec: jnp.ndarray, bands) -> jnp.ndarray:
     return jnp.stack(feats, axis=1)  # (T, B, D)
 
 
-def _mixing_block(params, blk: int, h: jnp.ndarray) -> jnp.ndarray:
-    """(T, B, D): depthwise time conv + pointwise + band mixing, residual."""
+def _mixing_block(params, blk: int, h: jnp.ndarray, dil: int = 1) -> jnp.ndarray:
+    """(T, B, D): depthwise time conv + pointwise + band mixing, residual.
+
+    ``dil`` dilates the 5-tap time conv (tap spacing in frames): stacked
+    dilations grow the receptive field geometrically — the v5
+    architecture runs (1, 3, 9, 27) for ±80 frames ≈ ±0.93 s of context
+    per side, against ±2 frames per block undilated. Sustained
+    resonant-ring percussion (the OOD3 drums cell) is only separable
+    from tonal "other" content by its onset association over hundreds
+    of milliseconds; this is the architectural change VERDICT r4 #5
+    prescribed (PARITY.md's own diagnosis) rather than more capacity."""
 
     k = params[f"blk{blk}_tconv"]  # (5, D)
-    hp = jnp.pad(h, ((2, 2), (0, 0), (0, 0)))
-    conv = sum(k[j][None, None, :] * hp[j : j + h.shape[0]] for j in range(5))
+    pad = 2 * dil
+    hp = jnp.pad(h, ((pad, pad), (0, 0), (0, 0)))
+    conv = sum(k[j][None, None, :] * hp[j * dil : j * dil + h.shape[0]] for j in range(5))
     t = jax.nn.gelu(
         jnp.dot(conv, params[f"blk{blk}_tmix_w"], preferred_element_type=jnp.float32)
         + params[f"blk{blk}_tmix_b"]
@@ -141,6 +151,7 @@ def forward_masks(
     *,
     n_bands: int = 16,
     f_valid: "jnp.ndarray | None" = None,
+    dilations: "Tuple[int, ...] | None" = None,
 ) -> Dict[str, jnp.ndarray]:
     """Complex masks per stem, each (bins, T).
 
@@ -157,11 +168,14 @@ def forward_masks(
         if f_valid is None
         else (jnp.arange(spec.shape[1]) < f_valid)[:, None, None]
     )
+    n_blocks = _n_blocks(params)
+    if dilations is None:
+        dilations = (1,) * n_blocks
     h = _encode(params, spec, bands)
     if fmask is not None:
         h = jnp.where(fmask, h, 0.0)
-    for blk in range(_n_blocks(params)):
-        h = _mixing_block(params, blk, h)
+    for blk in range(n_blocks):
+        h = _mixing_block(params, blk, h, int(dilations[blk]))
         if fmask is not None:
             h = jnp.where(fmask, h, 0.0)
 
@@ -185,27 +199,29 @@ def forward_masks(
     return masks
 
 
-def _separate_body(params, y: jnp.ndarray, n_samples: int, f_valid=None) -> jnp.ndarray:
+def _separate_body(params, y: jnp.ndarray, n_samples: int, f_valid=None, dilations=None) -> jnp.ndarray:
     spec = stft(y, N_FFT, HOP)
-    masks = forward_masks(params, spec, f_valid=f_valid)
+    masks = forward_masks(params, spec, f_valid=f_valid, dilations=dilations)
     stems = [
         istft(spec * masks[s], N_FFT, HOP, n_samples, f_valid=f_valid) for s in STEMS
     ]
     return jnp.stack(stems)
 
 
-@partial(jax.jit, static_argnames=("n_samples",))
-def separate_signal(params, y: jnp.ndarray, *, n_samples: int, f_valid=None) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("n_samples", "dilations"))
+def separate_signal(params, y: jnp.ndarray, *, n_samples: int, f_valid=None, dilations=None) -> jnp.ndarray:
     """Mono signal -> (4, n_samples) stems via masked ISTFT.
 
     ``f_valid`` masks bucket padding (see :func:`forward_masks`) so
-    mixed-length serving shares one compiled executable per bucket."""
+    mixed-length serving shares one compiled executable per bucket.
+    ``dilations`` (static tuple, one per block) selects the dilated-conv
+    architecture — v5+ checkpoints carry theirs under "_dilations"."""
 
-    return _separate_body(params, y, n_samples, f_valid)
+    return _separate_body(params, y, n_samples, f_valid, dilations)
 
 
-@partial(jax.jit, static_argnames=("n_samples",))
-def separate_signal_multi(params, y: jnp.ndarray, *, n_samples: int, f_valid=None) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("n_samples", "dilations"))
+def separate_signal_multi(params, y: jnp.ndarray, *, n_samples: int, f_valid=None, dilations=None) -> jnp.ndarray:
     """(C, n) channels -> (C, 4, n_samples) stems, one vmapped dispatch.
 
     The stereo-native serving path (analysis/stems.py): each channel is
@@ -213,11 +229,31 @@ def separate_signal_multi(params, y: jnp.ndarray, *, n_samples: int, f_valid=Non
     stereo-in/stereo-out stems
     (reference analysis/stems.py:46-57)."""
 
-    return jax.vmap(lambda ch: _separate_body(params, ch, n_samples, f_valid))(y)
+    return jax.vmap(lambda ch: _separate_body(params, ch, n_samples, f_valid, dilations))(y)
 
 
-def save_checkpoint(params: Dict[str, jnp.ndarray], path: "str | Path") -> None:
-    np.savez(path, **{k: np.asarray(v) for k, v in params.items()})
+def checkpoint_dilations(params: Dict[str, np.ndarray]) -> "Tuple[int, ...] | None":
+    """Pop-free read of a checkpoint's dilation schedule (None = all-1s).
+    Callers must EXCLUDE "_dilations" from the params pytree they pass
+    into jitted entry points (it is architecture metadata, not a
+    weight)."""
+
+    d = params.get("_dilations")
+    if d is None:
+        return None
+    return tuple(int(x) for x in np.asarray(d).reshape(-1))
+
+
+def save_checkpoint(
+    params: Dict[str, jnp.ndarray],
+    path: "str | Path",
+    *,
+    dilations: "Tuple[int, ...] | None" = None,
+) -> None:
+    arrays = {k: np.asarray(v) for k, v in params.items() if k != "_dilations"}
+    if dilations is not None:
+        arrays["_dilations"] = np.asarray(dilations, dtype=np.int64)
+    np.savez(path, **arrays)
 
 
 def load_checkpoint(path: "str | Path") -> Dict[str, np.ndarray]:
@@ -237,6 +273,8 @@ def run_from_checkpoint(
     from ..substrate import pad_to_bucket
 
     params = load_checkpoint(path)
+    dilations = checkpoint_dilations(params)
+    params.pop("_dilations", None)
     arr = np.asarray(samples, dtype=np.float32)
     n = int(arr.shape[-1])
     # Bucket-pad so mixed-length serving shares one compiled executable
@@ -248,8 +286,12 @@ def run_from_checkpoint(
     f_valid = jnp.asarray(np.int32(fv))
     if y.ndim == 2:
         out = np.asarray(
-            separate_signal_multi(params, y, n_samples=nb, f_valid=f_valid)
+            separate_signal_multi(
+                params, y, n_samples=nb, f_valid=f_valid, dilations=dilations
+            )
         )[..., :n]  # (C, 4, n)
         return {s: out[:, i] for i, s in enumerate(STEMS)}
-    out = np.asarray(separate_signal(params, y, n_samples=nb, f_valid=f_valid))[..., :n]
+    out = np.asarray(
+        separate_signal(params, y, n_samples=nb, f_valid=f_valid, dilations=dilations)
+    )[..., :n]
     return dict(zip(STEMS, out))

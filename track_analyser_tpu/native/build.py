@@ -35,6 +35,12 @@ def _compile(cxx: str, srcs, out: Path, extra=(), verbose: bool = True) -> bool:
         # bit-for-bit against the numpy fallback (see transport.cpp
         # ta_quantise_mid6); contracted a+b*c rounds differently
         "-ffp-contract=off",
+        # let gcc vectorise nearbyintf (-> vroundps, same round-to-
+        # nearest-even results) in the transport raw-candidate loops;
+        # neither flag relaxes FP arithmetic itself, so bit-parity with
+        # the numpy fallback is preserved
+        "-fno-math-errno",
+        "-fno-trapping-math",
         "-shared",
         "-fPIC",
         "-std=c++17",

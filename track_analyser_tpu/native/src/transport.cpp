@@ -28,6 +28,155 @@ inline int8_t quantise_one_i8(float x, float inv) {
   return static_cast<int8_t>(nearbyintf(v));
 }
 
+// f64 stereo sums over the valid range in ONE vector-friendly pass
+// (4-lane accumulators; summation ORDER differs from a serial loop —
+// stats are tolerance-consumed, never bit-compared, unlike the codes).
+// The sub-byte kernels previously interleaved these 7 double
+// accumulations into the per-sample quantise loop, which made the whole
+// kernel scalar; hoisting them here cut ta_quantise_mid5 from ~19 to
+// single-digit ns/sample on the 1-vCPU serving host (measured, round 5).
+inline void stereo_stats_f64(const float* l, const float* r, int64_t n,
+                             double* out_stats) {
+  double a0[4] = {0, 0, 0, 0}, a1[4] = {0, 0, 0, 0}, a2[4] = {0, 0, 0, 0},
+         a3[4] = {0, 0, 0, 0}, a4[4] = {0, 0, 0, 0}, a5[4] = {0, 0, 0, 0},
+         a6[4] = {0, 0, 0, 0};
+  int64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    for (int k = 0; k < 4; ++k) {
+      const double lv = l[i + k];
+      const double rv = r[i + k];
+      a0[k] += lv;
+      a1[k] += rv;
+      a2[k] += lv * lv;
+      a3[k] += rv * rv;
+      a4[k] += lv * rv;
+      a5[k] += std::fabs(lv);
+      a6[k] += std::fabs(rv);
+    }
+  }
+  double s0 = 0, s1 = 0, s2 = 0, s3 = 0, s4 = 0, s5 = 0, s6 = 0;
+  for (int k = 0; k < 4; ++k) {
+    s0 += a0[k];
+    s1 += a1[k];
+    s2 += a2[k];
+    s3 += a3[k];
+    s4 += a4[k];
+    s5 += a5[k];
+    s6 += a6[k];
+  }
+  for (; i < n; ++i) {
+    const double lv = l[i];
+    const double rv = r[i];
+    s0 += lv;
+    s1 += rv;
+    s2 += lv * lv;
+    s3 += rv * rv;
+    s4 += lv * rv;
+    s5 += std::fabs(lv);
+    s6 += std::fabs(rv);
+  }
+  out_stats[0] = static_cast<double>(n);
+  out_stats[1] = s0;
+  out_stats[2] = s1;
+  out_stats[3] = s2;
+  out_stats[4] = s3;
+  out_stats[5] = s4;
+  out_stats[6] = s5;
+  out_stats[7] = s6;
+}
+
+// One sub-byte block: best-of {raw, delta-with-error-feedback} codes.
+// Bit-identical to the numpy fallback (_quantise_mid_subbyte_range):
+// elementwise f32 ops in the same order; only the loop STRUCTURE is
+// rearranged for vectorisation (mid/peaks/raw are data-parallel; the
+// delta error-feedback chain stays serial — it is a true dependency).
+// ``shape`` noise-shapes the delta target (ms5 runs 0.5, ms6 runs 0).
+// Returns the block's carry-out; writes scale (sign = mode), base and
+// the SELECTED biased codes into ``codes``.
+inline float encode_subbyte_block(const float* mid, int64_t block,
+                                  int64_t valid, float carry, float fq,
+                                  float bias, float shape, float* out_scale,
+                                  float* out_base, uint8_t* codes,
+                                  uint8_t* dlt_scratch) {
+  // peaks (max reductions vectorise without -ffast-math)
+  float mid_peak = 0.0f;
+  for (int64_t i = 0; i < block; ++i) {
+    const float a = std::fabs(mid[i]);
+    if (a > mid_peak) mid_peak = a;
+  }
+  float diff_peak = 0.0f;
+  {
+    const float ad0 = std::fabs(mid[0] - carry);
+    diff_peak = ad0;
+    for (int64_t i = 1; i < valid; ++i) {
+      const float ad = std::fabs(mid[i] - mid[i - 1]);
+      if (ad > diff_peak) diff_peak = ad;
+    }
+    if (valid > 0 && valid < block) {
+      const float ad = std::fabs(mid[valid - 1]);  // step down to pad
+      if (ad > diff_peak) diff_peak = ad;
+    } else if (valid == 0) {
+      diff_peak = std::fabs(carry);
+    }
+  }
+
+  // raw candidate (elementwise; vectorises with -fno-math-errno)
+  const float rstep = (mid_peak > 0.0f ? mid_peak : 1.0f) / fq;
+  const float rinv = fq / (mid_peak > 0.0f ? mid_peak : 1.0f);
+  float rerr = 0.0f;
+  for (int64_t i = 0; i < block; ++i) {
+    float v = mid[i] * rinv;
+    if (v > fq) v = fq;
+    if (v < -fq) v = -fq;
+    const float c = nearbyintf(v);
+    codes[i] = static_cast<uint8_t>(c + bias);
+    const float e = std::fabs(c * rstep - mid[i]);
+    if (e > rerr) rerr = e;
+  }
+
+  // delta candidate: serial error-feedback chain, tracked with the
+  // DECODER's law (y = base + float(int_cumsum) * step). Early exit the
+  // moment derr reaches the selection threshold — the block will take
+  // raw either way, and the selected OUTPUT is unchanged (scratch only).
+  float derr = 3.4e38f;
+  bool take_delta = false;
+  int32_t acc = 0;
+  if (diff_peak > 0.0f) {
+    const float dstep = diff_peak / fq;
+    const float dinv = fq / diff_peak;
+    const float bar = 0.5f * rerr;
+    derr = 0.0f;
+    float prev = carry;
+    float e_prev = 0.0f;
+    int64_t i = 0;
+    for (; i < block; ++i) {
+      const float tgt = mid[i] - shape * e_prev;
+      float v = (tgt - prev) * dinv;
+      if (v > fq) v = fq;
+      if (v < -fq) v = -fq;
+      const float c = nearbyintf(v);
+      dlt_scratch[i] = static_cast<uint8_t>(c + bias);
+      acc += static_cast<int32_t>(c);
+      prev = carry + static_cast<float>(acc) * dstep;
+      e_prev = prev - mid[i];
+      const float e = std::fabs(e_prev);
+      if (e > derr) derr = e;
+      if (derr >= bar) break;  // cannot be selected any more
+    }
+    take_delta = (i == block) && (derr < bar);
+  }
+
+  *out_base = carry;
+  if (take_delta) {
+    *out_scale = -diff_peak;
+    std::memcpy(codes, dlt_scratch, block);
+    return carry + static_cast<float>(acc) * (diff_peak / fq);
+  }
+  *out_scale = mid_peak;
+  return (static_cast<int32_t>(codes[block - 1]) - static_cast<int32_t>(bias)) *
+         rstep * (mid_peak > 0.0f ? 1.0f : 0.0f);
+}
+
 }  // namespace
 
 extern "C" {
@@ -280,11 +429,10 @@ void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
   const float* lsrc = in;
   const float* rsrc = n_ch_in == 2 ? in + n_in : in;
 
-  double sl = 0.0, sr = 0.0, sll = 0.0, srr = 0.0, slr = 0.0, sal = 0.0,
-         sar = 0.0;
+  stereo_stats_f64(lsrc, rsrc, n_in, out_stats);
 
   float* mid_buf = new float[block];
-  uint8_t* raw_code = new uint8_t[block];
+  uint8_t* sel_code = new uint8_t[block];
   uint8_t* dlt_code = new uint8_t[block];
   float carry = carry_in;
 
@@ -292,94 +440,18 @@ void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
     const int64_t start = b * block;
     const int64_t valid =
         n_in > start ? (n_in - start < block ? n_in - start : block) : 0;
-
-    float mid_peak = 0.0f;
-    float diff_peak = 0.0f;
-    float prev_m = carry;
-    for (int64_t i = 0; i < valid; ++i) {
-      const float l = lsrc[start + i];
-      const float r = rsrc[start + i];
-      const float m = 0.5f * (l + r);
-      mid_buf[i] = m;
-      const float am = std::fabs(m);
-      if (am > mid_peak) mid_peak = am;
-      const float ad = std::fabs(m - prev_m);
-      if (ad > diff_peak) diff_peak = ad;
-      prev_m = m;
-      sl += l;
-      sr += r;
-      sll += static_cast<double>(l) * l;
-      srr += static_cast<double>(r) * r;
-      slr += static_cast<double>(l) * r;
-      sal += std::fabs(l);
-      sar += std::fabs(r);
-    }
+    for (int64_t i = 0; i < valid; ++i)
+      mid_buf[i] = 0.5f * (lsrc[start + i] + rsrc[start + i]);
     for (int64_t i = valid; i < block; ++i) mid_buf[i] = 0.0f;
-    if (valid > 0 && valid < block) {
-      const float ad = std::fabs(mid_buf[valid - 1]);  // step down to pad
-      if (ad > diff_peak) diff_peak = ad;
-    } else if (valid == 0) {
-      const float ad = std::fabs(carry);
-      if (ad > diff_peak) diff_peak = ad;
-    }
 
-    // raw candidate: code = rint(clip(m * 31/peak)), y = code * step
-    const float rstep = (mid_peak > 0.0f ? mid_peak : 1.0f) / 31.0f;
-    const float rinv = 31.0f / (mid_peak > 0.0f ? mid_peak : 1.0f);
-    float rerr = 0.0f;
-    for (int64_t i = 0; i < block; ++i) {
-      float v = mid_buf[i] * rinv;
-      if (v > 31.0f) v = 31.0f;
-      if (v < -31.0f) v = -31.0f;
-      const float c = nearbyintf(v);
-      raw_code[i] = static_cast<uint8_t>(c + 32.0f);
-      const float e = std::fabs(c * rstep - mid_buf[i]);
-      if (e > rerr) rerr = e;
-    }
-
-    // delta candidate (error feedback, tracked with the DECODER's law:
-    // y = base + float(int_cumsum) * step — bit-identical either side)
-    float derr = 3.4e38f;
-    if (diff_peak > 0.0f) {
-      const float dstep = diff_peak / 31.0f;
-      const float dinv = 31.0f / diff_peak;
-      derr = 0.0f;
-      int32_t acc = 0;
-      float prev = carry;
-      for (int64_t i = 0; i < block; ++i) {
-        float v = (mid_buf[i] - prev) * dinv;
-        if (v > 31.0f) v = 31.0f;
-        if (v < -31.0f) v = -31.0f;
-        const float c = nearbyintf(v);
-        dlt_code[i] = static_cast<uint8_t>(c + 32.0f);
-        acc += static_cast<int32_t>(c);
-        prev = carry + static_cast<float>(acc) * dstep;
-        const float e = std::fabs(prev - mid_buf[i]);
-        if (e > derr) derr = e;
-      }
-    }
-
-    out_bases[b] = carry;
-    const uint8_t* codes;
-    if (diff_peak > 0.0f && derr < 0.5f * rerr) {
-      out_mid_scales[b] = -diff_peak;
-      codes = dlt_code;
-      // carry = decode law at the block's last sample
-      int32_t acc = 0;
-      for (int64_t i = 0; i < block; ++i)
-        acc += static_cast<int32_t>(dlt_code[i]) - 32;
-      carry = carry + static_cast<float>(acc) * (diff_peak / 31.0f);
-    } else {
-      out_mid_scales[b] = mid_peak;
-      codes = raw_code;
-      carry = (static_cast<int32_t>(raw_code[block - 1]) - 32) * rstep *
-              (mid_peak > 0.0f ? 1.0f : 0.0f);
-    }
+    carry = encode_subbyte_block(mid_buf, block, valid, carry, 31.0f, 32.0f,
+                                 0.0f, out_mid_scales + b, out_bases + b,
+                                 sel_code, dlt_code);
 
     uint8_t* dst = out_packed + (start / 4) * 3;
     for (int64_t g = 0; g < block; g += 4) {
-      const uint8_t c0 = codes[g], c1 = codes[g + 1];
-      const uint8_t c2 = codes[g + 2], c3 = codes[g + 3];
+      const uint8_t c0 = sel_code[g], c1 = sel_code[g + 1];
+      const uint8_t c2 = sel_code[g + 2], c3 = sel_code[g + 3];
       dst[0] = static_cast<uint8_t>((c0 << 2) | (c1 >> 4));
       dst[1] = static_cast<uint8_t>(((c1 & 15u) << 4) | (c2 >> 2));
       dst[2] = static_cast<uint8_t>(((c2 & 3u) << 6) | c3);
@@ -387,18 +459,10 @@ void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
     }
   }
   delete[] mid_buf;
-  delete[] raw_code;
+  delete[] sel_code;
   delete[] dlt_code;
 
   *out_carry = carry;
-  out_stats[0] = static_cast<double>(n_in);
-  out_stats[1] = sl;
-  out_stats[2] = sr;
-  out_stats[3] = sll;
-  out_stats[4] = srr;
-  out_stats[5] = slr;
-  out_stats[6] = sal;
-  out_stats[7] = sar;
 }
 
 // int5 variant of ta_quantise_mid6: codes in [-15, 15] biased to
@@ -410,6 +474,18 @@ void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
 // blocks a pure-tone fixture's BPM read 108.5 instead of 120). Same
 // per-block best-of raw/delta-with-error-feedback coding and carry
 // threading as mid6.
+// ms5's delta candidate runs NOISE-SHAPED error feedback (shape 0.5 in
+// encode_subbyte_block): the quantiser target is x[i] - 0.5*e[i-1], so
+// reconstruction noise follows e[i] = -0.5*e[i-1] + eps[i] — a pole at
+// -0.5 that pushes the noise spectrum toward Nyquist, away from the
+// mel-flux bands the BPM regression reads. Measured
+// (scripts/sweep_ms5_shaping.py): dense-mix BPM error 0.255 -> 0.011 on
+// the agreement fixture, and the lowest p90/max perturbation of the
+// float BPM estimate over a 24-draw randomised dense ensemble
+// (0.38/0.52 vs plain ms5's 0.45/0.93 and shipped ms6's 0.65/4.5);
+// click-grid, LUFS, true-peak and key gates unchanged. Encoder-only:
+// the decoder law and payload format are identical to the unshaped
+// coding.
 void ta_quantise_mid5(const float* in, int64_t n_ch_in, int64_t n_in,
                       int64_t n_bucket, int64_t block, float carry_in,
                       uint8_t* out_packed, float* out_mid_scales,
@@ -418,11 +494,10 @@ void ta_quantise_mid5(const float* in, int64_t n_ch_in, int64_t n_in,
   const float* lsrc = in;
   const float* rsrc = n_ch_in == 2 ? in + n_in : in;
 
-  double sl = 0.0, sr = 0.0, sll = 0.0, srr = 0.0, slr = 0.0, sal = 0.0,
-         sar = 0.0;
+  stereo_stats_f64(lsrc, rsrc, n_in, out_stats);
 
   float* mid_buf = new float[block];
-  uint8_t* raw_code = new uint8_t[block];
+  uint8_t* sel_code = new uint8_t[block];
   uint8_t* dlt_code = new uint8_t[block];
   float carry = carry_in;
 
@@ -430,105 +505,19 @@ void ta_quantise_mid5(const float* in, int64_t n_ch_in, int64_t n_in,
     const int64_t start = b * block;
     const int64_t valid =
         n_in > start ? (n_in - start < block ? n_in - start : block) : 0;
-
-    float mid_peak = 0.0f;
-    float diff_peak = 0.0f;
-    float prev_m = carry;
-    for (int64_t i = 0; i < valid; ++i) {
-      const float l = lsrc[start + i];
-      const float r = rsrc[start + i];
-      const float m = 0.5f * (l + r);
-      mid_buf[i] = m;
-      const float am = std::fabs(m);
-      if (am > mid_peak) mid_peak = am;
-      const float ad = std::fabs(m - prev_m);
-      if (ad > diff_peak) diff_peak = ad;
-      prev_m = m;
-      sl += l;
-      sr += r;
-      sll += static_cast<double>(l) * l;
-      srr += static_cast<double>(r) * r;
-      slr += static_cast<double>(l) * r;
-      sal += std::fabs(l);
-      sar += std::fabs(r);
-    }
+    for (int64_t i = 0; i < valid; ++i)
+      mid_buf[i] = 0.5f * (lsrc[start + i] + rsrc[start + i]);
     for (int64_t i = valid; i < block; ++i) mid_buf[i] = 0.0f;
-    if (valid > 0 && valid < block) {
-      const float ad = std::fabs(mid_buf[valid - 1]);  // step down to pad
-      if (ad > diff_peak) diff_peak = ad;
-    } else if (valid == 0) {
-      const float ad = std::fabs(carry);
-      if (ad > diff_peak) diff_peak = ad;
-    }
 
-    const float rstep = (mid_peak > 0.0f ? mid_peak : 1.0f) / 15.0f;
-    const float rinv = 15.0f / (mid_peak > 0.0f ? mid_peak : 1.0f);
-    float rerr = 0.0f;
-    for (int64_t i = 0; i < block; ++i) {
-      float v = mid_buf[i] * rinv;
-      if (v > 15.0f) v = 15.0f;
-      if (v < -15.0f) v = -15.0f;
-      const float c = nearbyintf(v);
-      raw_code[i] = static_cast<uint8_t>(c + 16.0f);
-      const float e = std::fabs(c * rstep - mid_buf[i]);
-      if (e > rerr) rerr = e;
-    }
-
-    // Delta candidate with NOISE-SHAPED error feedback: the quantiser
-    // target is x[i] - 0.5 * e[i-1], so reconstruction noise follows
-    // e[i] = -0.5*e[i-1] + eps[i] — a pole at -0.5 that pushes the
-    // noise spectrum toward Nyquist, away from the mel-flux bands the
-    // BPM regression reads. Measured (scripts/sweep_ms5_shaping.py):
-    // dense-mix BPM error 0.255 -> 0.011 on the agreement fixture, and
-    // the lowest p90/max perturbation of the float BPM estimate over a
-    // 24-draw randomised dense ensemble (0.38/0.52 vs plain ms5's
-    // 0.45/0.93 and shipped ms6's 0.65/4.5); click-grid, LUFS, true-
-    // peak and key gates unchanged. Encoder-only: the decoder law and
-    // payload format are identical to the unshaped coding.
-    float derr = 3.4e38f;
-    if (diff_peak > 0.0f) {
-      const float dstep = diff_peak / 15.0f;
-      const float dinv = 15.0f / diff_peak;
-      derr = 0.0f;
-      int32_t acc = 0;
-      float prev = carry;
-      float e_prev = 0.0f;
-      for (int64_t i = 0; i < block; ++i) {
-        const float tgt = mid_buf[i] - 0.5f * e_prev;
-        float v = (tgt - prev) * dinv;
-        if (v > 15.0f) v = 15.0f;
-        if (v < -15.0f) v = -15.0f;
-        const float c = nearbyintf(v);
-        dlt_code[i] = static_cast<uint8_t>(c + 16.0f);
-        acc += static_cast<int32_t>(c);
-        prev = carry + static_cast<float>(acc) * dstep;
-        e_prev = prev - mid_buf[i];
-        const float e = std::fabs(e_prev);
-        if (e > derr) derr = e;
-      }
-    }
-
-    out_bases[b] = carry;
-    const uint8_t* codes;
-    if (diff_peak > 0.0f && derr < 0.5f * rerr) {
-      out_mid_scales[b] = -diff_peak;
-      codes = dlt_code;
-      int32_t acc = 0;
-      for (int64_t i = 0; i < block; ++i)
-        acc += static_cast<int32_t>(dlt_code[i]) - 16;
-      carry = carry + static_cast<float>(acc) * (diff_peak / 15.0f);
-    } else {
-      out_mid_scales[b] = mid_peak;
-      codes = raw_code;
-      carry = (static_cast<int32_t>(raw_code[block - 1]) - 16) * rstep *
-              (mid_peak > 0.0f ? 1.0f : 0.0f);
-    }
+    carry = encode_subbyte_block(mid_buf, block, valid, carry, 15.0f, 16.0f,
+                                 0.5f, out_mid_scales + b, out_bases + b,
+                                 sel_code, dlt_code);
 
     uint8_t* dst = out_packed + (start / 8) * 5;
     for (int64_t g = 0; g < block; g += 8) {
-      const uint8_t c0 = codes[g], c1 = codes[g + 1], c2 = codes[g + 2],
-                    c3 = codes[g + 3], c4 = codes[g + 4], c5 = codes[g + 5],
-                    c6 = codes[g + 6], c7 = codes[g + 7];
+      const uint8_t c0 = sel_code[g], c1 = sel_code[g + 1], c2 = sel_code[g + 2],
+                    c3 = sel_code[g + 3], c4 = sel_code[g + 4], c5 = sel_code[g + 5],
+                    c6 = sel_code[g + 6], c7 = sel_code[g + 7];
       dst[0] = static_cast<uint8_t>((c0 << 3) | (c1 >> 2));
       dst[1] = static_cast<uint8_t>(((c1 & 3u) << 6) | (c2 << 1) | (c3 >> 4));
       dst[2] = static_cast<uint8_t>(((c3 & 15u) << 4) | (c4 >> 1));
@@ -538,18 +527,10 @@ void ta_quantise_mid5(const float* in, int64_t n_ch_in, int64_t n_in,
     }
   }
   delete[] mid_buf;
-  delete[] raw_code;
+  delete[] sel_code;
   delete[] dlt_code;
 
   *out_carry = carry;
-  out_stats[0] = static_cast<double>(n_in);
-  out_stats[1] = sl;
-  out_stats[2] = sr;
-  out_stats[3] = sll;
-  out_stats[4] = srr;
-  out_stats[5] = slr;
-  out_stats[6] = sal;
-  out_stats[7] = sar;
 }
 
 }  // extern "C"
