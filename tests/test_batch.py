@@ -217,7 +217,7 @@ def test_library_device_batch_matches_default(transport) -> None:
 def test_one_device_sweep_trims_trailing_zero_lanes() -> None:
     """On a ONE-device mesh (the relay case) a partial device_batch
     group's trailing all-zero lanes are trimmed before upload and grown
-    on device (_grow_lanes): results must be identical to batch-1 and
+    on device (_grow_part): results must be identical to batch-1 and
     the counted upload bytes must be ~half of untrimmed (2 real lanes in
     a 4-lane group; the suite's default 8-device mesh takes the
     full-stack path, so this pins the single-device branch)."""
@@ -903,6 +903,99 @@ def test_tier_grid_results_match_geometric_bucket(transport, monkeypatch) -> Non
     assert [s.start for s in tiered.structure.segments] == pytest.approx(
         [s.start for s in baseline.structure.segments], abs=1e-6
     )
+
+
+@pytest.mark.parametrize("transport", ["ms6", "ms5"])
+def test_tail_granule_trim_matches_untrimmed(transport, monkeypatch) -> None:
+    """Tier-grid tracks ship their final chunk only through the last
+    valid GRANULE (_MS_TAIL_GRANULE); the tail is zero-extended on
+    device (_grow_part). Results must be identical to the geometric
+    (untrimmed) bucket, upload bytes must actually shrink, and the
+    sweep's ragged-lane stacking must handle two tracks whose straddle
+    chunks trim differently. Constants are shrunk so a short CPU
+    fixture crosses the tier threshold."""
+
+    import jax
+
+    from track_analyser_tpu.parallel import batch as batch_mod
+    from track_analyser_tpu.parallel.mesh import make_mesh
+    from track_analyser_tpu.utils import AudioInput
+
+    sr = 22_050
+    rng = np.random.default_rng(23)
+
+    def _track(seconds, freq):
+        n = int(seconds * sr)
+        t = np.arange(n) / sr
+        y = (0.3 * np.sin(2 * math.pi * freq * t)).astype(np.float32)
+        for b in np.arange(0.0, seconds, 0.5):
+            s = int(b * sr)
+            e = min(n, s + 300)
+            y[s:e] += np.exp(-np.linspace(0.0, 6.0, e - s)).astype(np.float32)
+        y += rng.normal(0, 0.003, n).astype(np.float32)
+        return AudioInput(samples=y, sample_rate=sr)
+
+    # 6.8 s / 8.0 s: after the sweep's resample to 44.1 kHz these trim
+    # to 5 and 6 granules of the 8-granule chunk (ragged lanes in one
+    # group; the stack pads to the 6-granule max — still a byte win)
+    tracks = [_track(6.8, 220.0), _track(8.0, 330.0)]
+
+    # chunk 2^19 = 8 granules of 2^16 (the smallest multiple of every
+    # transport's scale block), tier threshold 2^17: both fixtures land
+    # in the 1-chunk tier with DIFFERENT trimmed tails. A granule equal
+    # to the chunk disables trimming (the _ms_quantise_len guard), which
+    # gives the untrimmed reference through the IDENTICAL pipeline.
+    monkeypatch.setattr(batch_mod, "_MS_TIER_MIN_SAMPLES", 1 << 17)
+    monkeypatch.setattr(batch_mod, "_MS_CHUNK_SAMPLES", 1 << 19)
+    monkeypatch.setattr(batch_mod, "_MS_TIERS", (1, 2))
+    monkeypatch.setattr(batch_mod, "_MS_TAIL_GRANULE", 1 << 19)
+
+    one_dev = make_mesh(devices=jax.devices()[:1])
+    batch_mod.reset_upload_bytes()
+    base_single = batch_mod.analyse_track_fused(tracks[0], transport=transport)
+    base_single_bytes = batch_mod.upload_bytes()
+    batch_mod.reset_upload_bytes()
+    base_swept = batch_mod.analyse_library(
+        tracks, mesh=one_dev, device_batch=2, transport=transport
+    )
+    base_sweep_bytes = batch_mod.upload_bytes()
+
+    monkeypatch.setattr(batch_mod, "_MS_TAIL_GRANULE", 1 << 16)
+    n0 = len(tracks[0].samples)
+    assert batch_mod.ms_bucket_length(n0) == 1 << 19
+    q0 = batch_mod._ms_quantise_len(n0, 1 << 19)
+    assert q0 < (1 << 19)  # the fixture really trims
+
+    # single-track fused path (trim + device zero-extension)
+    batch_mod.reset_upload_bytes()
+    single = batch_mod.analyse_track_fused(tracks[0], transport=transport)
+    single_bytes = batch_mod.upload_bytes()
+    assert single.beat.bpm == pytest.approx(base_single.beat.bpm, abs=1e-12)
+    assert single.loudness.integrated_lufs == pytest.approx(
+        base_single.loudness.integrated_lufs, abs=1e-12
+    )
+    assert single.harmonic.primary_key.key == base_single.harmonic.primary_key.key
+    assert single_bytes < 0.85 * base_single_bytes, (
+        single_bytes,
+        base_single_bytes,
+    )
+
+    # sweep path: ragged straddle lanes in ONE batch group
+    batch_mod.reset_upload_bytes()
+    swept = batch_mod.analyse_library(
+        tracks, mesh=one_dev, device_batch=2, transport=transport
+    )
+    sweep_bytes = batch_mod.upload_bytes()
+    assert sweep_bytes < 0.85 * base_sweep_bytes, (sweep_bytes, base_sweep_bytes)
+    for got, want in zip(swept, base_swept):
+        assert got.beat.bpm == pytest.approx(want.beat.bpm, abs=1e-12)
+        assert got.loudness.integrated_lufs == pytest.approx(
+            want.loudness.integrated_lufs, abs=1e-12
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.structure.novelty_curve),
+            np.asarray(want.structure.novelty_curve),
+        )
 
 
 def test_ms5_pack_roundtrip_and_native_parity() -> None:

@@ -538,6 +538,16 @@ _MS_CHUNKS = 4
 _MS_CHUNK_SAMPLES = 1 << 21  # 32 scale blocks; ~47.5 s at 44.1 kHz
 _MS_TIER_MIN_SAMPLES = 1 << 21  # ≤ this (~47.5 s): geometric buckets
 _MS_TIERS = (4, 6, 8, 12, 16, 24, 32)  # chunks per tier (190 s .. 25 min)
+# On the tier grid the quantiser used to cover the track's final chunk
+# WHOLE, shipping its encoded zero tail (~16% of the r5 bench payload —
+# the stage trace's "tier chunks ship whole"). The tail is now trimmed
+# to this granule (multiple of every transport's scale block: 4x the
+# 65 536-sample ms/ms6 block, 256x the 1 024-sample ms5 block) and
+# zero-extended ON DEVICE (_grow_part — zero scales/bases decode to
+# silence in both codings, and the encoder's own pad blocks decode to
+# exact zeros too, so results are bit-identical). Granule size bounds
+# the tiny pad-executable count at 7 shipped lengths per transport.
+_MS_TAIL_GRANULE = 1 << 18  # ~5.9 s at 44.1 kHz
 
 
 def ms_bucket_length(n: int) -> int:
@@ -972,6 +982,24 @@ def _ms_block(bits: int) -> int:
     return _MS5_BLOCK if bits == 5 else _I8_BLOCK
 
 
+def _ms_quantise_len(n: int, n_bucket: int) -> int:
+    """How far the quantiser covers the bucket. On the tier grid:
+    granule-rounded past the last valid sample (the final chunk's zero
+    tail is trimmed from the upload and zero-extended on device —
+    _MS_TAIL_GRANULE). Geometric buckets: through the chunk holding the
+    last valid sample, exactly as before (small clips; trimming there
+    would mint pad executables for little byte win)."""
+
+    if n_bucket > _MS_TIER_MIN_SAMPLES and n_bucket % _MS_CHUNK_SAMPLES == 0:
+        g = _MS_TAIL_GRANULE
+        if g % _MS_CHUNK_SAMPLES == 0:  # shrunken-constant tests: granule
+            return next(  # can't subdivide the chunk — keep chunk-rounding
+                (e for _s, e in _ms_chunk_ranges(n_bucket) if e >= n), n_bucket
+            )
+        return min(-(-n // g) * g, n_bucket)
+    return next((e for _s, e in _ms_chunk_ranges(n_bucket) if e >= n), n_bucket)
+
+
 def _ms_payload_bytes(s: int, e: int, bits: int) -> "tuple[int, int]":
     """Byte range of the packed payload covering sample range [s, e)."""
 
@@ -1037,12 +1065,12 @@ def _stage_payload_ms(
     channels = _source_channels(audio)
     if channels.ndim == 1:
         channels = channels[None, :]
-    # Quantise only through the chunk holding the last valid sample —
-    # trailing tier chunks are pure padding and become _ZeroChunk markers
-    # in _chunk_ms_payload (no quantise work, no host buffer, no upload).
-    qlen = next(
-        (e for _s, e in _ms_chunk_ranges(n_bucket) if e >= n), n_bucket
-    )
+    # Quantise only through the granule (tier grid) / chunk (geometric)
+    # holding the last valid sample — trailing tier chunks become
+    # _ZeroChunk markers in _chunk_ms_payload (no quantise work, no host
+    # buffer, no upload) and a trimmed straddle chunk ships short, to be
+    # zero-extended on device by the sweep's _grow_part.
+    qlen = _ms_quantise_len(n, n_bucket)
     try:
         from ..native import binding as native_binding
 
@@ -1293,13 +1321,20 @@ def _pad_lanes(parts: tuple, *, lanes: int) -> tuple:
     )
 
 
-@partial(jax.jit, static_argnames=("lanes",))
-def _grow_lanes(part, *, lanes: int):
-    """Grow ONE payload part to ``lanes`` with device-side zero lanes
-    (the per-part analogue of _pad_lanes, for sweep chunks whose
-    trailing lanes are all-zero — see _stage)."""
+@partial(jax.jit, static_argnames=("lanes", "target"))
+def _grow_part(part, *, lanes: int, target: int):
+    """Grow ONE payload part to ``lanes`` batch rows (device-side zero
+    lanes — the per-part analogue of _pad_lanes, for sweep chunks whose
+    trailing lanes are all-zero) and zero-extend its last axis to
+    ``target`` bytes (the trimmed tail of a track's final tier chunk —
+    zero scales/bases decode the extension to silence). A tiny pad
+    graph: seconds to compile, vs ~1.3 MB of zero bytes per lane-part
+    (and ~16% of the r5 bench payload in encoded zero tails) on the
+    relay."""
 
-    return jnp.pad(part, [(0, lanes - part.shape[0])] + [(0, 0)] * (part.ndim - 1))
+    pads = [(0, lanes - part.shape[0])] + [(0, 0)] * (part.ndim - 1)
+    pads[-1] = (0, target - part.shape[-1])
+    return jnp.pad(part, pads)
 
 
 @jax.jit
@@ -1372,19 +1407,34 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8, lanes: 
             if bits in (5, 6):
                 mbase.append(np.zeros(nb, np.float32))
             continue
-        out = _native_chunk(s, e, carry)
+        # Straddle chunk (s < n < e): quantise only through the last
+        # valid granule — the trimmed tail is zero-extended on device
+        # after upload (_grow_part below; zero scales decode to silence,
+        # and the encoder's own pad blocks decoded to exact zeros, so
+        # results are bit-identical to the untrimmed upload).
+        qe = min(e, max(_ms_quantise_len(n, n_bucket), s + _ms_block(bits)))
+        out = _native_chunk(s, qe, carry)
         if out is None:
             if bits == 6:
-                out = _quantise_mid6_range(channels, n, s, e, carry)
+                out = _quantise_mid6_range(channels, n, s, qe, carry)
             elif bits == 5:
-                out = _quantise_mid5_range(channels, n, s, e, carry)
+                out = _quantise_mid5_range(channels, n, s, qe, carry)
             else:
-                out = _quantise_mid_range(channels, n, s, e)
+                out = _quantise_mid_range(channels, n, s, qe)
+        nb_full = (e - s) // _ms_block(bits)
         if bits in (5, 6):
             mc, m_sc, m_b, st, carry = out
+            if m_b.shape[0] < nb_full:
+                m_b = np.concatenate(
+                    [m_b, np.zeros(nb_full - m_b.shape[0], m_b.dtype)]
+                )
             mbase.append(m_b)
         else:
             mc, m_sc, st = out
+        if m_sc.shape[0] < nb_full:
+            m_sc = np.concatenate(
+                [m_sc, np.zeros(nb_full - m_sc.shape[0], m_sc.dtype)]
+            )
         mid_futs.append(pool.submit(_put_batched, mc))
         msc.append(m_sc)
         stats = stats + st
@@ -1393,9 +1443,14 @@ def _dispatch_single_ms(audio: AudioInput, n_bucket: int, bits: int = 8, lanes: 
     # Host widths overlap the uploads still in flight.
     widths = None if mono else _host_stereo_widths(channels, sr)
 
-    parts = tuple(
-        f.result() if hasattr(f, "result") else f for f in mid_futs
-    ) + (_put_batched(np.asarray(mscales)),)
+    chunk_parts = []
+    for ci, f in enumerate(mid_futs):
+        p = f.result() if hasattr(f, "result") else f
+        pb, pe = _ms_payload_bytes(*ranges[ci], bits)
+        if p.shape[-1] < pe - pb:  # trimmed straddle: zero-extend on device
+            p = _grow_part(p, lanes=1, target=pe - pb)
+        chunk_parts.append(p)
+    parts = tuple(chunk_parts) + (_put_batched(np.asarray(mscales)),)
     if bits in (5, 6):
         parts = parts + (_put_batched(np.concatenate(mbase)),)
     valids = [n] + [n_bucket] * (lanes - 1)
@@ -1594,10 +1649,12 @@ def analyse_library(
     stereo sample pair; stereo scalars and per-band widths are
     host-exact, and mono/stereo tracks share chunks and executables),
     "ms6" (6-bit mid codes packed 4-into-3 bytes, per block raw- or
-    delta-coded, 0.75 B per stereo sample pair — the least host->device
-    bandwidth; every accuracy gate holds, see RUNBOOK), "int8"
-    (per-channel
-    blockwise int8, ~45 dB SNR) or "int16" (~96 dB SNR).
+    delta-coded, 0.75 B per stereo sample pair; every accuracy gate
+    holds, see RUNBOOK), "ms5" (5-bit noise-shaped delta codes packed
+    8-into-5 bytes on 1 024-sample blocks, 0.63 B per pair — the least
+    host->device bandwidth; every gate holds since the round-5
+    noise-shaped encoder, so it is the bench transport), "int8"
+    (per-channel blockwise int8, ~45 dB SNR) or "int16" (~96 dB SNR).
 
     ``on_error``: "skip" (default) isolates per-track decode/coerce
     failures — the sweep continues, the failure is recorded in the
@@ -1731,17 +1788,41 @@ def analyse_library(
         # On a ONE-device mesh the lane axis is not a device axis, so
         # trailing all-zero lanes (padding lanes of a partial chunk,
         # zero tier chunks of the shorter tracks) need not ship: upload
-        # the real-lane prefix and grow it on device (_grow_lanes — a
+        # the real-lane prefix and grow it on device (_grow_part — a
         # tiny jit, seconds to compile, vs ~1.3 MB of zero bytes per
         # trimmed lane per part on the relay). Multi-device meshes keep
-        # the full stack: lanes map onto devices there.
+        # the full stack: lanes map onto devices there (trimmed tails
+        # are re-padded on host instead of on the sharded buffer).
         one_device = mesh.devices.size == 1
+        # Chunk parts may be TRIMMED (each track's final tier chunk ships
+        # only through its last valid granule — _ms_quantise_len), so
+        # lanes can be ragged: pad lanes on host to the group's max
+        # shipped length, upload that, and zero-extend to the full chunk
+        # size on device (_grow_part). full_lens pins the decode
+        # executable's canonical part shapes.
+        full_lens = None
+        if transport in ("ms", "ms6", "ms5"):
+            bits = {"ms6": 6, "ms5": 5}.get(transport, 8)
+            full_lens = [
+                pe - pb
+                for pb, pe in (
+                    _ms_payload_bytes(s, e, bits)
+                    for s, e in _ms_chunk_ranges(n_bucket)
+                )
+            ]
         staged = []
         for part in range(len(payloads[0])):
             vals = [p[part] for p in payloads]
+            full = (
+                full_lens[part]
+                if full_lens is not None and part < len(full_lens)
+                else max(v.shape[-1] for v in vals)
+            )
             if all(isinstance(v, _ZeroChunk) for v in vals):
                 z = vals[0]
-                staged.append(_zero_part((len(vals),) + z.shape, z.dtype, mesh))
+                staged.append(
+                    _zero_part((len(vals),) + z.shape[:-1] + (full,), z.dtype, mesh)
+                )
                 continue
             keep = len(vals)
             if one_device:
@@ -1749,16 +1830,20 @@ def analyse_library(
                     i for i, v in enumerate(vals) if not isinstance(v, _ZeroChunk)
                 )
                 keep = last_real + 1
-            stacked = np.stack(
-                [
-                    v.materialise() if isinstance(v, _ZeroChunk) else v
-                    for v in vals[:keep]
-                ]
-            )
+            shipped = max(v.shape[-1] for v in vals[:keep]) if one_device else full
+            rows = []
+            for v in vals[:keep]:
+                a = v.materialise() if isinstance(v, _ZeroChunk) else v
+                if a.shape[-1] < shipped:
+                    b = np.zeros(a.shape[:-1] + (shipped,), a.dtype)
+                    b[..., : a.shape[-1]] = a
+                    a = b
+                rows.append(a)
+            stacked = np.stack(rows)
             _count_upload(stacked.nbytes)
             buf = jax.device_put(stacked, data_sharding(mesh, rank=stacked.ndim))
-            if keep < len(vals):
-                buf = _grow_lanes(buf, lanes=len(vals))
+            if keep < len(vals) or shipped < full:
+                buf = _grow_part(buf, lanes=len(vals), target=full)
             staged.append(buf)
         varr = np.asarray(valids)
         _count_upload(varr.nbytes)
