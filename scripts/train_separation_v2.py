@@ -305,7 +305,14 @@ def synth_stems_v2(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray
     f0 = rng.uniform(140, 320)
     vib = f0 * (1 + rng.uniform(0.005, 0.02) * np.sin(2 * np.pi * rng.uniform(4, 7) * t))
     phase = 2 * np.pi * np.cumsum(vib) / SR
-    voice_kind = int(rng.integers(2, 5)) if hard else rng.integers(0, 5)
+    if hard:
+        # E4: half of hard draws force a whisper voice — E3 flipped OOD3
+        # drums but its whisper-vocals cell stayed negative (the routing
+        # decision "broadband pulsed noise = voice, not drums" needs the
+        # confusable co-occurrence, and whisper was only 1/3 of hard draws).
+        voice_kind = 4 if rng.random() < 0.5 else int(rng.integers(2, 4))
+    else:
+        voice_kind = int(rng.integers(0, 5))
     if voice_kind == 4:
         # unvoiced whisper class (round-5: E3 closed every OOD3 cell but
         # whisper vocals — the net routed noise-excited voice to drums.
@@ -313,20 +320,26 @@ def synth_stems_v2(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray
         # noise in overlapped blocks, NOT the OOD3 recipe's time-domain
         # cumsum-sine modulation): noise through 2-3 resonance bumps
         # whose centres drift block to block, syllable-gated below.
+        # E4 widening: E3's whispers were always NARROW-band (150-400 Hz
+        # bumps) — a near-flat broadband whisper never appeared, so flat
+        # pulsed noise routed to drums. Bumps now span 150-1400 Hz widths,
+        # 2-3 of them, plus an optional broadband floor under the bumps.
         noise = rng.normal(0, 1.0, n)
         blk = 4096
         hopb = blk // 2
         win = np.hanning(blk)
         outv = np.zeros(n + blk)
         freqs = np.fft.rfftfreq(blk, 1.0 / SR)
-        centres = rng.uniform([350, 1200], [800, 2600])
-        drift = rng.uniform(-40, 40, size=2)
-        bws = rng.uniform(150, 400, size=2)
+        n_bumps = int(rng.integers(2, 4))
+        centres = rng.uniform(300, 2800, size=n_bumps)
+        drift = rng.uniform(-40, 40, size=n_bumps)
+        bws = rng.uniform(150, 1400, size=n_bumps)
+        floor = rng.uniform(0.0, 0.35)
         for bi, s0 in enumerate(range(0, n, hopb)):
             seg = np.zeros(blk)
             take = min(blk, n - s0)
             seg[:take] = noise[s0 : s0 + take]
-            shape = np.zeros_like(freqs)
+            shape = np.full_like(freqs, floor)
             for c0, dr, bw in zip(centres, drift, bws):
                 fc = c0 + dr * bi * hopb / SR
                 shape += np.exp(-((freqs - fc) ** 2) / (2 * bw**2))
@@ -371,7 +384,11 @@ def synth_stems_v2(rng: np.random.Generator, seconds: float = 2.0) -> np.ndarray
         mix_ratio = rng.uniform(0.15, 0.45)
         vocals = (1 - mix_ratio) * voiced + mix_ratio * unvoiced
     vocals = rng.uniform(0.2, 0.4) * vocals
-    vocals *= np.clip(np.sin(2 * np.pi * t / rng.uniform(1.0, 2.0)), 0, 1)
+    # E4: syllable gating spans 0.5-3.3 Hz with a random sharpness — E3's
+    # 0.5-1 Hz smooth gate meant fast-pulsed voice amplitude patterns only
+    # ever appeared on DRUMS, teaching pulse rate as a drum signature.
+    syl = np.clip(np.sin(2 * np.pi * t / rng.uniform(0.3, 2.0)), 0, 1)
+    vocals *= syl ** int(rng.integers(1, 3))
 
     stems = np.stack([drums, bass, other, vocals]).astype(np.float32)
     stems *= rng.uniform(0.6, 1.2, size=(4, 1)).astype(np.float32)  # level variation

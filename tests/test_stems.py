@@ -68,6 +68,7 @@ def test_separate_stems_writes_files(tmp_path):
         assert data.shape[-1] == mix.size
     # Neural path when the bundled checkpoint is present, DSP otherwise.
     assert bundle.model_name in (
+        "bandsplit-masknet-v5",
         "bandsplit-masknet-v4",
         "bandsplit-masknet-v3",
         "bandsplit-masknet-v2",

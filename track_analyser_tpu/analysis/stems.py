@@ -105,21 +105,23 @@ def _dsp_separate_graph_multi(y: jnp.ndarray, *, sr: int, n_samples: int, f_vali
 
 
 # Per-stem neural weight for the neural/DSP blend. Grid-searched
-# (scripts/sweep_blend_weights.py) with the bundled v4 checkpoint over
-# w in {0,.25,.5,.75,1} on all FOUR eval synthesis families after the
-# modulation-split DSP landed. SI-SDR dB (blend,
+# (scripts/sweep_blend_weights.py) with the bundled v5 checkpoint over
+# w in {0,.25,.5,.75,1} on all FOUR eval synthesis families; the v4-era
+# weights remain the per-stem argmax for v5 too. SI-SDR dB (blend,
 # held-out/OOD/OOD3/OOD4):
-#   drums  w=.25: 4.38 / 9.18 / 1.34 / 5.72
-#   bass   w=.50: 7.69 / 5.77 / 9.74 / 5.77
-#   other  w=.25: -1.29 / -0.73 / 9.52 / -13.89 (pure DSP was -78..-99
-#          before the modulation split; w=.25 is the only weight whose
-#          blend beats the INPUT MIXTURE on all four families)
-#   vocals w=.75: 2.64 / -12.32 / -10.54 / -33.03 (pure neural fell
-#          below the mixture on OOD4's voiced formant vowels; .75
-#          restores Δmix +5.7 there while keeping the held-out best)
+#   drums  w=.25: 4.56 / 8.48 / 1.92 / 5.65  (best mean AND safest
+#          worst-family among w>0; pure-net OOD3 is positive vs mixture
+#          now, but DSP still carries 6 dB more there)
+#   bass   w=.50: 12.91 / 6.15 / 9.89 / 5.87 (w=.75 mean +0.05 dB but
+#          two families dip — not worth the churn)
+#   other  w=.25: 2.99 / -0.41 / 10.42 / -7.94 (w=.25 keeps the OOD3
+#          DSP strength while fixing DSP's held-out/OOD weakness)
+#   vocals w=.75: -2.54 / -12.00 / -11.00 / -25.26 (neural dominates;
+#          the .25 DSP share still buys +5 dB on OOD4 formant vowels)
 # With these weights every served stem beats the input mixture on every
-# family (the absolute bar, Δmix +0.8..+14.5 dB); drums/other sit
-# ≤2.7 dB under pure DSP on OOD3 only, where DSP is unusually strong.
+# family, and — new with v5 — the PURE NET (w=1) does too (Δmix
+# +1.7..+14.1 dB; RUNBOOK "Separation v5"), so the blend is insurance,
+# not the thing carrying any cell.
 _BLEND_NEURAL_WEIGHT = {"drums": 0.25, "bass": 0.5, "other": 0.25, "vocals": 0.75}
 
 

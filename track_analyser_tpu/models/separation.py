@@ -21,15 +21,18 @@ from typing import Dict, Optional
 
 import numpy as np
 
-MODEL_NAME = "bandsplit-masknet-v4"
+MODEL_NAME = "bandsplit-masknet-v5"
 _CKPT_ENV = "TRACK_ANALYSER_TPU_SEPARATION_CKPT"
 _CKPT_DIR = Path(__file__).parent / "checkpoints"
-# Newest bundled checkpoint wins: v4 (v3 warm-started on further-widened
-# timbre families — chirp percussion, plucked sub-bass, mixed
-# voiced/unvoiced vocals; beats the DSP separator on every stem held-out
-# and is far more robust on the second unseen validation family, e.g.
-# OOD3 vocals SI-SDR-vs-mixture -30.5 -> +2.5 dB) over v3/v2/v1.
+# Newest bundled checkpoint wins: v5 (dilated time-conv mixing blocks —
+# receptive field grows 8x over v4's — trained from scratch on the E4
+# hardened recipe: whisper-voice/resonant-noise co-occurrence draws,
+# broadband whisper floors, 0.5-3.3 Hz syllable gates. First checkpoint
+# whose PURE-NET output beats the input mixture on every stem x all four
+# eval families — Δmix +1.7..+14.1 dB incl. the OOD3 drums cell that was
+# -8.2 dB under v4; see RUNBOOK "Separation v5") over v4/v3/v2/v1.
 _BUNDLED = (
+    _CKPT_DIR / "separation_v5.npz",
     _CKPT_DIR / "separation_v4.npz",
     _CKPT_DIR / "separation_v3.npz",
     _CKPT_DIR / "separation_v2.npz",

@@ -163,7 +163,16 @@ def full_track_graph(
     # One batched STFT covers the mono family AND the stereo M/S spectra:
     # STFT is linear, so STFT(mid) == 0.5*(STFT(L)+STFT(R)) exactly — three
     # per-channel transforms collapse into a (2, bins, frames) pair.
-    ms_mag = magnitude(jnp.stack([y, side]), n_fft, hop, power=1.0)
+    # TA_PALLAS_STFT=1 routes it through the fused Pallas kernel
+    # (ops/pallas_stft.py) — measured A/B switch, see RUNBOOK ablation.
+    import os as _os
+
+    from .ops import pallas_stft
+
+    if pallas_stft.supported() and _os.environ.get("TA_PALLAS_STFT") == "1":
+        ms_mag = pallas_stft.stft_magnitude(jnp.stack([y, side]), n_fft, hop)
+    else:
+        ms_mag = magnitude(jnp.stack([y, side]), n_fft, hop, power=1.0)
     mag = ms_mag[0]
     power = mag * mag
     mel_fb = mel_filterbank(sr, n_fft, cfg.n_mels)
