@@ -34,22 +34,26 @@ def main() -> None:
 
     import bench
 
-    durations = [181.0, 181.0, 136.0, 136.0, 96.0, 96.0]
+    # Mirror the shipped bench config exactly (bench.py: 8 tracks of four
+    # durations, transport=ms5, device_batch=4) so the trace attributes
+    # the same sweep the headline times.
+    durations = [181.0, 181.0, 136.0, 136.0, 96.0, 96.0, 166.0, 116.0]
+    bpms = [118.0, 125.0, 97.0, 132.0, 110.0, 141.0, 104.0, 122.0]
     tracks = [
-        bench._make_track(secs, bpm=118.0 + 7 * i, seed=i)
+        bench._make_track(secs, bpm=bpms[i], seed=i)
         for i, secs in enumerate(durations)
     ]
 
     from track_analyser_tpu.parallel.batch import analyse_library
 
     t0 = time.perf_counter()
-    analyse_library(tracks, device_batch=2)  # warmup (compiles)
+    analyse_library(tracks, device_batch=4, transport="ms5")  # warmup (compiles)
     print(f"[profile] warmup {time.perf_counter() - t0:.1f} s", file=sys.stderr)
 
     os.environ["TA_SWEEP_DEBUG"] = "1"
     for run in range(3):
         t0 = time.perf_counter()
-        out = analyse_library(tracks, device_batch=2)
+        out = analyse_library(tracks, device_batch=4, transport="ms5")
         dt = time.perf_counter() - t0
         assert all(hasattr(r, "beat") for r in out)
         print(f"[profile] sweep {run}: {dt:.3f} s", file=sys.stderr)
