@@ -252,16 +252,24 @@ def main() -> None:
     t0 = time.perf_counter()
     result = _retry("warmup", _warmup, delay_s=30.0)
     warm = time.perf_counter() - t0
-    # Compile accounting: executables with a slow backend_compile were
-    # really compiled server-side; fast ones rode the relay's day-scoped
-    # server cache (observed: 37 s warm vs 382 s cold for the same
-    # executable — RUNBOOK). The threshold splits those two populations.
+    # Compile accounting. backend_compile events UNDER-report on the
+    # axon relay: the big server-side compile is deferred and billed to
+    # the first EXECUTION (measured: a traced warmup spent 221 s inside
+    # the first device_get while the compile listener logged 31 s), so
+    # cache state is classified by warmup WALL TIME — the quantity the
+    # round comparison actually cares about. A fully warm process
+    # re-runs this warmup in <30 s (it is two sweeps plus small jits);
+    # the relay's same-day server cache lands ~2-4 min; a cold day
+    # ~4-10 min.
     big_compiles = [d for d in compile_log if d >= 5.0]
-    cold = [d for d in big_compiles if d >= 60.0]
     cache_state = (
         "cpu"
         if dev.platform == "cpu"
-        else ("cold" if cold else ("server-warm" if big_compiles else "process-warm"))
+        else (
+            "cold"
+            if warm >= 300.0
+            else ("server-warm" if warm >= 30.0 else "process-warm")
+        )
     )
     print(
         f"[bench] warmup (one shared tier executable) {warm:.1f} s "

@@ -889,8 +889,12 @@ def test_tier_grid_results_match_geometric_bucket(transport, monkeypatch) -> Non
     monkeypatch.setattr(batch_mod, "_MS_TIERS", (8, 16))
     assert batch_mod.ms_bucket_length(n) == 8 * (1 << 16)  # 4 valid + 4 zero chunks
     tiered = batch_mod.analyse_track_fused(audio, transport=transport)
-    # the padding tail rode the cached zero buffer
-    assert any(key[1][1] == 1 << 16 for key in batch_mod._ZERO_PARTS)
+    # the padding tail rode the cached zero buffer (chunk parts are
+    # sliced in PACKED-PAYLOAD space, so ms6's zero chunks stage at
+    # 3/4 of the sample chunk size)
+    bits = {"ms6": 6, "ms5": 5}.get(transport, 8)
+    zero_len = batch_mod._ms_payload_bytes(0, 1 << 16, bits)[1]
+    assert any(key[1][-1] == zero_len for key in batch_mod._ZERO_PARTS)
 
     assert tiered.beat.bpm == pytest.approx(baseline.beat.bpm, abs=1e-6)
     assert tiered.loudness.integrated_lufs == pytest.approx(

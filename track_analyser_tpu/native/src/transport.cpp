@@ -85,96 +85,212 @@ inline void stereo_stats_f64(const float* l, const float* r, int64_t n,
   out_stats[7] = s6;
 }
 
-// One sub-byte block: best-of {raw, delta-with-error-feedback} codes.
-// Bit-identical to the numpy fallback (_quantise_mid_subbyte_range):
-// elementwise f32 ops in the same order; only the loop STRUCTURE is
-// rearranged for vectorisation (mid/peaks/raw are data-parallel; the
-// delta error-feedback chain stays serial — it is a true dependency).
+// Sub-byte strip encoder: best-of {raw, delta-with-error-feedback}
+// codes for LANES blocks at once. Bit-identical to the numpy fallback
+// (_quantise_mid_subbyte_range): elementwise f32 ops in the same order;
+// only the loop STRUCTURE differs — each block's base is the TRUE
+// padded-mid sample preceding it (not the running reconstruction), so
+// blocks are independent and the serial-within-a-block delta chains of
+// a strip advance in lock-step as SIMD lanes (the host has AVX-512:
+// 16 f32 lanes; the chain was the whole kernel's cost on delta-heavy
+// dense music — every sample of the track in ONE dependent chain).
 // ``shape`` noise-shapes the delta target (ms5 runs 0.5, ms6 runs 0).
-// Returns the block's carry-out; writes scale (sign = mode), base and
-// the SELECTED biased codes into ``codes``.
-inline float encode_subbyte_block(const float* mid, int64_t block,
-                                  int64_t valid, float carry, float fq,
-                                  float bias, float shape, float* out_scale,
-                                  float* out_base, uint8_t* codes,
-                                  uint8_t* dlt_scratch) {
-  // peaks (max reductions vectorise without -ffast-math)
-  float mid_peak = 0.0f;
-  for (int64_t i = 0; i < block; ++i) {
-    const float a = std::fabs(mid[i]);
-    if (a > mid_peak) mid_peak = a;
-  }
-  float diff_peak = 0.0f;
-  {
-    const float ad0 = std::fabs(mid[0] - carry);
-    diff_peak = ad0;
-    for (int64_t i = 1; i < valid; ++i) {
-      const float ad = std::fabs(mid[i] - mid[i - 1]);
-      if (ad > diff_peak) diff_peak = ad;
-    }
-    if (valid > 0 && valid < block) {
-      const float ad = std::fabs(mid[valid - 1]);  // step down to pad
-      if (ad > diff_peak) diff_peak = ad;
-    } else if (valid == 0) {
-      diff_peak = std::fabs(carry);
-    }
-  }
+// The decoder law (y = base + int-cumsum * step, shipped bases) is
+// unchanged by the base choice.
+constexpr int kSubbyteLanes = 16;
 
-  // raw candidate (elementwise; vectorises with -fno-math-errno)
-  const float rstep = (mid_peak > 0.0f ? mid_peak : 1.0f) / fq;
-  const float rinv = fq / (mid_peak > 0.0f ? mid_peak : 1.0f);
-  float rerr = 0.0f;
-  for (int64_t i = 0; i < block; ++i) {
-    float v = mid[i] * rinv;
-    if (v > fq) v = fq;
-    if (v < -fq) v = -fq;
-    const float c = nearbyintf(v);
-    codes[i] = static_cast<uint8_t>(c + bias);
-    const float e = std::fabs(c * rstep - mid[i]);
-    if (e > rerr) rerr = e;
-  }
+// Encode one strip: ``mid`` holds n_lanes contiguous padded blocks,
+// ``tmid`` the same data transposed to (block, kSubbyteLanes) with
+// unused lanes zeroed, ``prevs`` the base entering each lane. Writes
+// scale (sign = mode), base and the SELECTED biased codes per lane.
+inline void encode_subbyte_strip(const float* mid, const float* tmid,
+                                 int64_t block, int n_lanes,
+                                 const float* prevs, float fq, float bias,
+                                 float shape, float* out_scales,
+                                 float* out_bases, uint8_t* codes,
+                                 uint8_t* dlt_t) {
+  float peak[kSubbyteLanes], dpk[kSubbyteLanes], rerr[kSubbyteLanes];
+  float rstep[kSubbyteLanes];
 
-  // delta candidate: serial error-feedback chain, tracked with the
-  // DECODER's law (y = base + float(int_cumsum) * step). Early exit the
-  // moment derr reaches the selection threshold — the block will take
-  // raw either way, and the selected OUTPUT is unchanged (scratch only).
-  float derr = 3.4e38f;
-  bool take_delta = false;
-  int32_t acc = 0;
-  if (diff_peak > 0.0f) {
-    const float dstep = diff_peak / fq;
-    const float dinv = fq / diff_peak;
-    const float bar = 0.5f * rerr;
-    derr = 0.0f;
-    float prev = carry;
-    float e_prev = 0.0f;
-    int64_t i = 0;
-    for (; i < block; ++i) {
-      const float tgt = mid[i] - shape * e_prev;
-      float v = (tgt - prev) * dinv;
+  // per-lane peak / diff-peak / raw candidate on the contiguous rows
+  // (max reductions and the elementwise raw pass vectorise without
+  // -ffast-math; pad samples are zeros, so the full-row diff peak
+  // covers the valid->pad step and all-pad blocks reduce to |base|)
+  for (int k = 0; k < n_lanes; ++k) {
+    const float* row = mid + static_cast<int64_t>(k) * block;
+    float pk = 0.0f;
+    for (int64_t i = 0; i < block; ++i) {
+      const float a = std::fabs(row[i]);
+      if (a > pk) pk = a;
+    }
+    peak[k] = pk;
+    float dp = std::fabs(row[0] - prevs[k]);
+    for (int64_t i = 1; i < block; ++i) {
+      const float ad = std::fabs(row[i] - row[i - 1]);
+      if (ad > dp) dp = ad;
+    }
+    dpk[k] = dp;
+
+    const float safe = pk > 0.0f ? pk : 1.0f;
+    const float rs = safe / fq;
+    const float ri = fq / safe;
+    rstep[k] = rs;
+    uint8_t* crow = codes + static_cast<int64_t>(k) * block;
+    float re = 0.0f;
+    for (int64_t i = 0; i < block; ++i) {
+      float v = row[i] * ri;
       if (v > fq) v = fq;
       if (v < -fq) v = -fq;
       const float c = nearbyintf(v);
-      dlt_scratch[i] = static_cast<uint8_t>(c + bias);
-      acc += static_cast<int32_t>(c);
-      prev = carry + static_cast<float>(acc) * dstep;
-      e_prev = prev - mid[i];
-      const float e = std::fabs(e_prev);
-      if (e > derr) derr = e;
-      if (derr >= bar) break;  // cannot be selected any more
+      crow[i] = static_cast<uint8_t>(c + bias);
+      const float e = std::fabs(c * rstep[k] - row[i]);
+      if (e > re) re = e;
     }
-    take_delta = (i == block) && (derr < bar);
+    rerr[k] = re;
   }
 
-  *out_base = carry;
-  if (take_delta) {
-    *out_scale = -diff_peak;
-    std::memcpy(codes, dlt_scratch, block);
-    return carry + static_cast<float>(acc) * (diff_peak / fq);
+  // delta candidate: all lanes' error-feedback chains in lock-step over
+  // the transposed strip (reads/writes are contiguous per iteration)
+  float dstep[kSubbyteLanes], dinv[kSubbyteLanes];
+  float prev[kSubbyteLanes], e_prev[kSubbyteLanes], derr[kSubbyteLanes];
+  int32_t acc[kSubbyteLanes];
+  for (int k = 0; k < kSubbyteLanes; ++k) {
+    const float safe = (k < n_lanes && dpk[k] > 0.0f) ? dpk[k] : 1.0f;
+    dstep[k] = safe / fq;
+    dinv[k] = fq / safe;
+    prev[k] = k < n_lanes ? prevs[k] : 0.0f;
+    e_prev[k] = 0.0f;
+    derr[k] = 0.0f;
+    acc[k] = 0;
   }
-  *out_scale = mid_peak;
-  return (static_cast<int32_t>(codes[block - 1]) - static_cast<int32_t>(bias)) *
-         rstep * (mid_peak > 0.0f ? 1.0f : 0.0f);
+  for (int64_t i = 0; i < block; ++i) {
+    const float* x = tmid + i * kSubbyteLanes;
+    uint8_t* d = dlt_t + i * kSubbyteLanes;
+    for (int k = 0; k < kSubbyteLanes; ++k) {
+      const float tgt = x[k] - shape * e_prev[k];
+      float v = (tgt - prev[k]) * dinv[k];
+      if (v > fq) v = fq;
+      if (v < -fq) v = -fq;
+      const float c = nearbyintf(v);
+      d[k] = static_cast<uint8_t>(c + bias);
+      acc[k] += static_cast<int32_t>(c);
+      prev[k] = prevs[k] + static_cast<float>(acc[k]) * dstep[k];
+      e_prev[k] = prev[k] - x[k];
+      const float e = std::fabs(e_prev[k]);
+      if (e > derr[k]) derr[k] = e;
+    }
+  }
+
+  for (int k = 0; k < n_lanes; ++k) {
+    out_bases[k] = prevs[k];
+    const bool take = dpk[k] > 0.0f && derr[k] < 0.5f * rerr[k];
+    if (take) {
+      out_scales[k] = -dpk[k];
+      uint8_t* crow = codes + static_cast<int64_t>(k) * block;
+      for (int64_t i = 0; i < block; ++i) crow[i] = dlt_t[i * kSubbyteLanes + k];
+    } else {
+      out_scales[k] = peak[k];
+    }
+  }
+}
+
+// Shared strip driver for the sub-byte mid transports: computes the
+// strip mid (padded), per-lane bases (true previous padded-mid sample;
+// carry_in for the range's first block), the L1-tiled transpose the
+// lock-step delta chains read, and hands each strip to
+// encode_subbyte_strip. BITS selects the pack (6: 4-into-3 bytes,
+// 5: 8-into-5). ``carry_in``/``out_carry`` thread the true-sample base
+// law across independently-quantised chunks of one track (carry_out =
+// the range's last padded mid sample).
+template <int BITS>
+inline void quantise_mid_subbyte(const float* in, int64_t n_ch_in,
+                                 int64_t n_in, int64_t n_bucket,
+                                 int64_t block, float carry_in, float fq,
+                                 float bias, float shape, uint8_t* out_packed,
+                                 float* out_mid_scales, float* out_bases,
+                                 double* out_stats, float* out_carry) {
+  const int64_t n_blocks = n_bucket / block;
+  const float* lsrc = in;
+  const float* rsrc = n_ch_in == 2 ? in + n_in : in;
+
+  stereo_stats_f64(lsrc, rsrc, n_in, out_stats);
+
+  const int64_t strip_n = kSubbyteLanes * block;
+  float* smid = new float[strip_n];
+  float* tmid = new float[strip_n];
+  uint8_t* scode = new uint8_t[strip_n];
+  uint8_t* dlt_t = new uint8_t[strip_n];
+  float prevs[kSubbyteLanes];
+  float last = carry_in;
+
+  for (int64_t b0 = 0; b0 < n_blocks; b0 += kSubbyteLanes) {
+    const int lanes = static_cast<int>(
+        n_blocks - b0 < kSubbyteLanes ? n_blocks - b0 : kSubbyteLanes);
+    const int64_t start = b0 * block;
+    const int64_t len = static_cast<int64_t>(lanes) * block;
+    const int64_t valid =
+        n_in > start ? (n_in - start < len ? n_in - start : len) : 0;
+    for (int64_t i = 0; i < valid; ++i)
+      smid[i] = 0.5f * (lsrc[start + i] + rsrc[start + i]);
+    for (int64_t i = valid; i < len; ++i) smid[i] = 0.0f;
+
+    prevs[0] = last;
+    for (int k = 1; k < kSubbyteLanes; ++k)
+      prevs[k] = k < lanes ? smid[static_cast<int64_t>(k) * block - 1] : 0.0f;
+
+    // L1-tiled transpose to (block, lanes); unused lanes zeroed so the
+    // chain's lock-step reads stay defined (their outputs are dropped)
+    for (int64_t i0 = 0; i0 < block; i0 += 256) {
+      const int64_t i1 = i0 + 256 < block ? i0 + 256 : block;
+      for (int k = 0; k < lanes; ++k) {
+        const float* row = smid + static_cast<int64_t>(k) * block;
+        for (int64_t i = i0; i < i1; ++i) tmid[i * kSubbyteLanes + k] = row[i];
+      }
+      if (lanes < kSubbyteLanes)
+        for (int64_t i = i0; i < i1; ++i)
+          for (int k = lanes; k < kSubbyteLanes; ++k)
+            tmid[i * kSubbyteLanes + k] = 0.0f;
+    }
+
+    encode_subbyte_strip(smid, tmid, block, lanes, prevs, fq, bias, shape,
+                         out_mid_scales + b0, out_bases + b0, scode, dlt_t);
+    last = smid[len - 1];
+
+    for (int k = 0; k < lanes; ++k) {
+      const uint8_t* sel_code = scode + static_cast<int64_t>(k) * block;
+      if (BITS == 6) {
+        uint8_t* dst = out_packed + ((start + k * block) / 4) * 3;
+        for (int64_t g = 0; g < block; g += 4) {
+          const uint8_t c0 = sel_code[g], c1 = sel_code[g + 1];
+          const uint8_t c2 = sel_code[g + 2], c3 = sel_code[g + 3];
+          dst[0] = static_cast<uint8_t>((c0 << 2) | (c1 >> 4));
+          dst[1] = static_cast<uint8_t>(((c1 & 15u) << 4) | (c2 >> 2));
+          dst[2] = static_cast<uint8_t>(((c2 & 3u) << 6) | c3);
+          dst += 3;
+        }
+      } else {
+        uint8_t* dst = out_packed + ((start + k * block) / 8) * 5;
+        for (int64_t g = 0; g < block; g += 8) {
+          const uint8_t c0 = sel_code[g], c1 = sel_code[g + 1],
+                        c2 = sel_code[g + 2], c3 = sel_code[g + 3],
+                        c4 = sel_code[g + 4], c5 = sel_code[g + 5],
+                        c6 = sel_code[g + 6], c7 = sel_code[g + 7];
+          dst[0] = static_cast<uint8_t>((c0 << 3) | (c1 >> 2));
+          dst[1] = static_cast<uint8_t>(((c1 & 3u) << 6) | (c2 << 1) | (c3 >> 4));
+          dst[2] = static_cast<uint8_t>(((c3 & 15u) << 4) | (c4 >> 1));
+          dst[3] = static_cast<uint8_t>(((c4 & 1u) << 7) | (c5 << 2) | (c6 >> 3));
+          dst[4] = static_cast<uint8_t>(((c6 & 7u) << 5) | c7);
+          dst += 5;
+        }
+      }
+    }
+  }
+  delete[] smid;
+  delete[] tmid;
+  delete[] scode;
+  delete[] dlt_t;
+
+  *out_carry = last;
 }
 
 }  // namespace
@@ -410,8 +526,9 @@ void ta_quantise_mid(const float* in, int64_t n_ch_in, int64_t n_in,
 //
 // Each block ships in whichever of two codings reconstructs with the
 // smaller max error (the mode rides the SIGN of the per-block scale;
-// out_bases carries the reconstruction value entering the block so the
-// device decode stays block-parallel — no cross-block scan):
+// out_bases carries the value entering the block — the TRUE previous
+// padded-mid sample, making blocks independent — so the device decode
+// stays block-parallel, no cross-block scan):
 //   scale >= 0 (raw):   y_i = code_i * (scale / 31)
 //   scale  < 0 (delta): y_i = base + cumsum(code)_i * (-scale / 31)
 // Delta (one-tap prediction with error feedback) wins on dense music,
@@ -419,50 +536,15 @@ void ta_quantise_mid(const float* in, int64_t n_ch_in, int64_t n_in,
 // restores the full +-0.1 BPM gate; raw wins on click-like transients,
 // where delta's high-pass-shaped error noise would smear onsets, so
 // delta is only taken when its max error is under HALF of raw's.
-// ``carry_in``/``out_carry`` thread the running reconstruction value
-// across independently-quantised chunks of one track.
+// ``carry_in``/``out_carry`` thread the true-sample base law across
+// independently-quantised chunks of one track.
 void ta_quantise_mid6(const float* in, int64_t n_ch_in, int64_t n_in,
                       int64_t n_bucket, int64_t block, float carry_in,
                       uint8_t* out_packed, float* out_mid_scales,
                       float* out_bases, double* out_stats, float* out_carry) {
-  const int64_t n_blocks = n_bucket / block;
-  const float* lsrc = in;
-  const float* rsrc = n_ch_in == 2 ? in + n_in : in;
-
-  stereo_stats_f64(lsrc, rsrc, n_in, out_stats);
-
-  float* mid_buf = new float[block];
-  uint8_t* sel_code = new uint8_t[block];
-  uint8_t* dlt_code = new uint8_t[block];
-  float carry = carry_in;
-
-  for (int64_t b = 0; b < n_blocks; ++b) {
-    const int64_t start = b * block;
-    const int64_t valid =
-        n_in > start ? (n_in - start < block ? n_in - start : block) : 0;
-    for (int64_t i = 0; i < valid; ++i)
-      mid_buf[i] = 0.5f * (lsrc[start + i] + rsrc[start + i]);
-    for (int64_t i = valid; i < block; ++i) mid_buf[i] = 0.0f;
-
-    carry = encode_subbyte_block(mid_buf, block, valid, carry, 31.0f, 32.0f,
-                                 0.0f, out_mid_scales + b, out_bases + b,
-                                 sel_code, dlt_code);
-
-    uint8_t* dst = out_packed + (start / 4) * 3;
-    for (int64_t g = 0; g < block; g += 4) {
-      const uint8_t c0 = sel_code[g], c1 = sel_code[g + 1];
-      const uint8_t c2 = sel_code[g + 2], c3 = sel_code[g + 3];
-      dst[0] = static_cast<uint8_t>((c0 << 2) | (c1 >> 4));
-      dst[1] = static_cast<uint8_t>(((c1 & 15u) << 4) | (c2 >> 2));
-      dst[2] = static_cast<uint8_t>(((c2 & 3u) << 6) | c3);
-      dst += 3;
-    }
-  }
-  delete[] mid_buf;
-  delete[] sel_code;
-  delete[] dlt_code;
-
-  *out_carry = carry;
+  quantise_mid_subbyte<6>(in, n_ch_in, n_in, n_bucket, block, carry_in, 31.0f,
+                          32.0f, 0.0f, out_packed, out_mid_scales, out_bases,
+                          out_stats, out_carry);
 }
 
 // int5 variant of ta_quantise_mid6: codes in [-15, 15] biased to
@@ -490,47 +572,9 @@ void ta_quantise_mid5(const float* in, int64_t n_ch_in, int64_t n_in,
                       int64_t n_bucket, int64_t block, float carry_in,
                       uint8_t* out_packed, float* out_mid_scales,
                       float* out_bases, double* out_stats, float* out_carry) {
-  const int64_t n_blocks = n_bucket / block;
-  const float* lsrc = in;
-  const float* rsrc = n_ch_in == 2 ? in + n_in : in;
-
-  stereo_stats_f64(lsrc, rsrc, n_in, out_stats);
-
-  float* mid_buf = new float[block];
-  uint8_t* sel_code = new uint8_t[block];
-  uint8_t* dlt_code = new uint8_t[block];
-  float carry = carry_in;
-
-  for (int64_t b = 0; b < n_blocks; ++b) {
-    const int64_t start = b * block;
-    const int64_t valid =
-        n_in > start ? (n_in - start < block ? n_in - start : block) : 0;
-    for (int64_t i = 0; i < valid; ++i)
-      mid_buf[i] = 0.5f * (lsrc[start + i] + rsrc[start + i]);
-    for (int64_t i = valid; i < block; ++i) mid_buf[i] = 0.0f;
-
-    carry = encode_subbyte_block(mid_buf, block, valid, carry, 15.0f, 16.0f,
-                                 0.5f, out_mid_scales + b, out_bases + b,
-                                 sel_code, dlt_code);
-
-    uint8_t* dst = out_packed + (start / 8) * 5;
-    for (int64_t g = 0; g < block; g += 8) {
-      const uint8_t c0 = sel_code[g], c1 = sel_code[g + 1], c2 = sel_code[g + 2],
-                    c3 = sel_code[g + 3], c4 = sel_code[g + 4], c5 = sel_code[g + 5],
-                    c6 = sel_code[g + 6], c7 = sel_code[g + 7];
-      dst[0] = static_cast<uint8_t>((c0 << 3) | (c1 >> 2));
-      dst[1] = static_cast<uint8_t>(((c1 & 3u) << 6) | (c2 << 1) | (c3 >> 4));
-      dst[2] = static_cast<uint8_t>(((c3 & 15u) << 4) | (c4 >> 1));
-      dst[3] = static_cast<uint8_t>(((c4 & 1u) << 7) | (c5 << 2) | (c6 >> 3));
-      dst[4] = static_cast<uint8_t>(((c6 & 7u) << 5) | c7);
-      dst += 5;
-    }
-  }
-  delete[] mid_buf;
-  delete[] sel_code;
-  delete[] dlt_code;
-
-  *out_carry = carry;
+  quantise_mid_subbyte<5>(in, n_ch_in, n_in, n_bucket, block, carry_in, 15.0f,
+                          16.0f, 0.5f, out_packed, out_mid_scales, out_bases,
+                          out_stats, out_carry);
 }
 
 }  // extern "C"

@@ -848,13 +848,24 @@ def _quantise_mid_subbyte_range(
     """Shared numpy fallback for the sub-byte mid transports (ms6/ms5):
     per block, the better of raw and delta-with-error-feedback
     [-qmax, qmax] codes (mode rides the scale's SIGN; ``bases`` carries
-    the reconstruction value entering each block so the device decode is
+    the value entering each block so the device decode is
     block-parallel). Bit-identical to the native kernels over the same
     range. ``shape`` > 0 noise-shapes the delta candidate: the quantiser
     target is x[i] - shape*e[i-1], pushing reconstruction noise toward
     Nyquist and out of the mel-flux bands the BPM regression reads
     (encoder-only — decoder law and payload format unchanged; see the
-    ta_quantise_mid5 kernel comment for the measurements). Returns
+    ta_quantise_mid5 kernel comment for the measurements).
+
+    Each block's base is the TRUE (padded) mid sample preceding it —
+    not the running reconstruction — so blocks encode INDEPENDENTLY:
+    this loop runs the delta chains of every block in lock-step as
+    (n_blocks,)-wide numpy ops (and the native kernel as SIMD lanes),
+    which is what makes delta-heavy dense music quantise in tens of ms
+    on a 1-vCPU host instead of a serial chain over every sample. The
+    decoder law (y = base + int-cumsum(codes) * step, shipped bases)
+    is unchanged; the exact base even removes the reconstruction
+    error the old carry law injected at block entry. ``carry``
+    threads that true-sample law across chunked calls. Returns
     (biased codes (L,) uint8 — pack separately, scales (L/B,),
     bases (L/B,), stats (8,), carry_out)."""
 
@@ -868,74 +879,67 @@ def _quantise_mid_subbyte_range(
     np.multiply(np.add(l, r, dtype=np.float32), np.float32(0.5), out=mid[:valid])
     blocks = mid.reshape(-1, block)
     nb = blocks.shape[0]
-    scales = np.empty(nb, np.float32)
-    bases = np.empty(nb, np.float32)
-    codes_all = np.empty((nb, block), np.uint8)
-    carry = np.float32(carry)
     fq = np.float32(float(qmax))
 
-    for b in range(nb):
-        row = blocks[b]
-        v_here = max(0, min(valid - b * block, block))
-        peak = np.float32(np.abs(row).max()) if v_here else np.float32(0.0)
-        if v_here >= block:
-            dpk = np.float32(np.abs(np.diff(row, prepend=carry)).max())
-        elif v_here > 0:
-            dpk = np.float32(
-                max(
-                    np.abs(np.diff(row[:v_here], prepend=carry)).max(),
-                    np.abs(row[v_here - 1]),  # step down into the pad
-                )
-            )
-        else:
-            dpk = np.float32(np.abs(carry))
+    # Base entering each block: the true padded-mid sample just before
+    # it (carry_in for the first). Padding samples are exact zeros, so
+    # a block following the signal's end gets base 0 — matching the
+    # all-zero _ZeroChunk markers the sweep substitutes for it.
+    prevs = np.empty(nb, np.float32)
+    prevs[0] = np.float32(carry)
+    if nb > 1:
+        prevs[1:] = blocks[:-1, -1]
 
-        # raw candidate (vectorised; identical f32 ops to the kernel)
-        rstep = (peak if peak > 0 else np.float32(1.0)) / fq
-        rinv = fq / (peak if peak > 0 else np.float32(1.0))
-        rcodes = np.rint(np.clip(row * rinv, -fq, fq)).astype(np.float32)
-        rerr = np.float32(np.abs(rcodes * rstep - row).max())
+    peak = np.abs(blocks).max(axis=1).astype(np.float32)
+    # Max |first difference| over the PADDED row with the base
+    # prepended: inside the valid region this is the usual diff peak;
+    # at the valid->pad step it contributes |x[last]| (the step down to
+    # zero); all-pad blocks reduce to |base|. One expression covers the
+    # three cases of the old per-block law.
+    dpk = (
+        np.abs(np.diff(blocks, axis=1, prepend=prevs[:, None].astype(np.float32)))
+        .max(axis=1)
+        .astype(np.float32)
+    )
 
-        # delta candidate: error feedback tracked with the DECODER's law
-        # y = base + float(int_cumsum) * step (sequential — the native
-        # kernel is the production path; this mirrors it bit-for-bit)
-        take_delta = False
-        if dpk > 0:
-            dstep = dpk / fq
-            dinv = fq / dpk
-            fshape = np.float32(shape)
-            dcodes = np.empty(block, np.int32)
-            derr = np.float32(0.0)
-            acc = 0
-            prev = carry
-            e_prev = np.float32(0.0)
-            for i in range(block):
-                tgt = np.float32(row[i] - fshape * e_prev)
-                v = np.float32((tgt - prev) * dinv)
-                c = int(np.rint(min(max(v, -fq), fq)))
-                dcodes[i] = c
-                acc += c
-                prev = np.float32(carry + np.float32(acc) * dstep)
-                e_prev = np.float32(prev - row[i])
-                e = np.float32(abs(e_prev))
-                if e > derr:
-                    derr = e
-            take_delta = bool(derr < np.float32(0.5) * rerr)
+    # raw candidate (identical f32 ops to the kernel, all blocks at once)
+    peak_safe = np.where(peak > 0, peak, np.float32(1.0))
+    rstep = peak_safe / fq
+    rinv = fq / peak_safe
+    rcodes = np.rint(np.clip(blocks * rinv[:, None], -fq, fq)).astype(np.float32)
+    rerr = np.abs(rcodes * rstep[:, None] - blocks).max(axis=1).astype(np.float32)
 
-        bases[b] = carry
-        if take_delta:
-            scales[b] = -dpk
-            codes_all[b] = (dcodes + bias).astype(np.uint8)
-            carry = np.float32(carry + np.float32(acc) * (dpk / fq))
-        else:
-            scales[b] = peak
-            codes_all[b] = (rcodes + np.float32(float(bias))).astype(np.uint8)
-            carry = (
-                np.float32(np.float32(rcodes[-1]) * rstep)
-                if peak > 0
-                else np.float32(0.0)
-            )
-    return codes_all.reshape(-1), scales, bases, stats, float(carry)
+    # delta candidate: every block's error-feedback chain advances in
+    # lock-step, one sample per iteration (true serial dependency is
+    # only WITHIN a block). All ops stay f32 to mirror the kernel.
+    run = dpk > 0
+    dpk_safe = np.where(run, dpk, np.float32(1.0))
+    dstep = dpk_safe / fq
+    dinv = fq / dpk_safe
+    fshape = np.float32(shape)
+    dcodes = np.empty((nb, block), np.float32)
+    acc = np.zeros(nb, np.int32)
+    prev = prevs.copy()
+    e_prev = np.zeros(nb, np.float32)
+    derr = np.zeros(nb, np.float32)
+    for i in range(block):
+        x = blocks[:, i]
+        tgt = x - fshape * e_prev
+        v = (tgt - prev) * dinv
+        c = np.rint(np.clip(v, -fq, fq))
+        dcodes[:, i] = c
+        acc += c.astype(np.int32)
+        prev = prevs + acc.astype(np.float32) * dstep
+        e_prev = prev - x
+        np.maximum(derr, np.abs(e_prev), out=derr)
+    take_delta = run & (derr < np.float32(0.5) * rerr)
+
+    bases = prevs
+    scales = np.where(take_delta, -dpk, peak).astype(np.float32)
+    sel = np.where(take_delta[:, None], dcodes, rcodes)
+    codes_all = (sel + np.float32(float(bias))).astype(np.uint8)
+    carry_out = float(blocks[-1, -1]) if nb else float(carry)
+    return codes_all.reshape(-1), scales, bases, stats, carry_out
 
 
 def _quantise_mid6_range(
